@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.BucketizeExpr
+
+/** Quantile tokenization — the reference's core capability: per-column
+  * quantile boundaries + discretization of every value into an integer bin id
+  * in [0, bins-1] (see /root/reference/etl_benchmark.py:63-82 — torch.quantile
+  * + torch.bucketize - 1 + clamp; and etl_benchmark_numba.py:39-50 — linear
+  * boundary search kernel).
+  *
+  * Two Spark-first formulations, with different scale profiles:
+  *
+  *  1. '''Rank-based''' (`tokenizeRank`): token = ntile(bins) - 1 over a
+  *     total order (value, tiebreak…). Semantics of `pd.qcut(labels=False)`
+  *     (rank/interval based, deterministic given the tiebreak). Requires a
+  *     global sort per column — exact but the least scalable; kept because it
+  *     is bit-stable against a SQL oracle (no float boundary arithmetic).
+  *
+  *  2. '''Boundary-based, two-phase''' (`tokenizeByBounds`) — the 100 TB
+  *     path, mirroring the reference's precompute-boundaries-once design
+  *     (etl_benchmark.py:74 quantile; :79 bucketize; :82 clamp):
+  *      - phase 1 computes per-column boundary vectors: exact via
+  *        distributed sort + select-by-position (`quantileBoundsExact`), or
+  *        approximate single-pass Greenwald-Khanna (`quantileBoundsApprox`) —
+  *        either way the result is cols × bins doubles, trivially
+  *        collectable;
+  *      - phase 2 folds the boundaries into the plan as a constant and
+  *        discretizes '''map-only''' with the codegen'd binary-search
+  *        expression [[graft.functions.BucketizeExpr]]. The fact table is
+  *        never shuffled or sorted.
+  *
+  * Closure convention (SURVEY §2A fine print 1): a value equal to a boundary
+  * goes in the '''lower''' bin (strict `b < v` count), matching
+  * torch.bucketize(right=False) - 1. Nulls: token null. NaN: bin 0 (explicit
+  * policy; the reference has none).
+  */
+object Tokenize {
+  val DefaultBins = 100
+
+  /** Default tokenizer targets (FIXTURES.md): lineitem numeric measures. */
+  val LineitemCols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  val LineitemKeys: Seq[String] = Seq("l_orderkey", "l_linenumber")
+
+  /** Rank-based tokenizer: token_c = ntile(bins) over (c, tiebreak…) - 1.
+    * Deterministic total order; output carries the tiebreak key columns. */
+  def tokenizeRank(df: DataFrame, cols: Seq[String], tiebreak: Seq[String],
+                   bins: Int = DefaultBins): DataFrame = {
+    val keyCols = tiebreak.map(col)
+    val tokens = cols.map { c =>
+      val w = Window.orderBy(col(c) +: keyCols: _*)
+      (ntile(bins).over(w) - 1).as(s"${c}_token")
+    }
+    df.select(keyCols ++ tokens: _*).orderBy(keyCols: _*)
+  }
+
+  /** Inner quantile probabilities 1/bins … (bins-1)/bins. */
+  def innerProbs(bins: Int): Seq[Double] = (1 until bins).map(_.toDouble / bins)
+
+  /** Phase 1, exact: distributed sort + select-by-position quantiles with
+    * linear interpolation at pos = p*(n-1) — the same definition as
+    * np.percentile / torch.quantile (etl_benchmark.py:74) and DuckDB
+    * quantile_cont. One range-partitioned sort per column (fully
+    * distributed), then only the ~2×|probs| rows at quantile positions are
+    * collected. Replaces the builtin exact `percentile` aggregate, which is
+    * a non-codegen TypedImperativeAggregate measured ~10x slower at sf0.1.
+    */
+  def quantileBoundsExact(df: DataFrame, cols: Seq[String],
+                          probs: Seq[Double]): Map[String, Seq[Double]] = {
+    cols.map { c =>
+      val vals = df.select(col(c).cast("double")).where(col(c).isNotNull)
+      val n = vals.count()
+      require(n > 0, s"quantileBoundsExact: no non-null values in $c")
+      val positions: Seq[(Long, Long, Double)] = probs.map { p =>
+        val pos = p * (n - 1)
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        (lo, hi, pos - lo)
+      }
+      val needed = positions.flatMap(t => Seq(t._1, t._2)).toSet
+      val neededB = vals.sparkSession.sparkContext.broadcast(needed)
+      val picked: Map[Long, Double] = vals.sort(c).rdd
+        .zipWithIndex()
+        .filter { case (_, i) => neededB.value.contains(i) }
+        .map { case (r, i) => (i, r.getDouble(0)) }
+        .collectAsMap().toMap
+      neededB.destroy()
+      c -> positions.map { case (lo, hi, frac) =>
+        val l = picked(lo)
+        val h = picked(hi)
+        l + (h - l) * frac
+      }
+    }.toMap
+  }
+
+  /** Phase 1 (single-pass variant): approximate boundaries via
+    * Greenwald-Khanna (`approx_percentile` sketch) — mergeable, no sort.
+    * At 100 TB this is the default; exact-by-sort remains available. */
+  def quantileBoundsApprox(df: DataFrame, cols: Seq[String], probs: Seq[Double],
+                           relativeError: Double = 1e-3): Map[String, Seq[Double]] = {
+    val bounds = df.stat.approxQuantile(cols.toArray, probs.toArray, relativeError)
+    cols.zip(bounds.map(_.toSeq)).toMap
+  }
+
+  /** Phase 2: map-only discretize against precomputed boundaries via the
+    * codegen'd binary-search expression — O(log bins)/value, no shuffle. */
+  def discretize(v: Column, bounds: Seq[Double], bins: Int = DefaultBins): Column =
+    BucketizeExpr.bucketize(v.cast("double"), bounds, bins)
+
+  /** Round to 6 decimals, decimal-exact (matches DuckDB round(x, 6) for any
+    * value not within ~1e-9 of a .5e-6 grid boundary). Boundaries are rounded
+    * before discretizing on BOTH engines: on low-cardinality columns (e.g.
+    * l_discount, 11 distinct values) interpolated quantile boundaries land
+    * exactly ON data values, and engine-level ulp differences in the
+    * interpolation formula would otherwise flip strict `b < v` counts. */
+  private[operators] def round6d(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Full two-phase boundary tokenizer over `cols`, keeping `keep` columns. */
+  def tokenizeByBounds(df: DataFrame, cols: Seq[String], keep: Seq[String],
+                       bins: Int = DefaultBins, approx: Boolean = false): DataFrame = {
+    val probs = innerProbs(bins)
+    val bounds0 =
+      if (approx) quantileBoundsApprox(df, cols, probs)
+      else quantileBoundsExact(df, cols, probs)
+    val bounds = bounds0.map { case (c, bs) => c -> bs.map(round6d) }
+    val tokens = cols.map(c => discretize(col(c), bounds(c), bins).as(s"${c}_token"))
+    df.select(keep.map(col) ++ tokens: _*)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** Driver-contract queries (SparkEntry). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tokenize_rank" -> { (spark, dir) =>
+      tokenizeRank(graft.Tables.lineitem(spark, dir), LineitemCols, LineitemKeys)
+    },
+    "q_quantile_bounds" -> { (spark, dir) =>
+      // (col_name, p_idx 0..100, boundary) rows — the exact shape of the
+      // reference's boundary tensor (etl_benchmark.py:63:
+      // torch.linspace(0,1,101) -> torch.quantile), computed by the
+      // distributed sort-based exact quantile and emitted driver-side
+      // (the result is always cols × (bins+1) values — tiny).
+      import spark.implicits._
+      val li = graft.Tables.lineitem(spark, dir)
+      val probs = (0 to DefaultBins).map(_.toDouble / DefaultBins)
+      val bounds = quantileBoundsExact(li, LineitemCols, probs)
+      LineitemCols.flatMap { c =>
+        bounds(c).zipWithIndex.map { case (b, i) => (c, i, round6d(b)) }
+      }.toDF("col_name", "p_idx", "boundary")
+        .orderBy("col_name", "p_idx")
+    },
+    "q_tokenize_bucketize" -> { (spark, dir) =>
+      val li = graft.Tables.lineitem(spark, dir)
+      tokenizeByBounds(li, LineitemCols, LineitemKeys)
+        .orderBy(LineitemKeys.map(col): _*)
+    },
+    "q_token_histogram" -> { (spark, dir) =>
+      // Downstream sanity aggregate: bin mass per token for one column —
+      // near-uniform on continuous data (SURVEY §5.3 property).
+      val li = graft.Tables.lineitem(spark, dir)
+      tokenizeByBounds(li, Seq("l_extendedprice"), LineitemKeys)
+        .groupBy(col("l_extendedprice_token").as("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("token")
+    }
+  )
+
+  private def probsSql(bins: Int, inner: Boolean): String = {
+    val ps = if (inner) innerProbs(bins) else (0 to bins).map(_.toDouble / bins)
+    ps.mkString("[", ",", "]")
+  }
+
+  /** DuckDB oracle SQL (driver t2 contract). */
+  def oracleSql: Map[String, String] = {
+    val tokenCols = LineitemCols
+      .map(c => s"CAST(NTILE(100) OVER (ORDER BY $c, l_orderkey, l_linenumber) - 1 AS INTEGER) AS ${c}_token")
+      .mkString(", ")
+    val boundsCtes = LineitemCols
+      .map(c => s"list_transform(quantile_cont($c, ${probsSql(DefaultBins, inner = true)}), x -> round(x, 6)) AS b_$c")
+      .mkString(", ")
+    val bucketizeCols = LineitemCols
+      .map(c => s"CAST(least(greatest(len(list_filter(b.b_$c, x -> l.$c > x)), 0), 99) AS INTEGER) AS ${c}_token")
+      .mkString(", ")
+    val boundsUnion = LineitemCols
+      .map(c => s"SELECT '$c' AS col_name, quantile_cont($c, ${probsSql(DefaultBins, inner = false)}) AS bs FROM lineitem")
+      .mkString(" UNION ALL ")
+    Map(
+      "q_tokenize_rank" ->
+        s"""SELECT l_orderkey, l_linenumber, $tokenCols
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      "q_quantile_bounds" ->
+        s"""WITH b AS ($boundsUnion)
+           |SELECT col_name, CAST(gs - 1 AS INTEGER) AS p_idx, round(bs[gs], 6) AS boundary
+           |FROM b, generate_series(1, ${DefaultBins + 1}) t(gs)
+           |ORDER BY col_name, p_idx""".stripMargin,
+      "q_tokenize_bucketize" ->
+        s"""WITH b AS (SELECT $boundsCtes FROM lineitem)
+           |SELECT l.l_orderkey, l.l_linenumber, $bucketizeCols
+           |FROM lineitem l CROSS JOIN b ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+      "q_token_histogram" ->
+        s"""WITH b AS (SELECT list_transform(quantile_cont(l_extendedprice, ${probsSql(DefaultBins, inner = true)}), x -> round(x, 6)) AS bs FROM lineitem),
+           |t AS (SELECT CAST(least(greatest(len(list_filter(b.bs, x -> l.l_extendedprice > x)), 0), 99) AS INTEGER) AS token
+           |      FROM lineitem l CROSS JOIN b)
+           |SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY token ORDER BY token""".stripMargin
+    )
+  }
+}
