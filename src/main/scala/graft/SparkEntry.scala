@@ -21,7 +21,12 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Tokenize.queries, Tokenize.oracleSql),
-      (Relational.queries, Relational.oracleSql)
+      (Relational.queries, Relational.oracleSql),
+      (RelationalExt.queries, RelationalExt.oracleSql),
+      (EventOps.queries, EventOps.oracleSql),
+      (TextOps.queries, TextOps.oracleSql),
+      (Dedup.queries, Dedup.oracleSql),
+      (Similarity.queries, Similarity.oracleSql)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

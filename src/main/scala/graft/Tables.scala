@@ -19,7 +19,24 @@ object Tables {
   def supplier(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "supplier")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType (µs)
+    * cannot hold; with spark.sql.legacy.parquet.nanosAsLong=true (set in
+    * Verify/Bench sessions) it reads as epoch-nanos LongType and is
+    * normalized here to µs TimestampType (integer div — the data is
+    * µs-aligned, and int64 nanos exceed double precision so no float math). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = apply(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // cast to NTZ: the rest of the star schema reads as TimestampNTZ
+        // (parquet isAdjustedToUTC=false), and tz-naive output parquet is
+        // what the DuckDB oracle produces; session tz is pinned UTC.
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 }

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over `documents` (SURVEY §2C / north star):
+  * exact, MinHash+LSH banding, LSH-candidate Jaccard verification, SimHash.
+  *
+  * The near-dup pipeline is the classic 100 TB funnel:
+  *
+  *   shingle -> minhash signature -> LSH band bucketing -> candidate pairs
+  *     -> exact Jaccard verify on candidates only
+  *
+  *  - Signatures are computed by '''explode + groupBy(doc).agg(min …)''' —
+  *    one md5 per shingle, 16 codegen'd min-aggregates, map-side partial
+  *    aggregation; the shuffle carries only (doc_id, 16 longs). (A per-row
+  *    higher-order-function formulation was 20x slower: HOFs are
+  *    CodegenFallback and would md5 every shingle 16 times.)
+  *  - LSH: 8 bands x 2 rows — P(candidate | jaccard=0.5) ~ 0.90,
+  *    P(candidate | jaccard~0) ~ 0.1%. Banding turns near-dup search into an
+  *    equi-join on (band_idx, band_hash) instead of an O(n^2) cross join.
+  *  - Jaccard verify runs ONLY on LSH candidates (a few k pairs, not the
+  *    O(n^2/sources) blocked cross join).
+  *
+  * Determinism vs the DuckDB oracle: the hash family is
+  * h_i(s) = (v1(s) + i*v2(s)) mod 2^32 with v1/v2 = 32-bit ints parsed from
+  * md5(s) hex — pure integer arithmetic, identical on both engines.
+  */
+object Dedup {
+
+  private val MinhashFuncs = 16
+  private val Bands = 8 // x2 rows per band
+  private val Mod = 4294967296L // 2^32
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Distinct word-3-gram shingles of `text`. */
+  private def shingles(c: Column): Column = {
+    val w = words(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(1))),
+      i => concat_ws("|", slice(w, i, lit(3)))))
+  }
+
+  /** Exact dedup: group identical texts, keep the smallest doc_id. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** (doc_id, shingle) exploded rows with the two 32-bit md5-derived hash
+    * components. One md5 per (doc, shingle). */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .withColumn("m", md5(col("s")))
+      .withColumn("v1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
+      .withColumn("v2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
+
+  /** MinHash signatures: sig_i = min over shingles of (v1 + i*v2) mod 2^32.
+    * Aggregation-based — map-side combine, tiny shuffle. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until MinhashFuncs).map { i =>
+      min((col("v1") + lit(i.toLong) * col("v2")) % Mod).as(s"sig$i")
+    }
+    shingleHashes(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band_idx, band_hash) — band hash = md5 of the band's sigs. */
+  private def bandRows(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+    val bandCols = (0 until Bands).map { b =>
+      md5(concat_ws("|",
+        (b * 2 until (b + 1) * 2).map(i => col(s"sig$i").cast("string")): _*)).as(s"band$b")
+    }
+    sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*))
+          .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** MinHash + LSH banding: candidate near-dup pairs = docs sharing at least
+    * one band hash; outputs (doc_a, doc_b, n_shared_bands). */
+  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandRows(spark, dir)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Verified near-dups: exact word-3-gram Jaccard >= 0.5, computed only on
+    * the LSH candidate pairs (the production funnel — never all pairs). */
+  def qDedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val cand = qDedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val j = (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb"))))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 16-bit word hash: first 4 hex chars of md5 as an integer. */
+  private def wordHash16(c: Column): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("long")
+
+  /** SimHash16 per doc + near-dup pairs at Hamming distance <= 4 within the
+    * same source block. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val exploded = d.select(col("doc_id"), col("source"),
+      explode(words(col("text"))).as("word"))
+      .withColumn("h", wordHash16(col("word")))
+    val bitVotes = (0 until 16).map { bit =>
+      sum(shiftright(col("h"), bit) % 2 * 2 - 1).as(s"v$bit")
+    }
+    val sim = exploded.groupBy("doc_id", "source").agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"), col("source"),
+        (0 until 16).map(bit => when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+    val a = sim.as("a")
+    val b = sim.as("b")
+    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 4)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
+    "q_dedup_jaccard" -> qDedupJaccard,
+    "q_dedup_simhash" -> qDedupSimhash
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val shinglesSql =
+    "list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1), i -> array_to_string(ws[i:i+2], '|')))"
+
+  /** Exact integer hex parse of md5 substring [start, start+7] (1-based). */
+  private def hex32Sql(start: Int): String =
+    (0 until 8).map { k =>
+      val mult = 1L << (4 * (7 - k))
+      s"(strpos('0123456789abcdef', m[${start + k}]) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+
+  /** Shared CTE prefix: shingles -> hashes -> signatures -> band rows. */
+  private def lshCtes: String = {
+    val sigAggs = (0 until MinhashFuncs)
+      .map(i => s"MIN((v1 + $i * v2) % $Mod) AS sig$i")
+      .mkString(", ")
+    val bandsSql = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band_idx, md5(${(b * 2 until (b + 1) * 2).map(i => s"sig$i::VARCHAR").mkString(" || '|' || ")}) AS band_hash FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM w),
+       |hs AS (SELECT doc_id, md5(s) AS m FROM sh),
+       |hv AS (SELECT doc_id, ${hex32Sql(1)} AS v1, ${hex32Sql(9)} AS v2 FROM hs),
+       |sigs AS (SELECT doc_id, $sigAggs FROM hv GROUP BY doc_id),
+       |bands AS ($bandsSql),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = {
+    val hex16 =
+      "((strpos('0123456789abcdef', m[1]) - 1) * 4096 + (strpos('0123456789abcdef', m[2]) - 1) * 256 + " +
+        "(strpos('0123456789abcdef', m[3]) - 1) * 16 + (strpos('0123456789abcdef', m[4]) - 1))"
+    val votes = (0 until 16)
+      .map(bit => s"SUM(((h // ${1L << bit}) % 2) * 2 - 1) AS v$bit")
+      .mkString(", ")
+    val simhashExpr = (0 until 16)
+      .map(bit => s"CASE WHEN v$bit > 0 THEN ${1L << bit} ELSE 0 END")
+      .mkString(" + ")
+    Map(
+      "q_dedup_exact" ->
+        """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+          |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+      "q_dedup_minhash_lsh" ->
+        s"""WITH $lshCtes
+           |SELECT doc_a, doc_b, n_shared_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+      "q_dedup_jaccard" ->
+        s"""WITH $lshCtes,
+           |sets AS (SELECT doc_id, $shinglesSql AS sh FROM w),
+           |jj AS (
+           |  SELECT c.doc_a, c.doc_b,
+           |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+           |  FROM cand c JOIN sets a ON c.doc_a = a.doc_id JOIN sets b ON c.doc_b = b.doc_id)
+           |SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+      "q_dedup_simhash" ->
+        s"""WITH e AS (
+           |  SELECT doc_id, source, md5(unnest(string_split(text, ' '))) AS m FROM documents),
+           |h AS (SELECT doc_id, source, $hex16 AS h FROM e),
+           |v AS (SELECT doc_id, source, $votes FROM h GROUP BY doc_id, source),
+           |s AS (SELECT doc_id, source, CAST($simhashExpr AS BIGINT) AS simhash FROM v)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+           |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+           |ORDER BY doc_a, doc_b""".stripMargin
+    )
+  }
+}

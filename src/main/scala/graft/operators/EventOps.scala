@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+
+import graft.Tables
+
+/** Event-stream operators, batch-first (SURVEY §2C): event-time windowed
+  * aggregation (`window(ts, …)`), JSON property extraction (`from_json`),
+  * stateful-dedup semantics (first event per key), and event-gap analysis.
+  * Each batch query has a DuckDB oracle; the same plans run under Structured
+  * Streaming with watermarks in graft.streaming (property-tested — streaming
+  * state has no SQL oracle).
+  *
+  * Scale notes: hourly aggregation shuffles only (hour, event_type) partial
+  * aggregates (map-side combine); per-user windows shuffle by user_id —
+  * the natural key partitioning for a 100 TB event log.
+  */
+object EventOps {
+
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** Tumbling event-time window aggregate: count + value sum per hour per
+    * event type. Uses the `window()` operator (Structured-Streaming-shaped);
+    * window.start == date_trunc('hour', ts) for aligned tumbling windows. */
+  def qEventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").cast(org.apache.spark.sql.types.TimestampNTZType).as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** JSON property extraction via from_json with an explicit schema
+    * (multimodal/nested column capability, SURVEY §2C). */
+  def qEventsJson(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, dir)
+      .withColumn("k", from_json(col("props"), schema).getField("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  /** Batch equivalent of streaming dropDuplicates-by-key: first event per
+    * (user_id, event_type) in event-time order. */
+  def qStreamDedupBatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Per-user inter-event gap statistics (lag window + epoch arithmetic —
+    * all integer µs, exact). */
+  def qEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts").cast("timestamp")) - col("prev_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("total_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy("user_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_hourly" -> qEventsHourly,
+    "q_events_json" -> qEventsJson,
+    "q_stream_dedup_batch" -> qStreamDedupBatch,
+    "q_event_gaps" -> qEventGaps
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_dedup_batch" ->
+      """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+        |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over `embeddings` (SURVEY §2C / north star):
+  * brute-force cosine top-k as the exact baseline, and random-hyperplane
+  * LSH bucketing as the scale path.
+  *
+  * 100 TB design:
+  *  - brute force is O(Q x N) — correct only for small query sets; the fact
+  *    side streams map-only (queries broadcast), so it scales with N but not
+  *    with Q.
+  *  - LSH bucketing is map-only per vector (8 fixed hyperplanes -> 8-bit
+  *    bucket id); near-neighbor search then probes only matching buckets —
+  *    an equi-join on bucket id instead of a cross join. The hyperplane sign
+  *    matrix is a deterministic constant (md5-derived), identical across
+  *    engines and executors, broadcast-free (folded into the plan).
+  *
+  * Determinism vs oracle: dot products accumulate left-to-right in array
+  * index order with every element cast to double first, written identically
+  * on both engines; similarity values are rounded to 6 before ranking, with
+  * vec_id tiebreaks.
+  */
+object Similarity {
+
+  val Dim = 64
+  val NPlanes = 8
+  val TopK = 5
+  val NQueries = 5
+
+  /** Deterministic ±1 hyperplane components: sign from the first hex digit
+    * of md5("plane|dim"). Constant, engine-independent, reproducible. */
+  lazy val planeSigns: Array[Array[Int]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NPlanes, Dim) { (p, d) =>
+      val h = mdig.digest(s"$p|$d".getBytes("UTF-8"))
+      val firstHex = (h(0) >> 4) & 0xf
+      if (firstHex < 8) 1 else -1
+    }
+  }
+
+  /** Left-to-right double dot product of two float arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-k: queries = vec_id < NQueries, ranked among all
+    * other vectors. Query side is tiny and broadcast; fact side streams. */
+  def qCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val sim = round(
+      dot(col("q_emb"), col("embedding")) / (norm(col("q_emb")) * norm(col("embedding"))), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select("query_id", "vec_id", "sim", "rn")
+      .orderBy("query_id", "rn")
+  }
+
+  /** Signed projection of `embedding` onto plane `p`: fixed-order sum of
+    * ±embedding[d] terms (identical fp order on both engines). */
+  private def projection(p: Int): Column =
+    (0 until Dim).map { d =>
+      val e = element_at(col("embedding"), d + 1).cast("double")
+      if (planeSigns(p)(d) > 0) e else -e
+    }.reduce(_ + _)
+
+  /** LSH bucket assignment + bucket occupancy: map-only 8-bit bucket id per
+    * vector; the bucket histogram shows the partition-pruning structure a
+    * 100 TB ANN probe would use. */
+  def qAnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (0 until NPlanes)
+      .map(p => when(projection(p) > 0, lit(1 << p)).otherwise(0))
+      .reduce(_ + _)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), bucket.as("bucket"))
+    val w = Window.partitionBy("bucket")
+    e.withColumn("bucket_n", count(lit(1)).over(w).cast("long"))
+      .orderBy("vec_id")
+  }
+
+  /** Bucketed ANN probe: cosine top-3 within the query vector's own LSH
+    * bucket (candidate pruning via equi-join on bucket id — the scale path;
+    * recall vs brute force is property-tested in ScalaTest). */
+  def qAnnLshProbe(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (0 until NPlanes)
+      .map(p => when(projection(p) > 0, lit(1 << p)).otherwise(0))
+      .reduce(_ + _)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val sim = round(
+      dot(col("q_emb"), col("embedding")) / (norm(col("q_emb")) * norm(col("embedding"))), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("query_id", "vec_id", "sim", "rn")
+      .orderBy("query_id", "rn")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cosine_topk" -> qCosineTopk,
+    "q_ann_lsh_buckets" -> qAnnLshBuckets,
+    "q_ann_lsh_probe" -> qAnnLshProbe
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Fixed-order SQL dot product a·b (same fp order as `dot`). */
+  private def dotSql(a: String, b: String): String =
+    (0 until Dim).map(d => s"CAST($a[${d + 1}] AS DOUBLE) * CAST($b[${d + 1}] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+
+  private def projSql(p: Int): String =
+    (0 until Dim).map { d =>
+      val t = s"CAST(embedding[${d + 1}] AS DOUBLE)"
+      if (planeSigns(p)(d) > 0) t else s"(-$t)"
+    }.mkString("(", " + ", ")")
+
+  private def bucketSql: String =
+    (0 until NPlanes).map(p => s"CASE WHEN ${projSql(p)} > 0 THEN ${1 << p} ELSE 0 END")
+      .mkString(" + ")
+
+  def oracleSql: Map[String, String] = {
+    val simSql =
+      s"round(${dotSql("q.q_emb", "e.embedding")} / (sqrt(${dotSql("q.q_emb", "q.q_emb")}) * sqrt(${dotSql("e.embedding", "e.embedding")})), 6)"
+    Map(
+      "q_cosine_topk" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQueries),
+           |s AS (
+           |  SELECT q.query_id, e.vec_id, $simSql AS sim
+           |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC NULLS LAST, vec_id) AS rn FROM s)
+           |SELECT query_id, vec_id, sim, CAST(rn AS INTEGER) AS rn FROM r
+           |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
+      "q_ann_lsh_buckets" ->
+        s"""WITH b AS (SELECT vec_id, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings)
+           |SELECT vec_id, bucket, CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_n
+           |FROM b ORDER BY vec_id""".stripMargin,
+      "q_ann_lsh_probe" ->
+        s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < $NQueries),
+           |s AS (
+           |  SELECT q.query_id, e.vec_id, $simSql AS sim
+           |  FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC NULLS LAST, vec_id) AS rn FROM s)
+           |SELECT query_id, vec_id, sim, CAST(rn AS INTEGER) AS rn FROM r
+           |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over `documents` (SURVEY §2C / north star):
+  * tokenization + word frequency, per-document statistics, quality scoring,
+  * heuristic language ID, regex ("BPE-ish") token counting, and MinHash-style
+  * document fingerprinting.
+  *
+  * All are single-pass, map-only or one-shuffle aggregations — the shapes
+  * that scale linearly over a 100 TB document corpus (word-frequency is the
+  * only global shuffle, and it partial-aggregates map-side).
+  *
+  * Cross-engine determinism: counting by `replace`-difference and md5-based
+  * fingerprints behave identically in Spark and DuckDB; double arithmetic is
+  * written in the same operation order on both sides.
+  */
+object TextOps {
+
+  /** words = split on single space (the documents corpus is space-separated
+    * word soup, FIXTURES.md). */
+  private def words(c: Column): Column = split(c, " ")
+
+  private def dlen(c: Column): Column = length(c).cast("double")
+
+  /** occurrences of `pat` in `c` via replace-difference (identical semantics
+    * in Spark and DuckDB, no regex dialect risk). */
+  private def countOcc(c: Column, pat: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(pat), ""))) / pat.length).cast("int")
+
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+      col("doc_id"),
+      size(words(col("text"))).as("n_tokens"),
+      size(array_distinct(words(col("text")))).as("n_distinct"),
+      round(dlen(regexp_replace(col("text"), " ", "")) / size(words(col("text"))), 6).as("avg_word_len"),
+      length(col("text")).as("text_len"))
+      .orderBy("doc_id")
+  }
+
+  def qWordFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  def qLangBreakdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  /** Heuristic n-gram language ID: score fixed character-bigram marker sets,
+    * argmax with deterministic tiebreak. (A capability demo — the corpus
+    * vocabulary is synthetic; profiles are constants, the operator shape is
+    * what a real lang-ID uses: per-doc map over marker counts.) */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val sEn = (countOcc(col("text"), "th") + countOcc(col("text"), "er")).as("score_en")
+    val sDe = (countOcc(col("text"), "sc") + countOcc(col("text"), "ta")).as("score_de")
+    val sEs = (countOcc(col("text"), "or") + countOcc(col("text"), "ba")).as("score_es")
+    d.select(col("doc_id"), col("lang"), sEn, sDe, sEs)
+      .withColumn("pred_lang",
+        when(col("score_en") >= col("score_de") && col("score_en") >= col("score_es"), "en")
+          .when(col("score_de") >= col("score_es"), "de")
+          .otherwise("es"))
+      .orderBy("doc_id")
+  }
+
+  /** Composite quality score: token count, vowel ratio, digit ratio —
+    * double arithmetic in fixed order, rounded to 6. */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nTok = size(words(col("text"))).cast("double")
+    val vowelRatio = dlen(col("text")).minus(dlen(regexp_replace(col("text"), "[aeiou]", ""))) / dlen(col("text"))
+    val digitRatio = dlen(col("text")).minus(dlen(regexp_replace(col("text"), "[0-9]", ""))) / dlen(col("text"))
+    d.select(
+      col("doc_id"),
+      round(least(lit(1.0), nTok / 100.0) * 0.5 + vowelRatio * 0.3 + (lit(1.0) - digitRatio) * 0.2, 6)
+        .as("quality"),
+      round(vowelRatio, 6).as("vowel_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE-ish regex token counting: runs of letters | runs of digits | single
+    * other non-space char (simple ASCII classes — same in Java regex and
+    * RE2). */
+  def qTokenCountRegex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+          .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: min-md5 over word 5-gram shingles (MinHash with
+    * one hash function — a deterministic rolling-window fingerprint). */
+  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val shingles = transform(
+      sequence(lit(1), greatest(size(w) - 4, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(5))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), array_min(transform(shingles, s => md5(s))).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> qTextStats,
+    "q_word_freq" -> qWordFreq,
+    "q_lang_breakdown" -> qLangBreakdown,
+    "q_lang_id" -> qLangId,
+    "q_quality_score" -> qQualityScore,
+    "q_token_count_regex" -> qTokenCountRegex,
+    "q_doc_fingerprint" -> qDocFingerprint
+  )
+
+  // SQL fragment mirrors of the helpers above
+  private def sqlCountOcc(expr: String, pat: String): String =
+    s"CAST((length($expr) - length(replace($expr, '$pat', ''))) / ${pat.length} AS INTEGER)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_word_len,
+        |  CAST(length(text) AS INTEGER) AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_word_freq" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC NULLS LAST, word LIMIT 20""".stripMargin,
+    "q_lang_breakdown" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_lang_id" -> {
+      val sEn = s"${sqlCountOcc("text", "th")} + ${sqlCountOcc("text", "er")}"
+      val sDe = s"${sqlCountOcc("text", "sc")} + ${sqlCountOcc("text", "ta")}"
+      val sEs = s"${sqlCountOcc("text", "or")} + ${sqlCountOcc("text", "ba")}"
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  CAST($sEn AS INTEGER) AS score_en, CAST($sDe AS INTEGER) AS score_de, CAST($sEs AS INTEGER) AS score_es
+         |FROM documents)
+         |SELECT doc_id, lang, score_en, score_de, score_es,
+         |  CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+         |       WHEN score_de >= score_es THEN 'de' ELSE 'es' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "q_quality_score" ->
+      """WITH q AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |  (CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)) / CAST(length(text) AS DOUBLE) AS vowel_ratio,
+        |  (CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)) / CAST(length(text) AS DOUBLE) AS digit_ratio
+        |FROM documents)
+        |SELECT doc_id,
+        |  round(least(1.0, n_tok / 100.0) * 0.5 + vowel_ratio * 0.3 + (1.0 - digit_ratio) * 0.2, 6) AS quality,
+        |  round(vowel_ratio, 6) AS vowel_ratio
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "q_token_count_regex" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_doc_fingerprint" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id,
+        |  list_aggregate(list_transform(range(1, greatest(len(ws) - 4, 1) + 1),
+        |    i -> md5(array_to_string(ws[i:i+4], ' '))), 'min') AS fingerprint
+        |FROM w ORDER BY doc_id""".stripMargin
+  )
+}
