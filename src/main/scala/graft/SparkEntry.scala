@@ -26,7 +26,8 @@ object SparkEntry {
       (EventOps.queries, EventOps.oracleSql),
       (TextOps.queries, TextOps.oracleSql),
       (Dedup.queries, Dedup.oracleSql),
-      (Similarity.queries, Similarity.oracleSql)
+      (Similarity.queries, Similarity.oracleSql),
+      (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracleSql)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY §2C): the batch EventOps plans
+  * re-expressed as streams with event-time watermarks, plus stateful
+  * operators (session windows, custom per-key state).
+  *
+  * These run the SAME logical aggregations as the batch/oracle-checked
+  * EventOps queries — correctness of the streaming path is established by
+  * equivalence tests against the batch results (MemoryStream + single
+  * processAllAvailable batch; streaming state has no SQL oracle).
+  *
+  * Scale: watermarks bound state; aggregations shuffle by
+  * (window, event_type) / user_id exactly like their batch twins; state
+  * store is per-key and evicted at watermark — the standard unbounded-log
+  * design.
+  */
+object StreamOps {
+
+  /** Tumbling hourly aggregate with a 2h watermark (append mode capable). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming exact dedup on (user_id, event_type); watermark bounds the
+    * dedup state exactly like batch first-event-per-key. */
+  def dedupByKey(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates(Seq("user_id", "event_type"))
+
+  /** Event-time session windows per user: 30-minute inactivity gap. */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom per-key state via mapGroupsWithState: running per-user totals
+    * (the `KeyValueGroupedDataset` escape hatch for state Spark's built-in
+    * operators can't express). */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserStats(uid, n, v)
+          state.update(next)
+          next
+      }
+  }
+}

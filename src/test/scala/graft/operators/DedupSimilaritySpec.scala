@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("exact dedup keeps one row per distinct text") {
+    val distinctTexts = graft.Tables.documents(spark, sf).select("text").distinct().count()
+    assert(Dedup.qDedupExact(spark, sf).count() == distinctTexts)
+  }
+
+  test("minhash signatures: identical texts get identical signatures") {
+    val sigs = Dedup.minhashSignatures(spark, sf)
+    assert(sigs.count() == graft.Tables.documents(spark, sf).count())
+    // signature values are 32-bit non-negative
+    val row = sigs.agg(min("sig0"), max("sig0"), min("sig15"), max("sig15")).head()
+    assert(row.getLong(0) >= 0L && row.getLong(1) < (1L << 32))
+    assert(row.getLong(2) >= 0L && row.getLong(3) < (1L << 32))
+  }
+
+  test("LSH catches the highest-jaccard near-dup pair") {
+    // brute-force the best same-source pair at this scale, then require the
+    // LSH candidate set to contain it (P(miss | j~0.97) ~ 0)
+    val d = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        array_distinct(expr(
+          "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), i -> concat_ws('|', slice(split(text, ' '), i, 3)))"))
+          .as("sh"))
+    val a = d.as("a"); val b = d.as("b")
+    val top = a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .orderBy(col("j").desc).limit(1).head()
+    assume(top.getDouble(2) > 0.8, "corpus has a strong near-dup pair")
+    val cands = Dedup.qDedupMinhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((top.getLong(0), top.getLong(1))))
+  }
+
+  test("jaccard verification only returns pairs >= 0.5") {
+    val rows = Dedup.qDedupJaccard(spark, sf).collect()
+    assert(rows.forall(_.getDouble(2) >= 0.5))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("simhash hamming distance is 0 for identical word multisets") {
+    val pairs = Dedup.qDedupSimhash(spark, sf).collect()
+    assert(pairs.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 4))
+  }
+
+  test("cosine top-k: sims in [-1,1], ranks 1..k per query") {
+    val rows = Similarity.qCosineTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(2) >= -1.0000001 && r.getDouble(2) <= 1.0000001))
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == Similarity.NQueries)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to Similarity.TopK))
+      // descending similarity in rank order
+      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("LSH probe results are a subset of brute-force ranking universe") {
+    val brute = Similarity.qCosineTopk(spark, sf)
+      .select("query_id", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val probe = Similarity.qAnnLshProbe(spark, sf).collect()
+    // any probe hit that also appears in the brute-force top-k must carry
+    // the identical similarity value (same fp formula on both paths)
+    probe.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(math.abs(s - r.getDouble(2)) < 1e-12)
+      }
+    }
+    // buckets are 8-bit
+    val buckets = Similarity.qAnnLshBuckets(spark, sf).select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    assert(buckets.forall(b => b >= 0 && b < 256))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.BucketizeExpr
+
+class TokenizeSpec extends SparkSpec {
+  import Tokenize._
+
+  private lazy val randDf = {
+    val cols = (0 until 3).map(i => randn(42 + i).as(s"col_$i"))
+    spark.range(20000).select(col("id") +: cols: _*)
+  }
+
+  test("bucketize tokens are within [0, bins-1]") {
+    val df = tokenizeByBounds(randDf, Seq("col_0", "col_1"), Seq("id"))
+    val row = df.agg(
+      min(col("col_0_token")), max(col("col_0_token")),
+      min(col("col_1_token")), max(col("col_1_token"))).head()
+    assert(row.getInt(0) >= 0 && row.getInt(1) <= 99)
+    assert(row.getInt(2) >= 0 && row.getInt(3) <= 99)
+  }
+
+  test("bucketize is monotone in the value") {
+    val df = tokenizeByBounds(randDf, Seq("col_0"), Seq("id"))
+      .join(randDf.select("id", "col_0"), "id")
+    val pairs = df.orderBy("col_0").select("col_0_token").collect().map(_.getInt(0))
+    assert(pairs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
+  test("near-uniform bin mass on continuous data") {
+    val df = tokenizeByBounds(randDf, Seq("col_0"), Seq("id"))
+    val counts = df.groupBy("col_0_token").count().collect().map(_.getLong(1))
+    val avg = 20000.0 / 100
+    assert(counts.length == 100)
+    assert(counts.max <= 2 * avg, s"max bin ${counts.max} vs avg $avg")
+    assert(counts.min >= avg / 2, s"min bin ${counts.min} vs avg $avg")
+  }
+
+  test("constant column tokenizes to bin 0 (duplicate-edge collapse)") {
+    val df = spark.range(1000).select(col("id"), lit(7.5).as("c"))
+    val toks = tokenizeByBounds(df, Seq("c"), Seq("id"))
+      .select("c_token").distinct().collect().map(_.getInt(0))
+    assert(toks.toSeq == Seq(0))
+  }
+
+  test("null tokenizes to null; NaN to bin 0") {
+    val df = spark.range(100).select(col("id"),
+      when(col("id") === 0, lit(Double.NaN))
+        .when(col("id") === 1, lit(null).cast("double"))
+        .otherwise(col("id").cast("double")).as("c"))
+    val bounds = quantileBoundsExact(df.filter(col("id") >= 2), Seq("c"), innerProbs(100))
+    val toks = df.select(col("id"), discretize(col("c"), bounds("c")).as("t"))
+      .filter(col("id") <= 1).orderBy("id").collect()
+    assert(toks(0).getInt(1) == 0) // NaN
+    assert(toks(1).isNullAt(1)) // null
+  }
+
+  test("rank and bucketize tokenizers agree on continuous data (>=99%)") {
+    val r = tokenizeRank(randDf, Seq("col_0"), Seq("id")).withColumnRenamed("col_0_token", "rank_t")
+    val b = tokenizeByBounds(randDf, Seq("col_0"), Seq("id")).withColumnRenamed("col_0_token", "bucket_t")
+    val agree = r.join(b, "id").filter(col("rank_t") === col("bucket_t")).count()
+    assert(agree >= 19800, s"agreement $agree / 20000")
+  }
+
+  test("exact sort-based quantiles match builtin percentile") {
+    val probs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val mine = quantileBoundsExact(randDf, Seq("col_0"), probs)("col_0")
+    val builtin = randDf.agg(percentile(col("col_0"), typedlit(probs))).head().getSeq[Double](0)
+    mine.zip(builtin).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, s"$a vs $b") }
+  }
+
+  test("BucketizeExpr.search = strict lower bound, clamped") {
+    val bounds = Array(1.0, 2.0, 2.0, 3.0)
+    assert(BucketizeExpr.search(bounds, 0.5, 100) == 0)
+    assert(BucketizeExpr.search(bounds, 1.0, 100) == 0) // equal -> lower bin
+    assert(BucketizeExpr.search(bounds, 1.5, 100) == 1)
+    assert(BucketizeExpr.search(bounds, 2.0, 100) == 1) // duplicate edge, equal -> lower
+    assert(BucketizeExpr.search(bounds, 2.5, 100) == 3)
+    assert(BucketizeExpr.search(bounds, 9.9, 3) == 2) // clamp to bins-1
+  }
+
+  test("BucketizeExpr codegen agrees with interpreted eval") {
+    val bounds = (1 until 100).map(_ / 100.0)
+    val df = spark.range(5000).select((col("id") / 5000.0).as("v"))
+    val viaExpr = df.select(BucketizeExpr.bucketize(col("v"), bounds, 100).as("t"))
+      .agg(sum("t")).head().getLong(0)
+    val viaScala = (0 until 5000).map(i => BucketizeExpr.search(bounds.toArray, i / 5000.0, 100).toLong).sum
+    assert(viaExpr == viaScala)
+  }
+}

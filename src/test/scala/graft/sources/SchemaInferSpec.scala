@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class SchemaInferSpec extends SparkSpec {
+
+  test("csv inferSchema recovers long/double/string/timestamp columns") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "t.csv")
+    Files.writeString(f.toPath,
+      """id,price,name,when
+        |1,1.5,alpha,2024-01-01T00:00:00
+        |2,2.25,beta,2024-01-02T12:30:00
+        |""".stripMargin)
+    val schema = SchemaInfer.inferCsv(spark, f.getAbsolutePath)
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("id") == IntegerType || types("id") == LongType)
+    assert(types("price") == DoubleType)
+    assert(types("name") == StringType)
+    assert(types("when").isInstanceOf[TimestampType.type] ||
+      types("when").isInstanceOf[TimestampNTZType.type])
+  }
+
+  test("json inference recovers nested structure") {
+    val dir = Files.createTempDirectory("graft_json").toFile
+    val f = new java.io.File(dir, "t.json")
+    Files.writeString(f.toPath,
+      """{"a": 1, "b": {"c": "x", "d": 2.5}}
+        |{"a": 2, "b": {"c": "y", "d": 3.5}}
+        |""".stripMargin)
+    val schema = SchemaInfer.inferJson(spark, f.getAbsolutePath)
+    assert(schema("a").dataType == LongType)
+    val b = schema("b").dataType.asInstanceOf[StructType]
+    assert(b("c").dataType == StringType)
+    assert(b("d").dataType == DoubleType)
+  }
+
+  test("tightest-type inference over string columns") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", "1.5", "true", "2024-01-01 00:00:00", "abc", "1"),
+      ("2", "2", "false", "2024-06-30 10:00:00", "1x", "2.5"),
+      (null, "3.25", null, null, "z", "xyz"))
+      .toDF("longs", "doubles", "bools", "tss", "strs", "mixed")
+    val inferred = SchemaInfer.inferFromStrings(df, df.columns.toSeq)
+    assert(inferred("longs") == LongType)
+    assert(inferred("doubles") == DoubleType)
+    assert(inferred("bools") == BooleanType)
+    assert(inferred("tss") == TimestampNTZType)
+    assert(inferred("strs") == StringType)
+    assert(inferred("mixed") == StringType) // "xyz" defeats numeric
+  }
+
+  test("applyInferred casts in place") {
+    import spark.implicits._
+    val df = Seq(("1", "x"), ("2", "y")).toDF("n", "s")
+    val out = SchemaInfer.applyInferred(df, SchemaInfer.inferFromStrings(df, Seq("n", "s")))
+    assert(out.schema("n").dataType == LongType)
+    assert(out.schema("s").dataType == StringType)
+    assert(out.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == 3L)
+  }
+}

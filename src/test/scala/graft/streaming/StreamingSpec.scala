@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.StreamOps.UserEvent
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val fixture = Seq(
+    UserEvent(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+    UserEvent(2, ts("2024-01-01 00:15:00"), 1, "click", 2.0),
+    UserEvent(3, ts("2024-01-01 00:55:00"), 2, "view", 3.0),
+    UserEvent(4, ts("2024-01-01 01:05:00"), 1, "click", 4.0),
+    UserEvent(5, ts("2024-01-01 01:06:00"), 2, "view", 5.0),
+    UserEvent(6, ts("2024-01-01 03:00:00"), 2, "view", 6.0))
+
+  test("streaming hourly agg equals the batch plan on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    mem.addData(fixture: _*)
+    val q = StreamOps.hourlyAgg(mem.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hourly")
+      .select("hour", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = fixture.toDF()
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming dedup drops repeated (user_id, event_type) keys") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    mem.addData(fixture: _*)
+    val q = StreamOps.dedupByKey(mem.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("dedup").select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.length == out.distinct.length)
+    assert(out.toSet == Set((1L, "click"), (2L, "view")))
+  }
+
+  test("session windows split on the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    mem.addData(fixture: _*)
+    val q = StreamOps.sessionize(mem.toDF())
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val sessions = spark.table("sessions").collect()
+    // user 2: events at 00:55, 01:06 (11min gap -> same session), 03:00 (new)
+    val u2 = sessions.filter(_.getLong(2) == 2L)
+    assert(u2.length == 2, u2.mkString(";"))
+    assert(u2.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("mapGroupsWithState accumulates per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.runningUserStats(mem.toDS())
+      .writeStream.format("memory").queryName("stats").outputMode("update").start()
+    try {
+      mem.addData(fixture.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(fixture.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update per user wins
+    val last = spark.table("stats").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    assert(last(1L) == ((3L, 7.0)))
+    assert(last(2L) == ((3L, 14.0)))
+  }
+}
