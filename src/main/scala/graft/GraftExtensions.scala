@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.functions.BucketizeExpr
+
+/** SparkSessionExtensions entry point: registers graft's custom expressions
+  * for the SQL surface. Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * SQL: `graft_bucketize(value, array(0.1, 0.5, ...), bins)` — boundaries
+  * must be a foldable double-array literal (they are table statistics, not
+  * per-row data; the same constraint torch.bucketize has on its boundary
+  * tensor, /root/reference/etl_benchmark.py:76).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("graft_bucketize"),
+      new ExpressionInfo(classOf[BucketizeExpr].getName, "graft_bucketize"),
+      (exprs: Seq[Expression]) => GraftExtensions.buildBucketize(exprs)))
+  }
+}
+
+object GraftExtensions {
+  private[graft] def buildBucketize(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      "graft_bucketize(value, boundsArrayLiteral, binsLiteral) expects 3 arguments")
+    val bounds = exprs(1) match {
+      case f if f.foldable && f.dataType.isInstanceOf[ArrayType] =>
+        // SQL numeric array literals parse as decimal arrays under ANSI —
+        // cast to double[] before folding
+        org.apache.spark.sql.catalyst.expressions.Cast(f, ArrayType(DoubleType))
+          .eval().asInstanceOf[ArrayData].toDoubleArray().toSeq
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_bucketize bounds must be a foldable double array, got $other")
+    }
+    val bins = exprs(2) match {
+      case Literal(v: Int, _) => v
+      case f if f.foldable => f.eval().asInstanceOf[Number].intValue()
+      case other => throw new IllegalArgumentException(s"bins must be a literal, got $other")
+    }
+    BucketizeExpr(
+      org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, DoubleType), bounds, bins)
+  }
+}

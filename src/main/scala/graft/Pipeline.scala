@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Tokenize
+
+/** End-to-end reference-parity pipeline: the exact stage sequence of
+  * /root/reference/etl_benchmark.py re-expressed Spark-first.
+  *
+  *   create_dummy_data (O1, :14-20) -> idempotent parquet write (O2, :15)
+  *   -> scan (O3, :47) -> per-column quantile boundaries (O5, :74)
+  *   -> bucketize-and-clamp every value (O6/O7, :76-82) -> token sink
+  *
+  * plus the reference's stage-timed report (O16, :87-91). Differences by
+  * design (SURVEY §2A fine print): float64 end-to-end (no lossy float32
+  * downcast), explicit null/NaN policy, and the per-column host loop
+  * (etl_benchmark.py:70) becomes ONE fused select — Catalyst compiles all
+  * column pipelines into a single whole-stage-codegen pass.
+  */
+object Pipeline {
+
+  /** O1: wide i.i.d. standard-normal table, `col_0..col_{cols-1}`.
+    * Deterministic per seed; generated distributed (spark.range). */
+  def syntheticTable(spark: SparkSession, rows: Long, cols: Int, seed: Long = 42): DataFrame =
+    spark.range(rows).select(
+      (0 until cols).map(i => randn(seed + i).as(s"col_$i")): _*)
+
+  /** O2/O4: write-once parquet (skip if the path already has data). */
+  def writeIgnore(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Ignore).parquet(path)
+
+  /** Full pipeline with per-stage wall-clock timings (O16). Returns
+    * (tokenized row count, stage timings in seconds). */
+  def run(spark: SparkSession, workDir: String, rows: Long = 1000000, cols: Int = 8,
+          bins: Int = Tokenize.DefaultBins, approx: Boolean = false): (Long, Map[String, Double]) = {
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def stage[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      timings(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
+    val dataPath = s"$workDir/massive_data.parquet"
+    val tokenPath = s"$workDir/tokens.parquet"
+    stage("generate") {
+      writeIgnore(syntheticTable(spark, rows, cols), dataPath)
+    }
+    val df = stage("scan") {
+      val d = spark.read.parquet(dataPath)
+      d.count() // materialize the scan for honest stage timing
+      d
+    }
+    val tokenCols = df.columns.toSeq
+    val bounds = stage("boundaries") {
+      if (approx) Tokenize.quantileBoundsApprox(df, tokenCols, Tokenize.innerProbs(bins))
+      else Tokenize.quantileBoundsExact(df, tokenCols, Tokenize.innerProbs(bins))
+    }
+    val n = stage("tokenize+sink") {
+      val tokens = tokenCols.map(c => Tokenize.discretize(col(c), bounds(c), bins).as(s"${c}_token"))
+      df.select(tokens: _*).write.mode(SaveMode.Overwrite).parquet(tokenPath)
+      spark.read.parquet(tokenPath).count()
+    }
+    (n, timings.toMap)
+  }
+}

@@ -23,6 +23,7 @@ object SparkEntry {
       (Tokenize.queries, Tokenize.oracleSql),
       (Relational.queries, Relational.oracleSql),
       (RelationalExt.queries, RelationalExt.oracleSql),
+      (Relational3.queries, Relational3.oracleSql),
       (EventOps.queries, EventOps.oracleSql),
       (TextOps.queries, TextOps.oracleSql),
       (Dedup.queries, Dedup.oracleSql),

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational breadth, part 3: as-of join, range (theta) join, pivot,
+  * statistical aggregates, grouping sets, arg-min/max, and the approximate
+  * sketch family (HLL distinct, GK quantiles).
+  *
+  * Scale notes:
+  *  - as-of join: union + running-max window over (user, time) — one shuffle
+  *    by user_id, no point lookups; the standard distributed as-of pattern.
+  *  - range join: the band table is tiny and broadcast (nested-loop against
+  *    a broadcast side — the right plan; an equi-join can't express theta).
+  *  - stats: variance/corr from exact decimal power sums (sum x, sum x²,
+  *    sum xy) then one deterministic double formula — identical to the
+  *    oracle bit-for-bit, unlike streaming Welford implementations that
+  *    differ across engines in final ulps.
+  *  - approx sketches: HLL / Greenwald-Khanna are engine-specific — no SQL
+  *    oracle; accuracy is property-tested against exact results instead.
+  */
+object Relational3 {
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** As-of join: for each purchase event, the most recent prior-or-equal
+    * click by the same user. Union + running max(struct(ts, id)) window. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click",
+        max(when(col("event_type") === "click", struct(col("ts_us"), col("event_id")))).over(w))
+      .filter(col("event_type") === "purchase" && col("last_click").isNotNull)
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_ts_us"),
+        col("last_click.ts_us").as("click_ts_us"),
+        col("last_click.event_id").as("click_id"),
+        (col("ts_us") - col("last_click.ts_us")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  /** Range (theta) join: lineitem prices against a broadcast band table. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(11).select(
+      col("id").cast("int").as("band"),
+      (col("id") * 10000.0).as("lo"),
+      ((col("id") + 1) * 10000.0).as("hi"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("band")
+  }
+
+  /** Pivot: order counts + price sums per status x priority. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .withColumnsRenamed(Map(
+        "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+        "4-NOT SPECIFIED" -> "unspecified", "5-LOW" -> "low"))
+      .orderBy("o_orderstatus")
+
+  /** Statistical aggregates from exact decimal power sums: variance, stddev,
+    * correlation, covariance — deterministic double formulas. */
+  def qStatsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val q = col("l_quantity")
+    val p = col("l_extendedprice")
+    li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(q).as("sq"), dsum(q * q).as("sqq"),
+        dsum(p).as("sp"), dsum(p * p).as("spp"),
+        dsum(q * p).as("sqp"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        round((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1), 6).as("var_qty"),
+        round(sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)), 6).as("stddev_qty"),
+        round((col("sqp") - col("sq") * col("sp") / col("n")) / (col("n") - 1), 6).as("covar_qp"),
+        round(((col("sqp") - col("sq") * col("sp") / col("n")) / (col("n") - 1)) /
+          (sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)) *
+            sqrt((col("spp") - col("sp") * col("sp") / col("n")) / (col("n") - 1))), 6).as("corr_qp"))
+      .orderBy("l_returnflag")
+  }
+
+  /** GROUPING SETS via the SQL surface (DataFrame API only exposes
+    * rollup/cube; arbitrary sets are a SQL-level capability). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       count(1) AS n
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** arg-max/arg-min with a deterministic composite key folded into one
+    * double (price*1e9 + orderkey: price steps of 0.01 -> 1e7 gaps, far
+    * above any orderkey, and still exact under 2^53). */
+  def qArgMax(spark: SparkSession, dir: String): DataFrame = {
+    val key = col("o_totalprice") * 1000000000.0 + col("o_orderkey")
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        max_by(col("o_orderkey"), key).as("top_order"),
+        min_by(col("o_orderkey"), key).as("bottom_order"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Approximate sketches (100 TB variants of exact distinct/quantiles):
+    * rows-only — HLL/GK internals are engine-specific; ApproxSpec bounds
+    * their error against the exact queries. */
+  def qApproxSketches(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"))
+      .orderBy("l_returnflag")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> qAsofJoin,
+    "q_range_join" -> qRangeJoin,
+    "q_pivot" -> qPivot,
+    "q_stats_agg" -> qStatsAgg,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_argmax" -> qArgMax,
+    "q_approx_sketches" -> qApproxSketches
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |m AS (
+        |  SELECT *,
+        |    MAX(CASE WHEN event_type = 'click' THEN [ts_us, event_id] END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+        |  FROM ev)
+        |SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+        |  last_click[1] AS click_ts_us, last_click[2] AS click_id,
+        |  ts_us - last_click[1] AS gap_us
+        |FROM m WHERE event_type = 'purchase' AND last_click IS NOT NULL
+        |ORDER BY purchase_id""".stripMargin,
+    "q_range_join" ->
+      """WITH bands AS (SELECT CAST(i AS INTEGER) AS band, i * 10000.0 AS lo, (i + 1) * 10000.0 AS hi
+        |  FROM generate_series(0, 10) t(i))
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+        |  CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+        |  CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+        |  CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS unspecified,
+        |  CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_stats_agg" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS spp,
+        |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sqp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((sqq - sq * sq / n) / (n - 1), 6) AS var_qty,
+        |  round(sqrt((sqq - sq * sq / n) / (n - 1)), 6) AS stddev_qty,
+        |  round((sqp - sq * sp / n) / (n - 1), 6) AS covar_qp,
+        |  round(((sqp - sq * sp / n) / (n - 1)) /
+        |    (sqrt((sqq - sq * sq / n) / (n - 1)) * sqrt((spp - sp * sp / n) / (n - 1))), 6) AS corr_qp
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       CAST(count(1) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "q_argmax" ->
+      """SELECT o_orderstatus,
+        |  CAST(arg_max(o_orderkey, o_totalprice * 1000000000.0 + o_orderkey) AS BIGINT) AS top_order,
+        |  CAST(arg_min(o_orderkey, o_totalprice * 1000000000.0 + o_orderkey) AS BIGINT) AS bottom_order,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    // q_approx_sketches: intentionally no oracle (engine-specific sketches);
+    // rows-only check + ApproxSpec error bounds.
+  )
+}

@@ -11,14 +11,14 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
-    assert(rowsOnly == Set("q_multimodal_features"), s"unexpected rows-only: $rowsOnly")
+    assert(rowsOnly == Set("q_multimodal_features", "q_approx_sketches"), s"unexpected rows-only: $rowsOnly")
   }
 
   test("query names are unique across modules (no silent map overwrites)") {
     val mods: Seq[Map[String, _]] = Seq(
       operators.Tokenize.queries, operators.Relational.queries,
       operators.RelationalExt.queries, operators.EventOps.queries,
-      operators.TextOps.queries, operators.Dedup.queries,
+      operators.Relational3.queries, operators.TextOps.queries, operators.Dedup.queries,
       operators.Similarity.queries, multimodal.Multimodal.queries)
     val total = mods.map(_.size).sum
     assert(SparkEntry.queries.size == total, "duplicate query name across modules")

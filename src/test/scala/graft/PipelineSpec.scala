@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  test("reference-parity pipeline: generate -> bounds -> tokenize -> sink") {
+    val dir = Files.createTempDirectory("graft_pipeline").toString
+    val (n, timings) = Pipeline.run(spark, dir, rows = 50000, cols = 4)
+    assert(n == 50000)
+    assert(timings.keySet == Set("generate", "scan", "boundaries", "tokenize+sink"))
+    val tokens = spark.read.parquet(s"$dir/tokens.parquet")
+    assert(tokens.columns.toSeq == (0 until 4).map(i => s"col_${i}_token"))
+    val mm = tokens.agg(
+      min(col("col_0_token")), max(col("col_0_token"))).head()
+    assert(mm.getInt(0) == 0 && mm.getInt(1) == 99)
+    // near-uniform mass on continuous data
+    val counts = tokens.groupBy("col_0_token").count().collect().map(_.getLong(1))
+    assert(counts.length == 100 && counts.max < 2 * 500 && counts.min > 250)
+  }
+
+  test("idempotent write guard (O2): second generate is a no-op") {
+    val dir = Files.createTempDirectory("graft_ignore").toString
+    Pipeline.writeIgnore(Pipeline.syntheticTable(spark, 100, 2, seed = 1), s"$dir/d.parquet")
+    Pipeline.writeIgnore(Pipeline.syntheticTable(spark, 999, 2, seed = 2), s"$dir/d.parquet")
+    assert(spark.read.parquet(s"$dir/d.parquet").count() == 100)
+  }
+
+  test("graft_bucketize is callable from SQL via extensions") {
+    // inject into the existing session's registry (same builder path as
+    // spark.sql.extensions would take)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bucketize", exprs => GraftExtensions.buildBucketize(exprs), "built-in")
+    val out = spark.sql(
+      "SELECT graft_bucketize(v, array(1.0, 2.0, 3.0), 100) AS t FROM VALUES (0.5), (2.0), (9.0) AS d(v)")
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(0, 1, 3))
+  }
+}
