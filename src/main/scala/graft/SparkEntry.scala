@@ -24,6 +24,7 @@ object SparkEntry {
       (Relational.queries, Relational.oracleSql),
       (RelationalExt.queries, RelationalExt.oracleSql),
       (Relational3.queries, Relational3.oracleSql),
+      (TypedOps.queries, TypedOps.oracleSql),
       (EventOps.queries, EventOps.oracleSql),
       (TextOps.queries, TextOps.oracleSql),
       (Dedup.queries, Dedup.oracleSql),

@@ -134,7 +134,7 @@ object Relational3 {
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"))
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
       .orderBy("l_returnflag")
   }
 

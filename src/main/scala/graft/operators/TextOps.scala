@@ -104,14 +104,18 @@ object TextOps {
       .orderBy("doc_id")
 
   /** Document fingerprint: min-md5 over word 5-gram shingles (MinHash with
-    * one hash function — a deterministic rolling-window fingerprint). */
+    * one hash function — a deterministic rolling-window fingerprint).
+    * Explode + min aggregate: codegen'd, map-side combine, tiny shuffle
+    * (the per-row HOF formulation is CodegenFallback and ~5x slower). */
   def qDocFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val w = words(col("text"))
     val shingles = transform(
       sequence(lit(1), greatest(size(w) - 4, lit(1))),
       i => concat_ws(" ", slice(w, i, lit(5))))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), array_min(transform(shingles, s => md5(s))).as("fingerprint"))
+      .select(col("doc_id"), explode(shingles).as("s"))
+      .groupBy("doc_id")
+      .agg(min(md5(col("s"))).as("fingerprint"))
       .orderBy("doc_id")
   }
 

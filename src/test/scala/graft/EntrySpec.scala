@@ -18,7 +18,7 @@ class EntrySpec extends SparkSpec {
     val mods: Seq[Map[String, _]] = Seq(
       operators.Tokenize.queries, operators.Relational.queries,
       operators.RelationalExt.queries, operators.EventOps.queries,
-      operators.Relational3.queries, operators.TextOps.queries, operators.Dedup.queries,
+      operators.Relational3.queries, operators.TypedOps.queries, operators.TextOps.queries, operators.Dedup.queries,
       operators.Similarity.queries, multimodal.Multimodal.queries)
     val total = mods.map(_.size).sum
     assert(SparkEntry.queries.size == total, "duplicate query name across modules")
