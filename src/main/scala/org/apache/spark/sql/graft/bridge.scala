@@ -15,4 +15,10 @@ object Bridge {
 
   /** Resolve a Column back to its Catalyst expression (classic backend). */
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+
+  /** The InternalRow RDD of a DataFrame (no per-row Row conversion —
+    * primitive field access in tight per-partition loops). */
+  def internalRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd
 }

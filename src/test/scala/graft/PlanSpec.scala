@@ -1,0 +1,49 @@
+package graft
+
+/** Physical-plan shape assertions — locks in the scale posture so a
+  * refactor can't silently lose predicate pushdown, column pruning, or
+  * dimension broadcasting (SURVEY §4 / README scale notes). */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q_filter_project pushes every predicate into the parquet scan") {
+    val plan = formatted(operators.Relational.qFilterProject(spark, sf))
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(plan.contains("GreaterThan(l_quantity,45.0)"))
+    assert(plan.contains("LessThanOrEqual(l_discount,0.02)"))
+  }
+
+  test("q_filter_project prunes the scan to referenced columns only") {
+    val plan = formatted(operators.Relational.qFilterProject(spark, sf))
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema:")).get
+    assert(!readSchema.contains("l_partkey"), readSchema)
+    assert(!readSchema.contains("l_tax"), readSchema)
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("q_join_star broadcasts the dimension tables") {
+    val plan = formatted(operators.Relational.qJoinStar(spark, sf))
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+  }
+
+  test("q1 aggregation is partial+final (map-side combine)") {
+    val plan = formatted(operators.Relational.q1PricingSummary(spark, sf))
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs")
+  }
+
+  test("boundary tokenizer is map-only over the fact table (no exchange)") {
+    val li = Tables.lineitem(spark, sf)
+    val bounds = operators.Tokenize.quantileBoundsExact(
+      li, Seq("l_quantity"), operators.Tokenize.innerProbs(100))
+    val df = li.select(operators.Tokenize.discretize(
+      org.apache.spark.sql.functions.col("l_quantity"), bounds("l_quantity")).as("t"))
+    val plan = formatted(df)
+    assert(!plan.contains("Exchange"), "discretize phase must not shuffle")
+    assert(plan.contains("* Project"), "discretize must stay inside codegen (starred ops)")
+  }
+}

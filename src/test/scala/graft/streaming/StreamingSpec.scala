@@ -67,6 +67,34 @@ class StreamingSpec extends SparkSpec {
     assert(u2.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("late data beyond the watermark is dropped in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.hourlyAgg(mem.toDF())
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      // batch 1: advance event time far enough that watermark (max-2h)
+      // passes hour 00:00
+      mem.addData(
+        UserEvent(1, ts("2024-01-01 00:30:00"), 1, "click", 1.0),
+        UserEvent(2, ts("2024-01-01 05:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: an event for hour 00:00 — behind the 03:00 watermark
+      mem.addData(UserEvent(3, ts("2024-01-01 00:40:00"), 1, "click", 100.0))
+      q.processAllAvailable()
+      // batch 3: advance far enough to close every window
+      mem.addData(UserEvent(4, ts("2024-01-01 23:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hour0 = spark.table("late")
+      .filter(col("hour") === ts("2024-01-01 00:00:00")).collect()
+    // the late event (value=100) must NOT be counted
+    assert(hour0.length == 1, hour0.mkString(";"))
+    assert(hour0.head.getLong(2) == 1L, s"late row leaked: ${hour0.head}")
+    assert(hour0.head.getDouble(3) == 1.0)
+  }
+
   test("mapGroupsWithState accumulates per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
