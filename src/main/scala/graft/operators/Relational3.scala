@@ -138,7 +138,51 @@ object Relational3 {
       .orderBy("l_returnflag")
   }
 
+  /** Exact per-group median without the (slow, non-codegen) builtin
+    * percentile aggregate: total-order rank + middle-row average — a pure
+    * window/agg formulation that scales as one shuffle by group key. */
+  def qGroupMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+      .groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"), round(avg(col("l_extendedprice")), 6).as("median_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Window navigation: first/last/nth/lag/lead over per-customer order
+    * history. */
+  def qWindowNav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        first(col("o_totalprice")).over(full).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Conditional aggregation: count_if / filtered sums. */
+  def qConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_discount") > 0.05).as("n_discounted"),
+        sum(when(col("l_quantity") > 25, col("l_quantity")).otherwise(0.0)).as("qty_large"),
+        count_if(col("l_shipdate") >= to_timestamp(lit("2000-01-01 00:00:00"))).as("n_recent"))
+      .orderBy("l_returnflag")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_group_median" -> qGroupMedian,
+    "q_window_nav" -> qWindowNav,
+    "q_conditional_agg" -> qConditionalAgg,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
     "q_pivot" -> qPivot,
@@ -149,6 +193,35 @@ object Relational3 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_group_median" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+        |  round(AVG(l_extendedprice), 6) AS median_price
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_window_nav" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  FIRST_VALUE(o_totalprice) OVER wf AS first_price,
+        |  LAST_VALUE(o_totalprice) OVER wf AS last_price,
+        |  NTH_VALUE(o_totalprice, 2) OVER wf AS second_price,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) FILTER (l_discount > 0.05) AS BIGINT) AS n_discounted,
+        |  SUM(CASE WHEN l_quantity > 25 THEN l_quantity ELSE 0.0 END) AS qty_large,
+        |  CAST(COUNT(*) FILTER (l_shipdate >= TIMESTAMP '2000-01-01 00:00:00') AS BIGINT) AS n_recent
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_asof_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
