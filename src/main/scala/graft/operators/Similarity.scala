@@ -43,10 +43,11 @@ object Similarity {
     }
   }
 
-  /** Left-to-right double dot product of two float arrays. */
+  /** Left-to-right double dot product of two float arrays — codegen'd
+    * custom expression (the HOF zip_with/aggregate formulation is
+    * CodegenFallback; fp semantics are identical, see DotProductSpec). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProductExpr.dot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
