@@ -113,10 +113,31 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Embedding-cosine near-duplicate pairs (the dedup-by-embedding member
+    * of the north-star dedup family): candidate pairs = same LSH bucket
+    * (equi-join, no O(n²) cross join), verified by cosine >= 0.3 (the corpus has no planted near-identical embeddings — max pairwise cosine ~0.51 — so the threshold selects the top-similarity tail). */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (0 until NPlanes)
+      .map(p => when(projection(p) > 0, lit(1 << p)).otherwise(0))
+      .reduce(_ + _)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val a = e.as("a")
+    val b = e.as("b")
+    val sim = round(
+      dot(col("a.embedding"), col("b.embedding")) /
+        (norm(col("a.embedding")) * norm(col("b.embedding"))), 6)
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), sim.as("sim"))
+      .filter(col("sim") >= 0.3)
+      .orderBy("vec_a", "vec_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
-    "q_ann_lsh_probe" -> qAnnLshProbe
+    "q_ann_lsh_probe" -> qAnnLshProbe,
+    "q_dedup_embedding" -> qDedupEmbedding
   )
 
   // ---------------------------------------------------------------- oracles
@@ -152,6 +173,14 @@ object Similarity {
         s"""WITH b AS (SELECT vec_id, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings)
            |SELECT vec_id, bucket, CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_n
            |FROM b ORDER BY vec_id""".stripMargin,
+      "q_dedup_embedding" ->
+        s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings),
+           |s AS (
+           |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           |    round(${dotSql("x.embedding", "y.embedding")} /
+           |      (sqrt(${dotSql("x.embedding", "x.embedding")}) * sqrt(${dotSql("y.embedding", "y.embedding")})), 6) AS sim
+           |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+           |SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
       "q_ann_lsh_probe" ->
         s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings),
            |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < $NQueries),
