@@ -53,7 +53,8 @@ object Relational {
         col("l_quantity") > 45 && col("l_discount") <= 0.02)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_returnflag", "l_shipdate")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate")
 
   def qTopkOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -125,7 +126,7 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, l_shipdate
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity > 45 AND l_discount <= 0.02
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, l_shipdate""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC NULLS LAST, o_orderkey LIMIT 15""".stripMargin,

@@ -145,7 +145,7 @@ object RelationalExt {
         abs(col("l_discount") - 0.05).as("disc_dev"),
         ceil(col("l_tax") * 100).as("tax_pct"),
         floor(col("l_extendedprice") / 1000).as("price_k"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "sqrt_price", "key_mod", "disc_dev", "tax_pct")
 
   /** Scalar subquery: orders above 2x the average order value. */
   def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
@@ -256,7 +256,8 @@ object RelationalExt {
         |  abs(l_discount - 0.05) AS disc_dev,
         |  CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct,
         |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k
-        |FROM lineitem WHERE l_quantity >= 49 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem WHERE l_quantity >= 49
+        |ORDER BY l_orderkey, l_linenumber, sqrt_price, key_mod, disc_dev, tax_pct""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice > 2 * (

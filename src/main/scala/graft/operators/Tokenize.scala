@@ -46,7 +46,14 @@ object Tokenize {
   val LineitemKeys: Seq[String] = Seq("l_orderkey", "l_linenumber")
 
   /** Rank-based tokenizer: token_c = ntile(bins) over (c, tiebreak…) - 1.
-    * Deterministic total order; output carries the tiebreak key columns. */
+    *
+    * `tiebreak` must make the window order TOTAL over every column that can
+    * differ between rows sharing the same tiebreak prefix — in the driver
+    * data (l_orderkey, l_linenumber) is NOT unique (~23% duplicate keys),
+    * so the default lineitem tiebreak is keys ++ all measure columns. The
+    * output is ordered by tiebreak + token columns (fully deterministic:
+    * rows tying on every sort field are bit-identical and interchangeable).
+    */
   def tokenizeRank(df: DataFrame, cols: Seq[String], tiebreak: Seq[String],
                    bins: Int = DefaultBins): DataFrame = {
     val keyCols = tiebreak.map(col)
@@ -54,7 +61,61 @@ object Tokenize {
       val w = Window.orderBy(col(c) +: keyCols: _*)
       (ntile(bins).over(w) - 1).as(s"${c}_token")
     }
-    df.select(keyCols ++ tokens: _*).orderBy(keyCols: _*)
+    val outKeys = tiebreak.filterNot(cols.contains).map(col)
+    val outOrder = outKeys ++ cols.map(c => col(s"${c}_token"))
+    df.select(outKeys ++ tokens: _*).orderBy(outOrder: _*)
+  }
+
+  /** Distributed exact rank tokenizer — same token multiset as
+    * [[tokenizeRank]] (proved by equality spec) but with no
+    * single-partition window: rows get a persistent synthetic row id, each
+    * column gets a range-partitioned (parallel) sort, global positions come
+    * from zipWithIndex, token = the NTILE bucket formula of the position,
+    * and columns join back on the row id (the natural keys are not unique).
+    * This is the shape that survives a 1000-executor cluster; the window
+    * formulation is kept as the compact oracle-fidelity reference. */
+  def tokenizeRankDistributed(df: DataFrame, cols: Seq[String], tiebreak: Seq[String],
+                              bins: Int = DefaultBins): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    // persist so every column job sees the SAME row ids
+    val withId = df.withColumn("__rid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = withId.count()
+      // NTILE semantics: first (n % bins) buckets have size n/bins + 1
+      val base = n / bins
+      val extra = n % bins
+      def tokenOf(pos: Long): Int = {
+        val cutoff = extra * (base + 1)
+        if (pos < cutoff) (pos / (base + 1)).toInt else (extra + (pos - cutoff) / base).toInt
+      }
+      val perCol = cols.map { c =>
+        val sorted = withId.select(col(c) +: (tiebreak.map(col) :+ col("__rid")): _*)
+          .sort(col(c) +: tiebreak.map(col): _*)
+          .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        try {
+          val ridIdx = 1 + tiebreak.size
+          val schema = StructType(Seq(
+            StructField("__rid", LongType, nullable = false),
+            StructField(s"${c}_token", IntegerType, nullable = false)))
+          val out = spark.createDataFrame(
+            sorted.zipWithIndex().map { case (r, pos) =>
+              Row(r.getLong(ridIdx), tokenOf(pos))
+            }, schema)
+          out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          out.count() // materialize before releasing the sorted parent
+          out
+        } finally sorted.unpersist(blocking = false)
+      }
+      val keyDf = withId.select(col("__rid") +: tiebreak.filterNot(cols.contains).map(col): _*)
+      val outKeys = tiebreak.filterNot(cols.contains)
+      val outOrder = (outKeys ++ cols.map(c => s"${c}_token")).map(col)
+      perCol.foldLeft(keyDf)((acc, t) => acc.join(t, "__rid"))
+        .drop("__rid")
+        .orderBy(outOrder: _*)
+    } finally withId.unpersist(blocking = false)
   }
 
   /** Inner quantile probabilities 1/bins … (bins-1)/bins. */
@@ -182,7 +243,7 @@ object Tokenize {
   /** Driver-contract queries (SparkEntry). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tokenize_rank" -> { (spark, dir) =>
-      tokenizeRank(graft.Tables.lineitem(spark, dir), LineitemCols, LineitemKeys)
+      tokenizeRank(graft.Tables.lineitem(spark, dir), LineitemCols, LineitemKeys ++ LineitemCols)
     },
     "q_quantile_bounds" -> { (spark, dir) =>
       // (col_name, p_idx 0..100, boundary) rows — the exact shape of the
@@ -204,7 +265,7 @@ object Tokenize {
       val bounds = cachedLineitemBounds(spark, dir, LineitemCols, DefaultBins)
       val tokens = LineitemCols.map(c => discretize(col(c), bounds(c), DefaultBins).as(s"${c}_token"))
       li.select(LineitemKeys.map(col) ++ tokens: _*)
-        .orderBy(LineitemKeys.map(col): _*)
+        .orderBy((LineitemKeys ++ LineitemCols.map(c => s"${c}_token")).map(col): _*)
     },
     "q_token_histogram" -> { (spark, dir) =>
       // Downstream sanity aggregate: bin mass per token for one column —
@@ -225,8 +286,10 @@ object Tokenize {
 
   /** DuckDB oracle SQL (driver t2 contract). */
   def oracleSql: Map[String, String] = {
+    val fullTiebreak = (LineitemKeys ++ LineitemCols).mkString(", ")
+    val tokenOrder = (LineitemKeys ++ LineitemCols.map(c => s"${c}_token")).mkString(", ")
     val tokenCols = LineitemCols
-      .map(c => s"CAST(NTILE(100) OVER (ORDER BY $c, l_orderkey, l_linenumber) - 1 AS INTEGER) AS ${c}_token")
+      .map(c => s"CAST(NTILE(100) OVER (ORDER BY $c, $fullTiebreak) - 1 AS INTEGER) AS ${c}_token")
       .mkString(", ")
     val boundsCtes = LineitemCols
       .map(c => s"list_transform(quantile_cont($c, ${probsSql(DefaultBins, inner = true)}), x -> round(x, 6)) AS b_$c")
@@ -240,7 +303,7 @@ object Tokenize {
     Map(
       "q_tokenize_rank" ->
         s"""SELECT l_orderkey, l_linenumber, $tokenCols
-           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+           |FROM lineitem ORDER BY $tokenOrder""".stripMargin,
       "q_quantile_bounds" ->
         s"""WITH b AS ($boundsUnion)
            |SELECT col_name, CAST(gs - 1 AS INTEGER) AS p_idx, round(bs[gs], 6) AS boundary
@@ -249,7 +312,7 @@ object Tokenize {
       "q_tokenize_bucketize" ->
         s"""WITH b AS (SELECT $boundsCtes FROM lineitem)
            |SELECT l.l_orderkey, l.l_linenumber, $bucketizeCols
-           |FROM lineitem l CROSS JOIN b ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+           |FROM lineitem l CROSS JOIN b ORDER BY $tokenOrder""".stripMargin,
       "q_token_histogram" ->
         s"""WITH b AS (SELECT list_transform(quantile_cont(l_extendedprice, ${probsSql(DefaultBins, inner = true)}), x -> round(x, 6)) AS bs FROM lineitem),
            |t AS (SELECT CAST(least(greatest(len(list_filter(b.bs, x -> l.l_extendedprice > x)), 0), 99) AS INTEGER) AS token

@@ -64,6 +64,16 @@ class TokenizeSpec extends SparkSpec {
     assert(agree >= 19800, s"agreement $agree / 20000")
   }
 
+  test("distributed rank tokenizer equals the window formulation") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val a = Tokenize.tokenizeRank(li, Seq("l_quantity", "l_discount"), Tokenize.LineitemKeys)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).sorted
+    val b = Tokenize.tokenizeRankDistributed(li, Seq("l_quantity", "l_discount"), Tokenize.LineitemKeys)
+      .select("l_orderkey", "l_linenumber", "l_quantity_token", "l_discount_token")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).sorted
+    assert(a.length == b.length && a.toSeq == b.toSeq)
+  }
+
   test("exact sort-based quantiles match builtin percentile") {
     val probs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
     val mine = quantileBoundsExact(randDf, Seq("col_0"), probs)("col_0")
