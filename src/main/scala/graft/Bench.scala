@@ -1,9 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench harness (driver contract): times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line on stdout.
+  *
+  * Noise model this is built for: the host shows multi-second hypervisor
+  * steal bursts (identical queries swing 1s -> 40s+ while the guest CPU sits
+  * idle), and bursts can last longer than any single query. Back-to-back
+  * min-of-2 samples both land inside the same burst, so instead the harness
+  * runs ROUND-ROBIN passes — pass 1 of all queries, then pass 2 — putting
+  * minutes between a query's two samples, and takes the min. Queries whose
+  * two samples still disagree badly (one sample poisoned) get a third,
+  * later, sample. Pass 1 also absorbs JIT/classloading/disk-cache warmup.
+  *
+  * The noop sink forces the FULL physical plan (count() would let Catalyst
+  * prune expensive columns, e.g. the rank-tokenizer windows) with zero
+  * write-side cost.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,23 +30,26 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // noop sink: forces the FULL plan (count() would let Catalyst prune
-    // expensive columns, e.g. the rank-tokenizer windows) with zero
-    // write-side cost. min of 2 runs: the host shows multi-second
-    // hypervisor steal bursts that would otherwise dominate single runs.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
+    val pass1 = names.map(n => n -> once(n)).toMap
+    val pass2 = names.map(n => n -> once(n)).toMap
+    var best = names.map(n => n -> math.min(pass1(n), pass2(n))).toMap
+    // One sample poisoned by a steal burst shows as large disagreement on a
+    // non-trivial query; take one more decorrelated sample for those only.
+    val noisy = names.filter { n =>
+      best(n) > 1.0 && math.max(pass1(n), pass2(n)) / best(n) > 2.0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    noisy.foreach(n => best = best.updated(n, math.min(best(n), once(n))))
+    val qs = names.map(n => "\"" + n + "\":" + best(n)).mkString("{", ",", "}")
+    val total = best.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Console.out.flush()
     spark.stop()
   }
 }
