@@ -29,6 +29,7 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracleSql),
       (Dedup.queries, Dedup.oracleSql),
       (Similarity.queries, Similarity.oracleSql),
+      (PipelineOps.queries, PipelineOps.oracleSql),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracleSql)
     )
 

@@ -133,11 +133,83 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  val NSeeds = 8
+  val NProbe = 2
+  val IvfQueryLo = 100
+
+  /** IVF-style ANN (the other standard scale path besides LSH): a small set
+    * of coarse centroids partitions the corpus into cells; a probe searches
+    * only the `NProbe` cells nearest the query.
+    *
+    * Centroid choice is deterministic (the vectors with vec_id < NSeeds —
+    * a stand-in for k-means output, which has no cross-engine oracle), and
+    * centroids are collected once (NSeeds x Dim floats) and folded into the
+    * plan as constants, so cell assignment is MAP-ONLY over the corpus —
+    * exactly how a 100 TB scan assigns cells with broadcast centroids, with
+    * no shuffle and no per-row join. The probe side is a broadcast equi-join
+    * on cell id. Ranking: round-6 cosine, centroid/vector-id tiebreaks.
+    */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // NSeeds x Dim constants (plus their norms, same fixed-order fp sum)
+    val cents: Array[(Int, Array[Float])] = e.filter(col("vec_id") < NSeeds)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def centNorm(v: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    // round-6 cosine of the row's embedding against centroid p (map-only)
+    def csim(emb: Column, p: Int): Column = {
+      val (_, v) = cents(p)
+      round(dot(emb, typedlit(v)) / (norm(emb) * lit(centNorm(v))), 6)
+    }
+    // argmax over the NSeeds csim columns via struct max: (sim, -cent_id)
+    // picks the highest similarity, then the smallest centroid id.
+    // greatest() evaluates each child once — a when(b > a, b).otherwise(a)
+    // reduce would copy every cosine subtree 2^NSeeds times and blow the
+    // 64 KB JVM method limit in codegen.
+    def cell(emb: Column): Column = {
+      val best = greatest((0 until NSeeds)
+        .map(p => struct(csim(emb, p).as("s"), lit(-cents(p)._1).as("negid"))): _*)
+      -best.getField("negid")
+    }
+    val assigned = e.select(col("vec_id"), col("embedding"), cell(col("embedding")).as("cell"))
+    val q = assigned
+      .filter(col("vec_id") >= IvfQueryLo && col("vec_id") < IvfQueryLo + NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // NProbe nearest cells per query (tiny: NQueries x NSeeds)
+    val wP = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
+    val probe = q.crossJoin(broadcast(
+        spark.createDataFrame(cents.toSeq.map { case (id, v) => (id, v) })
+          .toDF("cent_id", "c_emb")))
+      .withColumn("csim", round(dot(col("q_emb"), col("c_emb")) /
+        (norm(col("q_emb")) * norm(col("c_emb"))), 6))
+      .withColumn("prn", row_number().over(wP))
+      .filter(col("prn") <= NProbe)
+      .select(col("query_id"), col("q_emb"), col("cent_id").as("cell"))
+    val sim = round(
+      dot(col("q_emb"), col("embedding")) / (norm(col("q_emb")) * norm(col("embedding"))), 6)
+    val wR = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probe), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"), sim.as("sim"))
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") <= 3)
+      .select("query_id", "vec_id", "cell", "sim", "rn")
+      .orderBy("query_id", "rn")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_ann_lsh_probe" -> qAnnLshProbe,
-    "q_dedup_embedding" -> qDedupEmbedding
+    "q_dedup_embedding" -> qDedupEmbedding,
+    "q_ann_ivf" -> qAnnIvf
   )
 
   // ---------------------------------------------------------------- oracles
@@ -181,6 +253,33 @@ object Similarity {
            |      (sqrt(${dotSql("x.embedding", "x.embedding")}) * sqrt(${dotSql("y.embedding", "y.embedding")})), 6) AS sim
            |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
            |SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+      "q_ann_ivf" -> {
+        val csimSql =
+          s"round(${dotSql("e.embedding", "c.c_emb")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("c.c_emb", "c.c_emb")})), 6)"
+        val qsimSql =
+          s"round(${dotSql("q.q_emb", "c.c_emb")} / (sqrt(${dotSql("q.q_emb", "q.q_emb")}) * sqrt(${dotSql("c.c_emb", "c.c_emb")})), 6)"
+        val rsimSql =
+          s"round(${dotSql("pp.q_emb", "a.embedding")} / (sqrt(${dotSql("pp.q_emb", "pp.q_emb")}) * sqrt(${dotSql("a.embedding", "a.embedding")})), 6)"
+        s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NSeeds),
+           |asg0 AS (
+           |  SELECT e.vec_id, e.embedding, c.cent_id, $csimSql AS csim
+           |  FROM embeddings e CROSS JOIN c),
+           |asg1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS arn FROM asg0),
+           |asg AS (SELECT vec_id, embedding, CAST(cent_id AS INTEGER) AS cell FROM asg1 WHERE arn = 1),
+           |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+           |      WHERE vec_id >= $IvfQueryLo AND vec_id < ${IvfQueryLo + NQueries}),
+           |p0 AS (
+           |  SELECT q.query_id, q.q_emb, CAST(c.cent_id AS INTEGER) AS cell,
+           |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY $qsimSql DESC NULLS LAST, c.cent_id) AS prn
+           |  FROM q CROSS JOIN c),
+           |pp AS (SELECT query_id, q_emb, cell FROM p0 WHERE prn <= $NProbe),
+           |s AS (
+           |  SELECT pp.query_id, a.vec_id, a.cell, $rsimSql AS sim
+           |  FROM asg a JOIN pp ON a.cell = pp.cell WHERE a.vec_id <> pp.query_id),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC NULLS LAST, vec_id) AS rn FROM s)
+           |SELECT query_id, vec_id, cell, sim, CAST(rn AS INTEGER) AS rn FROM r
+           |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+      },
       "q_ann_lsh_probe" ->
         s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings),
            |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < $NQueries),

@@ -19,7 +19,8 @@ class EntrySpec extends SparkSpec {
       operators.Tokenize.queries, operators.Relational.queries,
       operators.RelationalExt.queries, operators.EventOps.queries,
       operators.Relational3.queries, operators.TypedOps.queries, operators.TextOps.queries, operators.Dedup.queries,
-      operators.Similarity.queries, multimodal.Multimodal.queries)
+      operators.Similarity.queries, operators.PipelineOps.queries,
+      multimodal.Multimodal.queries)
     val total = mods.map(_.size).sum
     assert(SparkEntry.queries.size == total, "duplicate query name across modules")
   }
