@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational breadth, part 4 (round 2): correlated EXISTS subqueries,
+  * salted skew join surfaced through the oracle gate, discrete percentiles,
+  * distribution window functions, and edit-distance near-dup with blocking
+  * keys.
+  *
+  * Scale notes:
+  *  - EXISTS/NOT EXISTS: Catalyst rewrites the correlated subqueries into
+  *    left-semi/left-anti joins — same physical shape as q_semi_join but
+  *    exercising the subquery surface.
+  *  - salted join: result is row-identical to the plain equi-join (which is
+  *    what the DuckDB oracle runs); only the shuffle distribution changes.
+  *    This IS the point: the oracle proves salting is semantics-preserving.
+  *  - fuzzy near-dup: O(n²) edit distance is intractable at 100 TB; the
+  *    blocking key (brand, size) bounds candidate pairs to within-block
+  *    pairs — the standard blocking+verify shape (same pattern as the LSH
+  *    band join in Dedup).
+  */
+object Relational4 {
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** Correlated EXISTS + NOT EXISTS via the SQL surface. */
+  def qExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_c_ex")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_o_ex")
+    spark.sql(
+      """SELECT c_custkey, c_acctbal
+        |FROM graft_c_ex c
+        |WHERE EXISTS (SELECT 1 FROM graft_o_ex o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_o_ex o2
+        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Salted skew join (SkewJoin.saltedInnerJoin) aggregated per nation —
+    * row-identical to the plain join the oracle runs. */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+      .select("l_suppkey", "s_nationkey")
+    SkewJoin.saltedInnerJoin(li, sup, "l_suppkey", salt = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("s_nationkey")
+  }
+
+  /** Discrete percentiles (the value AT the quantile rank, never
+    * interpolated): p25/p50/p75 of extended price per return flag.
+    * percentile_disc(p) = value at rank ceil(p * n). */
+  def qPercentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val n = Window.partitionBy("l_returnflag")
+    def pick(p: Double): Column =
+      max(when(col("rn") === ceil(lit(p) * col("cnt")).cast("long"), col("l_extendedprice")))
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(n))
+      .groupBy("l_returnflag")
+      .agg(pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Distribution window functions: percent_rank / cume_dist / ntile over
+    * per-status price order (unique tiebreak => deterministic doubles). */
+  def qWindowDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  /** Edit-distance near-duplicate part names, blocked by (brand, size):
+    * candidate pairs only within a block, verified by levenshtein <= 5. */
+  def qFuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand", "p_size")
+    val a = p.as("a")
+    val b = p.as("b")
+    a.join(b,
+        col("a.p_brand") === col("b.p_brand") && col("a.p_size") === col("b.p_size") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("dist") <= 5)
+      .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("dist"))
+      .orderBy("key_a", "key_b")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exists_subquery" -> qExistsSubquery,
+    "q_skew_join" -> qSkewJoin,
+    "q_percentile_disc" -> qPercentileDisc,
+    "q_window_dist" -> qWindowDist,
+    "q_fuzzy_pairs" -> qFuzzyPairs
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_skew_join" ->
+      """SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_percentile_disc" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.25 * cnt) AS BIGINT) THEN l_extendedprice END) AS p25,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN l_extendedprice END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT) THEN l_extendedprice END) AS p75
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  round(CUME_DIST() OVER w, 6) AS cume,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "q_fuzzy_pairs" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 5
+        |ORDER BY key_a, key_b""".stripMargin
+  )
+}

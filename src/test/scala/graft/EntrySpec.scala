@@ -20,7 +20,7 @@ class EntrySpec extends SparkSpec {
       operators.RelationalExt.queries, operators.EventOps.queries,
       operators.Relational3.queries, operators.TypedOps.queries, operators.TextOps.queries, operators.Dedup.queries,
       operators.Similarity.queries, operators.PipelineOps.queries,
-      multimodal.Multimodal.queries)
+      operators.Relational4.queries, multimodal.Multimodal.queries)
     val total = mods.map(_.size).sum
     assert(SparkEntry.queries.size == total, "duplicate query name across modules")
   }

@@ -36,6 +36,21 @@ class PlanSpec extends SparkSpec {
     assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs")
   }
 
+  test("q_sample_hash shuffles only for the final output sort") {
+    val plan = formatted(operators.PipelineOps.qSampleHash(spark, sf))
+    val exchanges = plan.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges == 1, s"hash sampling must be map-only up to the ORDER BY, got $exchanges exchanges:\n$plan")
+  }
+
+  test("q_ann_ivf assigns cells map-only and probes via broadcast join") {
+    val plan = formatted(operators.Similarity.qAnnIvf(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "probe must be a broadcast equi-join on cell id")
+    // corpus side must not shuffle before the join: the only exchanges are
+    // the two tiny query-side windows and the final output sort
+    val exchanges = plan.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 3, s"unexpected shuffle on the corpus side ($exchanges exchanges):\n$plan")
+  }
+
   test("boundary tokenizer is map-only over the fact table (no exchange)") {
     val li = Tables.lineitem(spark, sf)
     val bounds = operators.Tokenize.quantileBoundsExact(
