@@ -34,6 +34,18 @@ object EventOps {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** Sliding event-time window aggregate (1 h window, 30 min slide — every
+    * event lands in exactly two windows). Exercises the sliding form of the
+    * `window()` operator; the oracle enumerates both covering window starts
+    * per event on a 30-min epoch grid (equivalent for size = 2 x slide). */
+  def qEventsSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").cast(org.apache.spark.sql.types.TimestampNTZType).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
   /** JSON property extraction via from_json with an explicit schema
     * (multimodal/nested column capability, SURVEY §2C). */
   def qEventsJson(spark: SparkSession, dir: String): DataFrame = {
@@ -74,6 +86,7 @@ object EventOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> qEventsHourly,
+    "q_events_sliding" -> qEventsSliding,
     "q_events_json" -> qEventsJson,
     "q_stream_dedup_batch" -> qStreamDedupBatch,
     "q_event_gaps" -> qEventGaps
@@ -91,6 +104,17 @@ object EventOps {
         |  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_events_sliding" ->
+      """WITH w AS (
+        |  SELECT unnest([
+        |      make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000 * 1800000000),
+        |      make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000 - 1) * 1800000000)
+        |    ]) AS win_start, event_type, value
+        |  FROM events)
+        |SELECT win_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "q_stream_dedup_batch" ->
       """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
