@@ -1,5 +1,8 @@
 package graft
-// scratch: reference-scale pipeline timing, exact vs approx bounds (not committed)
+/** Reference-scale pipeline benchmark (the reference's own workload:
+  * 10M rows x 20 cols, 100 bins — /root/reference/etl_benchmark.py:10-11).
+  * `tools/run.sh graft.RefBench [approx]` prints per-stage timings for the
+  * exact (sort-based) or approximate (Greenwald-Khanna) boundary path. */
 object RefBench {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")

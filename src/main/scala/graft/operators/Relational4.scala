@@ -100,7 +100,41 @@ object Relational4 {
       .orderBy("key_a", "key_b")
   }
 
+  /** Outer-join family: FULL OUTER between two per-customer aggregates, then
+    * LEFT join from the customer dimension, with coalesce for the null
+    * sides. */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_urgent"))
+    val big = o.filter(col("o_totalprice") > 150000)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+    val both = urgent.as("u").join(big.as("b"),
+        col("u.o_custkey") === col("b.o_custkey"), "full_outer")
+      .select(coalesce(col("u.o_custkey"), col("b.o_custkey")).as("custkey"),
+        col("n_urgent"), col("n_big"))
+    Tables.customer(spark, dir)
+      .join(both, col("c_custkey") === col("custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"))
+      .orderBy("c_custkey")
+  }
+
+  /** Collect aggregates rendered order-stable: sorted collect_list /
+    * collect_set joined to strings (array outputs would be hasher-hostile
+    * in the cross-engine compare; the string form is byte-stable). */
+  def qCollectList(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        array_join(sort_array(collect_list(col("o_orderpriority"))), "|").as("prios"),
+        array_join(sort_array(collect_set(col("o_orderstatus"))), "|").as("statuses"))
+      .orderBy("o_custkey")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outer_join" -> qOuterJoin,
+    "q_collect_list" -> qCollectList,
     "q_exists_subquery" -> qExistsSubquery,
     "q_skew_join" -> qSkewJoin,
     "q_percentile_disc" -> qPercentileDisc,
@@ -109,6 +143,21 @@ object Relational4 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_outer_join" ->
+      """WITH u AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_urgent
+        |           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+        |b AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big
+        |      FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey),
+        |f AS (SELECT COALESCE(u.o_custkey, b.o_custkey) AS custkey, n_urgent, n_big
+        |      FROM u FULL OUTER JOIN b ON u.o_custkey = b.o_custkey)
+        |SELECT c_custkey, COALESCE(n_urgent, 0) AS n_urgent, COALESCE(n_big, 0) AS n_big
+        |FROM customer LEFT JOIN f ON c_custkey = custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_collect_list" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  string_agg(o_orderpriority, '|' ORDER BY o_orderpriority) AS prios,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_exists_subquery" ->
       """SELECT c_custkey, c_acctbal
         |FROM customer c
