@@ -145,7 +145,42 @@ object PipelineOps {
       .orderBy("vec_id")
   }
 
+  /** Character-distribution Shannon entropy per document (quality signal:
+    * low-entropy docs are repetitive/degenerate). entropy = ln n − (Σ c·ln c)/n
+    * in bits — the identical formula on both engines; float sum order
+    * differences are ~1e-15, far inside the 4-decimal rounding. */
+  def qCharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .filter(col("c") =!= "") // Spark's empty-regex split emits a trailing ""
+      .groupBy("doc_id", "c")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    counts.groupBy("doc_id")
+      .agg(sum(col("cnt")).as("nd"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * log(col("cnt"))).as("slc"))
+      .select(col("doc_id"), col("nd").cast("long").as("n"), col("n_distinct"),
+        round((log(col("nd")) - col("slc") / col("nd")) / log(lit(2.0)), 4).as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** Mixing-weight (stratified) sampling: per-source rates from the same
+    * deterministic hash — how a 100 TB corpus reweights sources for a
+    * training mix without materializing intermediate copies. */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("source") === "src0", 10).otherwise(25)
+    Tables.documents(spark, dir)
+      .withColumn("h",
+        conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .filter(col("h") < rate)
+      .select(col("doc_id"), col("source"), col("h"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_char_entropy" -> qCharEntropy,
+    "q_sample_stratified" -> qSampleStratified,
     "q_sessionize" -> qSessionize,
     "q_sample_hash" -> qSampleHash,
     "q_bpe_pairs" -> qBpePairs,
@@ -162,6 +197,21 @@ object PipelineOps {
       .mkString("(", " + ", ")")
 
   def oracleSql: Map[String, String] = Map(
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS cnt
+        |        FROM ch WHERE c <> '' GROUP BY doc_id, c)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  round((ln(SUM(cnt)) - SUM(cnt * ln(cnt)) / SUM(cnt)) / ln(2), 4) AS entropy_bits
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source, md5('mix|' || CAST(doc_id AS VARCHAR)) AS m
+         |  FROM documents)
+         |SELECT doc_id, source, CAST($hex16Sql % 100 AS BIGINT) AS h
+         |FROM h WHERE $hex16Sql % 100 < CASE WHEN source = 'src0' THEN 10 ELSE 25 END
+         |ORDER BY doc_id""".stripMargin,
     "q_sessionize" ->
       s"""WITH ev AS (
          |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
