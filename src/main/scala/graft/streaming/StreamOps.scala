@@ -44,6 +44,12 @@ object StreamOps {
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Stream-static enrichment join: each event joined to a static dimension
+    * (broadcast per micro-batch — no stream state, the standard pattern for
+    * enriching a 100 TB/day event stream with reference data). */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                        event_type: String, value: Double)
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)

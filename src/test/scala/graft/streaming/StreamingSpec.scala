@@ -114,4 +114,23 @@ class StreamingSpec extends SparkSpec {
     assert(last(1L) == ((3L, 7.0)))
     assert(last(2L) == ((3L, 14.0)))
   }
+
+  test("stream-static enrichment join matches the batch join per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver"), (99L, "unused"))
+      .toDF("user_id", "tier")
+    val mem = MemoryStream[UserEvent]
+    mem.addData(fixture: _*)
+    val q = StreamOps.enrich(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enriched").select("event_id", "tier").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = fixture.toDF().join(dim, Seq("user_id"), "left")
+      .select("event_id", "tier").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.forall(_._2 != null), "every fixture user has a tier")
+  }
 }
