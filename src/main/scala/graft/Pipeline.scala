@@ -54,7 +54,7 @@ object Pipeline {
     val tokenCols = df.columns.toSeq
     val bounds = stage("boundaries") {
       if (approx) Tokenize.quantileBoundsApprox(df, tokenCols, Tokenize.innerProbs(bins))
-      else Tokenize.quantileBoundsExact(df, tokenCols, Tokenize.innerProbs(bins))
+      else Tokenize.quantileBoundsSelect(df, tokenCols, Tokenize.innerProbs(bins))
     }
     val n = stage("tokenize+sink") {
       val tokens = tokenCols.map(c => Tokenize.discretize(col(c), bounds(c), bins).as(s"${c}_token"))

@@ -188,6 +188,157 @@ object Tokenize {
     finally es.shutdown()
   }
 
+  /** Phase 1, exact, selection-based — the preferred scale path. Finds the
+    * exact values at the quantile positions WITHOUT any global sort:
+    *
+    *  1. one aggregation for per-column non-null counts;
+    *  2. a driver-side sample picks ~`numBuckets` split points per column;
+    *  3. ONE scan bucket-counts every column against its split points
+    *     (codegen'd binary search, map-side combined — the shuffle carries
+    *     only (col, bucket) partial counts);
+    *  4. cumulative bucket counts locate each needed position's bucket; a
+    *     second scan shuffles ONLY the candidate buckets (≈ |probs| x n/B
+    *     rows per column), each sorted locally inside flatMapGroups and the
+    *     needed offsets emitted.
+    *
+    * vs the sort path: 2 scans + a candidate-sized shuffle instead of one
+    * range-partitioned full sort + double-pass zipWithIndex per column. The
+    * result is byte-identical to [[quantileBoundsExact]] (equality spec) —
+    * positions are exact; the sample only steers bucket granularity.
+    *
+    * Caveats: values equal to a split point share a bucket (ties never split
+    * across buckets, so tie-heavy columns degrade gracefully into one big
+    * bucket = the column's own sort); NaN unsupported (bucket 0 vs sort-last
+    * divergence — the driver corpus and randn fixtures have none). */
+  def quantileBoundsSelect(df: DataFrame, cols: Seq[String], probs: Seq[Double],
+                           numBuckets: Int = 8192, sampleSize: Int = 200000,
+                           maxCollect: Long = 64000000L): Map[String, Seq[Double]] = {
+    import graft.functions.BucketizeExpr.search
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    val k = cols.size
+    val countRow = df.agg(count(col(cols.head)).as(cols.head),
+      cols.tail.map(c => count(col(c)).as(c)): _*).head()
+    val counts: Array[Long] = cols.indices.map(countRow.getLong).toArray
+    cols.indices.foreach(i =>
+      require(counts(i) > 0, s"quantileBoundsSelect: no non-null values in ${cols(i)}"))
+    val positions: Array[Seq[(Long, Long, Double)]] = cols.indices.map { ci =>
+      probs.map { p =>
+        val pos = p * (counts(ci) - 1)
+        (math.floor(pos).toLong, math.ceil(pos).toLong, pos - math.floor(pos))
+      }
+    }.toArray
+    val needPos: Array[Array[Long]] =
+      positions.map(_.flatMap(t => Seq(t._1, t._2)).distinct.sorted.toArray)
+    // sample-derived split points (sorted, distinct) per column; the sample
+    // only steers bucket granularity — positions stay exact regardless
+    val frac = math.min(1.0, sampleSize.toDouble / counts.max)
+    val proj = df.select(cols.map(c => col(c).cast("double")): _*)
+    val sampleRows = proj.sample(withReplacement = false, frac, seed = 42).collect()
+    val splits: Array[Array[Double]] = cols.indices.map { ci =>
+      val vs = sampleRows.iterator.filterNot(_.isNullAt(ci)).map(_.getDouble(ci)).toArray
+      java.util.Arrays.sort(vs)
+      if (vs.isEmpty) Array.empty[Double]
+      else {
+        val b = math.min(numBuckets, vs.length)
+        (1 until b).iterator
+          .map(i => vs(((i.toLong * vs.length) / b).toInt.min(vs.length - 1)))
+          .toArray.distinct
+      }
+    }.toArray
+    val nb: Array[Int] = splits.map(_.length + 1)
+    val flatOff: Array[Int] = nb.scanLeft(0)(_ + _)
+    val splitsB = sc.broadcast(splits)
+    // pass 1: flat (col, bucket) histogram in one treeAggregate scan —
+    // per value: one binary search + one array increment, zero allocation
+    val hist: Array[Long] = proj.rdd.treeAggregate(new Array[Long](flatOff(k)))(
+      seqOp = (acc, row) => {
+        val sp = splitsB.value
+        var ci = 0
+        while (ci < k) {
+          if (!row.isNullAt(ci)) {
+            val b = search(sp(ci), row.getDouble(ci), Int.MaxValue)
+            acc(flatOff(ci) + b) += 1
+          }
+          ci += 1
+        }
+        acc
+      },
+      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    // cumulative counts -> (bucket, in-bucket offset) for every needed pos
+    val cums: Array[Array[Long]] = cols.indices.map { ci =>
+      val cum = new Array[Long](nb(ci) + 1)
+      (0 until nb(ci)).foreach(b => cum(b + 1) = cum(b) + hist(flatOff(ci) + b))
+      cum
+    }.toArray
+    val neededOffsets: Array[Map[Int, Array[Long]]] = cols.indices.map { ci =>
+      val cum = cums(ci)
+      needPos(ci).toSeq.groupBy { p =>
+        java.util.Arrays.binarySearch(cum, p) match {
+          case i if i >= 0 =>
+            var j = i; while (j < nb(ci) && cum(j + 1) == cum(j)) j += 1; j
+          case i => -i - 2
+        }
+      }.map { case (b, ps) => b -> ps.map(_ - cum(b)).toArray }
+    }.toArray
+    // membership structure for the gather pass: per col, sorted needed buckets
+    val neededBuckets: Array[Array[Int]] =
+      neededOffsets.map(_.keys.toArray.sorted)
+    val candVolume: Long = cols.indices.map { ci =>
+      neededBuckets(ci).map(b => hist(flatOff(ci) + b)).sum
+    }.sum
+    val neededBkB = sc.broadcast(neededBuckets)
+    // pass 2: gather ONLY candidate-bucket values (≈ |probs| x n/B per col)
+    val cand = proj.rdd.mapPartitions { it =>
+      val sp = splitsB.value
+      val nbk = neededBkB.value
+      it.flatMap { row =>
+        (0 until k).iterator.flatMap { ci =>
+          if (row.isNullAt(ci)) Iterator.empty
+          else {
+            val v = row.getDouble(ci)
+            val b = search(sp(ci), v, Int.MaxValue)
+            if (java.util.Arrays.binarySearch(nbk(ci), b) >= 0) Iterator.single((ci, b, v))
+            else Iterator.empty
+          }
+        }
+      }
+    }
+    // small candidate sets sort driver-side (typical: ≤ a few M values);
+    // larger ones fall back to a distributed per-bucket sort that ships only
+    // the needed offsets back
+    val picked: Map[(Int, Int, Long), Double] =
+      if (candVolume <= maxCollect) {
+        cand.collect().groupBy(t => (t._1, t._2)).flatMap { case ((ci, b), ts) =>
+          val arr = ts.map(_._3)
+          java.util.Arrays.sort(arr)
+          neededOffsets(ci)(b).map(off => (ci, b, off) -> arr(off.toInt))
+        }
+      } else {
+        val neededOffB = sc.broadcast(neededOffsets)
+        val r = cand.groupBy(t => (t._1, t._2)).flatMap { case ((ci, b), ts) =>
+          val arr = ts.iterator.map(_._3).toArray
+          java.util.Arrays.sort(arr)
+          neededOffB.value(ci)(b).iterator.map(off => ((ci, b, off), arr(off.toInt)))
+        }.collect().toMap
+        neededOffB.destroy()
+        r
+      }
+    splitsB.destroy()
+    neededBkB.destroy()
+    cols.indices.map { ci =>
+      val cum = cums(ci)
+      val byGlobal: Map[Long, Double] = neededOffsets(ci).toSeq.flatMap { case (b, offs) =>
+        offs.map(off => (cum(b) + off) -> picked((ci, b, off)))
+      }.toMap
+      cols(ci) -> positions(ci).map { case (lo, hi, fr) =>
+        val l = byGlobal(lo)
+        val h = byGlobal(hi)
+        l + (h - l) * fr
+      }
+    }.toMap
+  }
+
   /** Memo cache for driver-contract queries: the same (sfDir, cols, bins)
     * boundary vectors are reused across q_tokenize_bucketize /
     * q_token_histogram / repeated bench invocations within a JVM (the test
@@ -198,7 +349,7 @@ object Tokenize {
   private def cachedLineitemBounds(spark: SparkSession, dir: String, cols: Seq[String],
                                    bins: Int): Map[String, Seq[Double]] =
     boundsCache.getOrElseUpdate((dir, cols, bins), {
-      quantileBoundsExact(graft.Tables.lineitem(spark, dir), cols, innerProbs(bins))
+      quantileBoundsSelect(graft.Tables.lineitem(spark, dir), cols, innerProbs(bins))
         .map { case (c, bs) => c -> bs.map(round6d) }
     })
 
@@ -254,7 +405,7 @@ object Tokenize {
       import spark.implicits._
       val li = graft.Tables.lineitem(spark, dir)
       val probs = (0 to DefaultBins).map(_.toDouble / DefaultBins)
-      val bounds = quantileBoundsExact(li, LineitemCols, probs)
+      val bounds = quantileBoundsSelect(li, LineitemCols, probs)
       LineitemCols.flatMap { c =>
         bounds(c).zipWithIndex.map { case (b, i) => (c, i, round6d(b)) }
       }.toDF("col_name", "p_idx", "boundary")

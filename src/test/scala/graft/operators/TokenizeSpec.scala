@@ -99,4 +99,22 @@ class TokenizeSpec extends SparkSpec {
     val viaScala = (0 until 5000).map(i => BucketizeExpr.search(bounds.toArray, i / 5000.0, 100).toLong).sum
     assert(viaExpr == viaScala)
   }
+
+  test("selection-based exact quantiles are byte-identical to the sort path") {
+    val probs = (0 to 100).map(_.toDouble / 100)
+    // continuous randn (all-distinct) and the real lineitem measures
+    // (low-cardinality l_discount/l_tax: ties, duplicate split points)
+    val randDf = graft.Pipeline.syntheticTable(spark, 50000, 2, seed = 7)
+    val a = quantileBoundsSelect(randDf, Seq("col_0", "col_1"), probs, numBuckets = 64)
+    val b = quantileBoundsExact(randDf, Seq("col_0", "col_1"), probs)
+    Seq("col_0", "col_1").foreach { c =>
+      assert(a(c) == b(c), s"select != sort for $c")
+    }
+    val li = graft.Tables.lineitem(spark, sf)
+    val s1 = quantileBoundsSelect(li, LineitemCols, probs, numBuckets = 32)
+    val s2 = quantileBoundsExact(li, LineitemCols, probs)
+    LineitemCols.foreach { c =>
+      assert(s1(c) == s2(c), s"select != sort for lineitem $c")
+    }
+  }
 }
