@@ -132,7 +132,23 @@ object Relational4 {
         array_join(sort_array(collect_set(col("o_orderstatus"))), "|").as("statuses"))
       .orderBy("o_custkey")
 
+  /** Unpivot/melt (the inverse of q_pivot): wide lineitem measures to long
+    * (measure, value) rows, then per-measure profile aggregates — the
+    * standard column-profiling shape for schema inference over wide tables.
+    * Uses the native Dataset.unpivot operator (codegen'd Expand). */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy("measure")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> qUnpivot,
     "q_outer_join" -> qOuterJoin,
     "q_collect_list" -> qCollectList,
     "q_exists_subquery" -> qExistsSubquery,
@@ -143,6 +159,16 @@ object Relational4 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+        |  MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
     "q_outer_join" ->
       """WITH u AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_urgent
         |           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
