@@ -1,0 +1,30 @@
+package graft
+/** Plan-shape sweep: prints suspicious physical-plan features per query
+  * (cartesian products, non-broadcast NL joins, single-partition windows).
+  * Dev tool: `tools/run.sh graft.PlanSweep [sfDir]`. */
+object PlanSweep {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "NLJoin-nonBroadcast" -> (plan.contains("NestedLoopJoin") && !plan.contains("BroadcastNestedLoopJoin")),
+          "GlobalWindow" -> (plan.contains("Window [") && plan.contains("windowspecdefinition()")),
+          "SortMergeJoin" -> plan.contains("SortMergeJoin")
+        ).filter(_._2).map(_._1)
+        if (flags.nonEmpty) println(s"$name: ${flags.mkString(", ")}")
+      } catch { case e: Throwable => println(s"$name: PLAN-ERROR ${e.getMessage.take(80)}") }
+    }
+    println("sweep done")
+    spark.stop()
+  }
+}
