@@ -117,4 +117,19 @@ class TokenizeSpec extends SparkSpec {
       assert(s1(c) == s2(c), s"select != sort for lineitem $c")
     }
   }
+
+  test("selection quantiles equal sort quantiles on adversarial tie-heavy data") {
+    import org.apache.spark.sql.functions._
+    val probs = (0 to 20).map(_.toDouble / 20)
+    // heavy ties (values from a 7-element grid), nulls, and a constant block
+    val df = spark.range(20000).select(
+      (pmod(col("id") * 2654435761L, lit(7)) * 0.125).as("grid"),
+      when(pmod(col("id"), lit(5)) === 0, lit(null).cast("double"))
+        .otherwise(pmod(col("id") * 40503L, lit(3)).cast("double")).as("sparse"),
+      lit(42.0).as("const"))
+    val cols = Seq("grid", "sparse", "const")
+    val a = quantileBoundsSelect(df, cols, probs, numBuckets = 16)
+    val b = quantileBoundsExact(df, cols, probs)
+    cols.foreach(c => assert(a(c) == b(c), s"select != sort for $c"))
+  }
 }
