@@ -58,6 +58,26 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Gap-filled hourly series per event type: a complete hour scaffold
+    * (sequence + explode between the global min/max hour) LEFT-joined to the
+    * hourly counts, missing hours zero-filled — the standard time-series
+    * resampling shape (the scaffold is tiny and broadcast; the fact side
+    * aggregates before the join). */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        date_trunc("hour", col("ts").cast("timestamp"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType).as("hour"))
+    val hourly = ev.groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    val scaffold = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      .crossJoin(ev.select("event_type").distinct())
+    scaffold.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Batch equivalent of streaming dropDuplicates-by-key: first event per
     * (user_id, event_type) in event-time order. */
   def qStreamDedupBatch(spark: SparkSession, dir: String): DataFrame = {
@@ -87,6 +107,7 @@ object EventOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> qEventsHourly,
     "q_events_sliding" -> qEventsSliding,
+    "q_gap_fill" -> qGapFill,
     "q_events_json" -> qEventsJson,
     "q_stream_dedup_batch" -> qStreamDedupBatch,
     "q_event_gaps" -> qEventGaps
@@ -104,6 +125,20 @@ object EventOps {
         |  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour FROM events),
+        |hourly AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM ev GROUP BY event_type, hour),
+        |b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM ev),
+        |scaffold AS (
+        |  SELECT t.event_type, g.hour
+        |  FROM (SELECT DISTINCT event_type FROM ev) t,
+        |       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b) g)
+        |SELECT s.event_type, s.hour, COALESCE(h.n, 0) AS n
+        |FROM scaffold s LEFT JOIN hourly h
+        |  ON s.event_type = h.event_type AND s.hour = h.hour
+        |ORDER BY s.event_type, s.hour""".stripMargin,
     "q_events_sliding" ->
       """WITH w AS (
         |  SELECT unnest([
