@@ -212,7 +212,8 @@ object Tokenize {
     * divergence — the driver corpus and randn fixtures have none). */
   def quantileBoundsSelect(df: DataFrame, cols: Seq[String], probs: Seq[Double],
                            numBuckets: Int = 8192, sampleSize: Int = 200000,
-                           maxCollect: Long = 64000000L): Map[String, Seq[Double]] = {
+                           maxCollect: Long = 64000000L,
+                           smallCollect: Long = 1000000L): Map[String, Seq[Double]] = {
     import graft.functions.BucketizeExpr.search
     val spark = df.sparkSession
     val sc = spark.sparkContext
@@ -230,10 +231,24 @@ object Tokenize {
     }.toArray
     val needPos: Array[Array[Long]] =
       positions.map(_.flatMap(t => Seq(t._1, t._2)).distinct.sorted.toArray)
+    val proj = df.select(cols.map(c => col(c).cast("double")): _*)
+    // small inputs: one collect, driver-side sorts — the bucket machinery's
+    // extra jobs cost more than they save under ~1M rows
+    if (counts.max <= smallCollect) {
+      val rows = proj.collect()
+      return cols.indices.map { ci =>
+        val vs = rows.iterator.filterNot(_.isNullAt(ci)).map(_.getDouble(ci)).toArray
+        java.util.Arrays.sort(vs)
+        cols(ci) -> positions(ci).map { case (lo, hi, fr) =>
+          val l = vs(lo.toInt)
+          val h = vs(hi.toInt)
+          l + (h - l) * fr
+        }
+      }.toMap
+    }
     // sample-derived split points (sorted, distinct) per column; the sample
     // only steers bucket granularity — positions stay exact regardless
     val frac = math.min(1.0, sampleSize.toDouble / counts.max)
-    val proj = df.select(cols.map(c => col(c).cast("double")): _*)
     val sampleRows = proj.sample(withReplacement = false, frac, seed = 42).collect()
     val splits: Array[Array[Double]] = cols.indices.map { ci =>
       val vs = sampleRows.iterator.filterNot(_.isNullAt(ci)).map(_.getDouble(ci)).toArray

@@ -105,13 +105,13 @@ class TokenizeSpec extends SparkSpec {
     // continuous randn (all-distinct) and the real lineitem measures
     // (low-cardinality l_discount/l_tax: ties, duplicate split points)
     val randDf = graft.Pipeline.syntheticTable(spark, 50000, 2, seed = 7)
-    val a = quantileBoundsSelect(randDf, Seq("col_0", "col_1"), probs, numBuckets = 64)
+    val a = quantileBoundsSelect(randDf, Seq("col_0", "col_1"), probs, numBuckets = 64, smallCollect = 0)
     val b = quantileBoundsExact(randDf, Seq("col_0", "col_1"), probs)
     Seq("col_0", "col_1").foreach { c =>
       assert(a(c) == b(c), s"select != sort for $c")
     }
     val li = graft.Tables.lineitem(spark, sf)
-    val s1 = quantileBoundsSelect(li, LineitemCols, probs, numBuckets = 32)
+    val s1 = quantileBoundsSelect(li, LineitemCols, probs, numBuckets = 32, smallCollect = 0)
     val s2 = quantileBoundsExact(li, LineitemCols, probs)
     LineitemCols.foreach { c =>
       assert(s1(c) == s2(c), s"select != sort for lineitem $c")
@@ -128,8 +128,12 @@ class TokenizeSpec extends SparkSpec {
         .otherwise(pmod(col("id") * 40503L, lit(3)).cast("double")).as("sparse"),
       lit(42.0).as("const"))
     val cols = Seq("grid", "sparse", "const")
-    val a = quantileBoundsSelect(df, cols, probs, numBuckets = 16)
+    val a = quantileBoundsSelect(df, cols, probs, numBuckets = 16, smallCollect = 0)
     val b = quantileBoundsExact(df, cols, probs)
-    cols.foreach(c => assert(a(c) == b(c), s"select != sort for $c"))
+    val fast = quantileBoundsSelect(df, cols, probs) // small-collect fast path
+    cols.foreach { c =>
+      assert(a(c) == b(c), s"select != sort for $c")
+      assert(fast(c) == b(c), s"small-collect path != sort for $c")
+    }
   }
 }
