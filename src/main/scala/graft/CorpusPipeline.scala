@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus funnel: the composition a real training-data
+  * job runs, built from the same oracle-checked operators the driver
+  * contract exercises individually —
+  *
+  *   exact dedup → near-dup removal (MinHash-LSH candidates, Jaccard
+  *   verify) → quality filter → language filter → deterministic stratified
+  *   sample → token counting
+  *
+  * Returns the surviving corpus plus per-stage row counts. Scale posture:
+  * no stage collects the corpus; dedup drops are anti-joins against the
+  * (small) verified-duplicate list; sampling and scoring are map-only; the
+  * stage stats cost one count() per stage.
+  */
+object CorpusPipeline {
+
+  /** Per-stage surviving row count, in funnel order. */
+  case class StageStat(stage: String, rows: Long)
+
+  def run(spark: SparkSession, dir: String,
+          langs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
+          sampleRate: Int = 50): (DataFrame, Seq[StageStat]) = {
+    val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]
+    def stage(name: String)(df: DataFrame): DataFrame = {
+      stats += StageStat(name, df.count())
+      df
+    }
+    val docs = stage("input")(Tables.documents(spark, dir))
+
+    // 1. exact dedup: keep the smallest doc_id per identical text
+    val exactKeep = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+    val exact = stage("exact_dedup")(
+      docs.join(exactKeep.select("doc_id"), Seq("doc_id"), "left_semi"))
+
+    // 2. near-dup removal: LSH candidates verified by Jaccard >= 0.5 (the
+    // oracle-checked q_dedup_jaccard); drop the larger id of each pair
+    val dupPairs = operators.Dedup.queries("q_dedup_jaccard")(spark, dir)
+      .select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct()
+    val nearDeduped = stage("near_dedup")(
+      exact.join(dupPairs, Seq("doc_id"), "left_anti"))
+
+    // 3. quality filter: length band + digit-density cap (map-only)
+    val digitRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+      greatest(length(col("text")), lit(1))
+    val quality = stage("quality_filter")(
+      nearDeduped.filter(col("n_chars") >= 20 && digitRatio < 0.3))
+
+    // 4. language filter on the metadata column
+    val langFiltered = stage("lang_filter")(quality.filter(col("lang").isin(langs: _*)))
+
+    // 5. deterministic stratified hash sample (reproducible at any scale)
+    val sampled = stage("sample")(langFiltered.filter(
+      conv(substring(md5(concat(lit("corpus|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 100 < sampleRate))
+
+    // 6. BPE-ish token counting (regexp word pieces), carried as a column
+    val out = stage("tokenized")(sampled.withColumn("n_tokens",
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|\\S"), lit(0)))))
+    (out, stats.toSeq)
+  }
+}

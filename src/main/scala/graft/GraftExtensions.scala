@@ -25,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bucketize"),
       new ExpressionInfo(classOf[BucketizeExpr].getName, "graft_bucketize"),
       (exprs: Seq[Expression]) => GraftExtensions.buildBucketize(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProductExpr].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_dot(arrayA, arrayB) expects 2 arguments")
+        graft.functions.DotProductExpr(exprs.head, exprs(1))
+      }))
   }
 }
 

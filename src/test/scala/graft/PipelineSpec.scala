@@ -38,4 +38,14 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(out == Seq(0, 1, 3))
   }
+
+  test("graft_dot is callable from SQL via extensions") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => graft.functions.DotProductExpr(exprs.head, exprs(1)), "built-in")
+    val out = spark.sql(
+      """SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
+        |                 CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(out == 11.0)
+  }
 }
