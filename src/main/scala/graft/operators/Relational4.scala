@@ -147,7 +147,32 @@ object Relational4 {
         min(col("value")).as("min_v"), max(col("value")).as("max_v"))
       .orderBy("measure")
 
+  /** Explicit cross join of two small dimensions (the only join type not
+    * yet surfaced; both sides tiny — a deliberate cartesian). */
+  def qCrossJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir).crossJoin(Tables.nation(spark, dir))
+      .select(col("r_name"), col("n_name"),
+        (col("r_regionkey") === col("n_regionkey")).as("same_region"))
+      .orderBy("r_name", "n_name")
+
+  /** LATERAL correlated subquery (SQL surface): per customer, the top order
+    * by a correlated inner query — Catalyst decorrelates into a join. */
+  def qLateralJoin(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_c_lat")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_o_lat")
+    spark.sql(
+      """SELECT c.c_custkey, t.best_price, t.n_orders
+        |FROM graft_c_lat c,
+        |LATERAL (SELECT MAX(o_totalprice) AS best_price,
+        |                CAST(COUNT(*) AS BIGINT) AS n_orders
+        |         FROM graft_o_lat o WHERE o.o_custkey = c.c_custkey) t
+        |WHERE t.n_orders > 0
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cross_join" -> qCrossJoin,
+    "q_lateral_join" -> qLateralJoin,
     "q_unpivot" -> qUnpivot,
     "q_outer_join" -> qOuterJoin,
     "q_collect_list" -> qCollectList,
@@ -159,6 +184,17 @@ object Relational4 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_cross_join" ->
+      """SELECT r_name, n_name, r_regionkey = n_regionkey AS same_region
+        |FROM region CROSS JOIN nation ORDER BY r_name, n_name""".stripMargin,
+    "q_lateral_join" ->
+      """SELECT c.c_custkey, t.best_price, t.n_orders
+        |FROM customer c,
+        |LATERAL (SELECT MAX(o_totalprice) AS best_price,
+        |                CAST(COUNT(*) AS BIGINT) AS n_orders
+        |         FROM orders o WHERE o.o_custkey = c.c_custkey) t
+        |WHERE t.n_orders > 0
+        |ORDER BY c.c_custkey""".stripMargin,
     "q_unpivot" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
