@@ -58,6 +58,21 @@ object PipelineOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** The NATIVE session_window aggregate (batch form of the streaming
+    * operator), oracle-checked against the first-principles gap-and-island
+    * SQL of [[qSessionize]]: merged sessions per user at a 30-min gap,
+    * window end = last event + gap. */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
   /** Deterministic hash sampling (20% of documents): keep rows whose
     * md5-derived bucket (first 16 bits, mod 100) falls under the rate.
     * Reproducible across engines, reruns and cluster sizes; map-only. */
@@ -182,6 +197,7 @@ object PipelineOps {
     "q_char_entropy" -> qCharEntropy,
     "q_sample_stratified" -> qSampleStratified,
     "q_sessionize" -> qSessionize,
+    "q_session_window" -> qSessionWindow,
     "q_sample_hash" -> qSampleHash,
     "q_bpe_pairs" -> qBpePairs,
     "q_tfidf" -> qTfidf,
@@ -212,6 +228,21 @@ object PipelineOps {
          |SELECT doc_id, source, CAST($hex16Sql % 100 AS BIGINT) AS h
          |FROM h WHERE $hex16Sql % 100 < CASE WHEN source = 'src0' THEN 10 ELSE 25 END
          |ORDER BY doc_id""".stripMargin,
+    "q_session_window" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+         |g AS (
+         |  SELECT *, CASE WHEN LAG(ts_us, 1) OVER w IS NULL
+         |      OR ts_us - LAG(ts_us, 1) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS is_new
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         |s AS (
+         |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM g)
+         |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) + $SessionGapUs AS end_us,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "q_sessionize" ->
       s"""WITH ev AS (
          |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
