@@ -25,7 +25,13 @@ object CorpusPipeline {
           langs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
           sampleRate: Int = 50): (DataFrame, Seq[StageStat]) = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // each stage is persisted before counting so the stats cost one count
+    // per stage instead of re-executing the whole upstream funnel each time
+    // (intermediates are released once the funnel is materialized)
     def stage(name: String)(df: DataFrame): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += df
       stats += StageStat(name, df.count())
       df
     }
@@ -61,6 +67,8 @@ object CorpusPipeline {
     // 6. BPE-ish token counting (regexp word pieces), carried as a column
     val out = stage("tokenized")(sampled.withColumn("n_tokens",
       size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|\\S"), lit(0)))))
+    // the final stage stays cached (callers consume it); upstreams released
+    cached.dropRight(1).foreach(_.unpersist(blocking = false))
     (out, stats.toSeq)
   }
 }

@@ -28,14 +28,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[graft.functions.DotProductExpr].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, "graft_dot(arrayA, arrayB) expects 2 arguments")
-        graft.functions.DotProductExpr(exprs.head, exprs(1))
-      }))
+      (exprs: Seq[Expression]) => GraftExtensions.buildDot(exprs)))
   }
 }
 
 object GraftExtensions {
+  private[graft] def buildDot(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "graft_dot(arrayA, arrayB) expects 2 arguments")
+    graft.functions.DotProductExpr(exprs.head, exprs(1))
+  }
+
   private[graft] def buildBucketize(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3,
       "graft_bucketize(value, boundsArrayLiteral, binsLiteral) expects 3 arguments")

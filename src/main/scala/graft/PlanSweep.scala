@@ -16,9 +16,10 @@ object PlanSweep {
       try {
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
         val flags = Seq(
+          // the non-broadcast nested-loop form in Spark IS CartesianProduct
           "CartesianProduct" -> plan.contains("CartesianProduct"),
-          "NLJoin-nonBroadcast" -> (plan.contains("NestedLoopJoin") && !plan.contains("BroadcastNestedLoopJoin")),
-          "GlobalWindow" -> (plan.contains("Window [") && plan.contains("windowspecdefinition()")),
+          // a window/sort with no partitioning funnels through one partition
+          "SinglePartitionExchange" -> plan.contains("Exchange SinglePartition"),
           "SortMergeJoin" -> plan.contains("SortMergeJoin")
         ).filter(_._2).map(_._1)
         if (flags.nonEmpty) println(s"$name: ${flags.mkString(", ")}")

@@ -2,7 +2,8 @@ package graft
 /** Reference-scale pipeline benchmark (the reference's own workload:
   * 10M rows x 20 cols, 100 bins — /root/reference/etl_benchmark.py:10-11).
   * `tools/run.sh graft.RefBench [approx]` prints per-stage timings for the
-  * exact (sort-based) or approximate (Greenwald-Khanna) boundary path. */
+  * exact (selection-based, Tokenize.quantileBoundsSelect) or approximate
+  * (Greenwald-Khanna) boundary path. */
 object RefBench {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

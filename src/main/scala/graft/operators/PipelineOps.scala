@@ -165,9 +165,12 @@ object PipelineOps {
     * in bits — the identical formula on both engines; float sum order
     * differences are ~1e-15, far inside the 4-decimal rounding. */
   def qCharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    // regexp '.' matches one CODE POINT (so astral-plane chars stay whole,
+    // matching DuckDB's per-character string_split) where split(text, "")
+    // would emit two unpaired UTF-16 surrogate halves; (?s) covers newlines
     val counts = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
-      .filter(col("c") =!= "") // Spark's empty-regex split emits a trailing ""
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("(?s)."), lit(0))).as("c"))
       .groupBy("doc_id", "c")
       .agg(count(lit(1)).cast("double").as("cnt"))
     counts.groupBy("doc_id")

@@ -218,9 +218,13 @@ object Tokenize {
     val spark = df.sparkSession
     val sc = spark.sparkContext
     val k = cols.size
-    val countRow = df.agg(count(col(cols.head)).as(cols.head),
-      cols.tail.map(c => count(col(c)).as(c)): _*).head()
-    val counts: Array[Long] = cols.indices.map(countRow.getLong).toArray
+    // one aggregation job: per-column non-null counts AND the total row
+    // count — collect/sample sizing must use TOTAL rows (a mostly-null wide
+    // input can have tiny non-null counts but still be huge to collect)
+    val countRow = df.agg(count(lit(1)).as("__total"),
+      cols.map(c => count(col(c)).as(c)): _*).head()
+    val totalRows = countRow.getLong(0)
+    val counts: Array[Long] = cols.indices.map(i => countRow.getLong(i + 1)).toArray
     cols.indices.foreach(i =>
       require(counts(i) > 0, s"quantileBoundsSelect: no non-null values in ${cols(i)}"))
     val positions: Array[Seq[(Long, Long, Double)]] = cols.indices.map { ci =>
@@ -234,7 +238,7 @@ object Tokenize {
     val proj = df.select(cols.map(c => col(c).cast("double")): _*)
     // small inputs: one collect, driver-side sorts — the bucket machinery's
     // extra jobs cost more than they save under ~1M rows
-    if (counts.max <= smallCollect) {
+    if (totalRows <= smallCollect) {
       val rows = proj.collect()
       return cols.indices.map { ci =>
         val vs = rows.iterator.filterNot(_.isNullAt(ci)).map(_.getDouble(ci)).toArray
@@ -248,7 +252,7 @@ object Tokenize {
     }
     // sample-derived split points (sorted, distinct) per column; the sample
     // only steers bucket granularity — positions stay exact regardless
-    val frac = math.min(1.0, sampleSize.toDouble / counts.max)
+    val frac = math.min(1.0, sampleSize.toDouble / totalRows)
     val sampleRows = proj.sample(withReplacement = false, frac, seed = 42).collect()
     val splits: Array[Array[Double]] = cols.indices.map { ci =>
       val vs = sampleRows.iterator.filterNot(_.isNullAt(ci)).map(_.getDouble(ci)).toArray

@@ -41,7 +41,7 @@ class PipelineSpec extends SparkSpec {
 
   test("graft_dot is callable from SQL via extensions") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => graft.functions.DotProductExpr(exprs.head, exprs(1)), "built-in")
+      "graft_dot", exprs => GraftExtensions.buildDot(exprs), "built-in")
     val out = spark.sql(
       """SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
         |                 CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d""".stripMargin)
