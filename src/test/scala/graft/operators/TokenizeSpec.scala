@@ -136,4 +136,18 @@ class TokenizeSpec extends SparkSpec {
       assert(fast(c) == b(c), s"small-collect path != sort for $c")
     }
   }
+
+  test("selection quantiles size their collects by total rows, not non-null counts") {
+    import org.apache.spark.sql.functions._
+    // 200k rows but only ~2k non-null per column: sizing by the non-null
+    // count would collect (or sample) the whole table
+    val df = spark.range(200000).select(
+      when(pmod(col("id"), lit(100)) === 0, col("id").cast("double")).as("a"),
+      when(pmod(col("id"), lit(100)) === 50, (col("id") * 2).cast("double")).as("b"))
+    val probs = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val sel = quantileBoundsSelect(df, Seq("a", "b"), probs,
+      numBuckets = 16, smallCollect = 10000, maxCollect = 100000)
+    val exact = quantileBoundsExact(df, Seq("a", "b"), probs)
+    Seq("a", "b").foreach(c => assert(sel(c) == exact(c), s"mostly-null $c"))
+  }
 }
