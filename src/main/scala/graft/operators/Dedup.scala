@@ -119,8 +119,19 @@ object Dedup {
   private def wordHash16(c: Column): Column =
     conv(substring(md5(c), 1, 4), 16, 10).cast("long")
 
+  /** Hamming-pigeonhole segments of the 16-bit simhash: 5 segments of
+    * 4+3+3+3+3 bits. Hamming distance <= 4 flips at most 4 segments, so at
+    * least one segment is bit-identical — candidate pairs are an EQUI-JOIN
+    * on (source, segment_idx, segment_bits), never an all-pairs block join. */
+  private val SimhashSegments: Seq[(Int, Int)] = Seq((0, 4), (4, 3), (7, 3), (10, 3), (13, 3))
+
   /** SimHash16 per doc + near-dup pairs at Hamming distance <= 4 within the
-    * same source block. */
+    * same source block. Candidate generation is banded (same shape as the
+    * MinHash band join above): each doc emits one row per simhash segment,
+    * pairs sharing any (source, segment) equi-join, duplicates from
+    * multi-segment matches collapse with a distinct, and the Hamming
+    * verify runs on candidates only — within-source cost is O(matches),
+    * not O(m²) per source block. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val exploded = d.select(col("doc_id"), col("source"),
@@ -133,12 +144,20 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         (0 until 16).map(bit => when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
-    val a = sim.as("a")
-    val b = sim.as("b")
-    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+    val segCols = SimhashSegments.map { case (off, len) =>
+      shiftright(col("simhash"), off).bitwiseAND(lit((1 << len) - 1))
+    }
+    val segRows = sim.select(col("doc_id"), col("source"), col("simhash"),
+      posexplode(array(segCols: _*)).as(Seq("seg_idx", "seg_bits")))
+    val a = segRows.as("a")
+    val b = segRows.as("b")
+    a.join(b, col("a.source") === col("b.source") &&
+        col("a.seg_idx") === col("b.seg_idx") && col("a.seg_bits") === col("b.seg_bits") &&
+        col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= 4)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

@@ -73,15 +73,20 @@ object Relational4 {
   }
 
   /** Distribution window functions: percent_rank / cume_dist / ntile over
-    * per-status price order (unique tiebreak => deterministic doubles). */
+    * per-customer price order (unique tiebreak => deterministic doubles).
+    * Partition key is the HIGH-cardinality o_custkey: percent_rank needs a
+    * total order within each partition, so a low-cardinality key (e.g. the
+    * 3-value o_orderstatus) would funnel the whole table through 3
+    * single-task sorts — per-customer partitions shuffle evenly and each
+    * sort is a few rows. */
   def qWindowDist(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
     Tables.orders(spark, dir)
-      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         round(percent_rank().over(w), 6).as("pct_rank"),
         round(cume_dist().over(w), 6).as("cume"),
         ntile(4).over(w).as("quartile"))
-      .orderBy("o_orderstatus", "o_orderkey")
+      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** Edit-distance near-duplicate part names, blocked by (brand, size):
@@ -246,13 +251,13 @@ object Relational4 {
         |  MAX(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT) THEN l_extendedprice END) AS p75
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_window_dist" ->
-      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      """SELECT o_custkey, o_orderkey, o_totalprice,
         |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
         |  round(CUME_DIST() OVER w, 6) AS cume,
         |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_fuzzy_pairs" ->
       """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
         |  a.p_name AS name_a, b.p_name AS name_b,

@@ -79,14 +79,17 @@ object Similarity {
 
   /** LSH bucket assignment + bucket occupancy: map-only 8-bit bucket id per
     * vector; the bucket histogram shows the partition-pruning structure a
-    * 100 TB ANN probe would use. */
+    * 100 TB ANN probe would use. Occupancy is a groupBy (map-side combined,
+    * 256 tiny rows) broadcast-joined back — not a count-over-window, which
+    * would shuffle every vector into 256 bucket partitions. */
   def qAnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val bucket = (0 until NPlanes)
       .map(p => when(projection(p) > 0, lit(1 << p)).otherwise(0))
       .reduce(_ + _)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), bucket.as("bucket"))
-    val w = Window.partitionBy("bucket")
-    e.withColumn("bucket_n", count(lit(1)).over(w).cast("long"))
+    val occ = e.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    e.join(broadcast(occ), "bucket")
+      .select(col("vec_id"), col("bucket"), col("bucket_n"))
       .orderBy("vec_id")
   }
 

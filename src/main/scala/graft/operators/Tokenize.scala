@@ -66,56 +66,86 @@ object Tokenize {
     df.select(outKeys ++ tokens: _*).orderBy(outOrder: _*)
   }
 
-  /** Distributed exact rank tokenizer — same token multiset as
-    * [[tokenizeRank]] (proved by equality spec) but with no
-    * single-partition window: rows get a persistent synthetic row id, each
-    * column gets a range-partitioned (parallel) sort, global positions come
-    * from zipWithIndex, token = the NTILE bucket formula of the position,
-    * and columns join back on the row id (the natural keys are not unique).
-    * This is the shape that survives a 1000-executor cluster; the window
-    * formulation is kept as the compact oracle-fidelity reference. */
+  /** Distributed exact rank tokenizer — same tokens as [[tokenizeRank]]
+    * (proved by equality spec) with NO single-partition window anywhere:
+    *
+    *  1. '''melt''': one codegen'd Expand pass turns each row into |cols|
+    *     records (col_idx, value, full tiebreak) — a single dataset instead
+    *     of |cols| separate column jobs;
+    *  2. '''one range-partitioned sort''' by (col_idx, value, tiebreak…) —
+    *     Spark samples split points and spreads the |cols|·n records over
+    *     every core (col blocks are contiguous in the global order);
+    *  3. global positions from zipWithIndex over the persisted sorted RDD;
+    *     each record's in-column position is pos − col_idx·n, and its token
+    *     is the NTILE bucket formula of that position;
+    *  4. '''group-pivot''' back to one row per tiebreak tuple (max-when per
+    *     col_idx) — a hash aggregation, NOT a row-id join.
+    *
+    * vs the window form: the only global structure is one parallel sort of
+    * the melted records; nothing ever funnels through a single partition.
+    * This is the contract `q_tokenize_rank` plan; the window form is kept
+    * as the compact oracle-fidelity reference.
+    *
+    * Requirement: `tiebreak` must be a KEY (unique tuple) — it already had
+    * to be a total order for the tokens to be deterministic, and the pivot
+    * additionally relies on it to identify rows. (In the driver corpus
+    * (l_orderkey, l_linenumber) alone is ~23% duplicated, but keys ++ all
+    * four measures is unique.) Nulls sort first within a column block,
+    * matching the window form's NULLS FIRST ntile order. */
   def tokenizeRankDistributed(df: DataFrame, cols: Seq[String], tiebreak: Seq[String],
                               bins: Int = DefaultBins): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    val spark = df.sparkSession
-    // persist so every column job sees the SAME row ids
-    val withId = df.withColumn("__rid", monotonically_increasing_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.storage.StorageLevel
+    val k = cols.size
+    val ci = cols.zipWithIndex.tail.foldLeft(when(col("__c") === cols.head, 0)) {
+      case (acc, (c, i)) => acc.when(col("__c") === c, i)
+    }
+    val melted = df
+      .unpivot(tiebreak.map(col).toArray, cols.map(col).toArray, "__c", "__v")
+      .select(ci.as("__ci") +: col("__v").cast("double").as("__v") +: tiebreak.map(col): _*)
+    val sorted = melted
+      .orderBy(col("__ci") +: col("__v") +: tiebreak.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = withId.count()
+      // one pass over the cached sort: per-partition row counts -> global
+      // offsets (range-sort partitions are ordered by pid). k·n tiny rows
+      // of shuffle; n falls out for free (no separate count job).
+      val pidCounts = sorted.groupBy(spark_partition_id().as("__pid")).count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = pidCounts.map(_._2).sum / k
       // NTILE semantics: first (n % bins) buckets have size n/bins + 1
       val base = n / bins
       val extra = n % bins
-      def tokenOf(pos: Long): Int = {
-        val cutoff = extra * (base + 1)
-        if (pos < cutoff) (pos / (base + 1)).toInt else (extra + (pos - cutoff) / base).toInt
+      val cutoff = extra * (base + 1)
+      val offsets: Map[Int, Long] = {
+        var acc = 0L
+        pidCounts.map { case (p, c) => val o = p -> acc; acc += c; o }.toMap
       }
-      val perCol = cols.map { c =>
-        val sorted = withId.select(col(c) +: (tiebreak.map(col) :+ col("__rid")): _*)
-          .sort(col(c) +: tiebreak.map(col): _*)
-          .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        try {
-          val ridIdx = 1 + tiebreak.size
-          val schema = StructType(Seq(
-            StructField("__rid", LongType, nullable = false),
-            StructField(s"${c}_token", IntegerType, nullable = false)))
-          val out = spark.createDataFrame(
-            sorted.zipWithIndex().map { case (r, pos) =>
-              Row(r.getLong(ridIdx), tokenOf(pos))
-            }, schema)
-          out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          out.count() // materialize before releasing the sorted parent
-          out
-        } finally sorted.unpersist(blocking = false)
+      // exact integer division on long-valued doubles: (a - a%b)/b has an
+      // exactly-divisible numerator, so the double division is exact
+      def idiv(a: Column, b: Long): Column = ((a - a % b) / b).cast("long")
+      // global sort position from the cached partition layout: offset of
+      // this partition + the partition-local record number that
+      // monotonically_increasing_id carries in its low 33 bits — all
+      // codegen'd, no zipWithIndex jobs, no Row conversion.
+      val pos = element_at(typedlit(offsets), spark_partition_id()) +
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) -
+        col("__ci").cast("long") * n
+      val tok = when(pos < cutoff, idiv(pos, base + 1))
+        .otherwise(lit(extra) + idiv(pos - cutoff, base)).cast("int")
+      val pivots = cols.zipWithIndex.map { case (c, i) =>
+        max(when(col("__ci") === i, col("__tok"))).as(s"${c}_token")
       }
-      val keyDf = withId.select(col("__rid") +: tiebreak.filterNot(cols.contains).map(col): _*)
-      val outKeys = tiebreak.filterNot(cols.contains)
-      val outOrder = (outKeys ++ cols.map(c => s"${c}_token")).map(col)
-      perCol.foldLeft(keyDf)((acc, t) => acc.join(t, "__rid"))
-        .drop("__rid")
-        .orderBy(outOrder: _*)
-    } finally withId.unpersist(blocking = false)
+      val outCols = (tiebreak.filterNot(cols.contains) ++ cols.map(c => s"${c}_token")).map(col)
+      // eager localCheckpoint: materializes the (small) pivoted result so
+      // the sort cache can be released deterministically before returning;
+      // the checkpoint blocks are reclaimed by ContextCleaner on GC
+      val pivoted = sorted.withColumn("__tok", tok)
+        .groupBy(tiebreak.map(col): _*)
+        .agg(pivots.head, pivots.tail: _*)
+        .select(outCols: _*)
+        .localCheckpoint(true)
+      pivoted.orderBy(outCols: _*)
+    } finally sorted.unpersist(blocking = false)
   }
 
   /** Inner quantile probabilities 1/bins … (bins-1)/bins. */
@@ -413,7 +443,11 @@ object Tokenize {
   /** Driver-contract queries (SparkEntry). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tokenize_rank" -> { (spark, dir) =>
-      tokenizeRank(graft.Tables.lineitem(spark, dir), LineitemCols, LineitemKeys ++ LineitemCols)
+      // contract plan = the distributed formulation (no single-partition
+      // window); tiebreak keys ++ all measures is a unique tuple in the
+      // driver corpus (FIXTURES.md), as the pivot requires
+      tokenizeRankDistributed(graft.Tables.lineitem(spark, dir), LineitemCols,
+        LineitemKeys ++ LineitemCols)
     },
     "q_quantile_bounds" -> { (spark, dir) =>
       // (col_name, p_idx 0..100, boundary) rows — the exact shape of the

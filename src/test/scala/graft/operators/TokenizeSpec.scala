@@ -65,12 +65,17 @@ class TokenizeSpec extends SparkSpec {
   }
 
   test("distributed rank tokenizer equals the window formulation") {
+    // the contract shape: tiebreak = keys ++ ALL measures (a unique tuple —
+    // required by the distributed pivot, and required anyway for the window
+    // form's tokens to be deterministic)
     val li = graft.Tables.lineitem(spark, sf)
-    val a = Tokenize.tokenizeRank(li, Seq("l_quantity", "l_discount"), Tokenize.LineitemKeys)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).sorted
-    val b = Tokenize.tokenizeRankDistributed(li, Seq("l_quantity", "l_discount"), Tokenize.LineitemKeys)
-      .select("l_orderkey", "l_linenumber", "l_quantity_token", "l_discount_token")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).sorted
+    val tiebreak = Tokenize.LineitemKeys ++ Tokenize.LineitemCols
+    val outCols = Seq("l_orderkey", "l_linenumber") ++
+      Tokenize.LineitemCols.map(c => s"${c}_token")
+    val a = Tokenize.tokenizeRank(li, Tokenize.LineitemCols, tiebreak)
+      .select(outCols.map(col): _*).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val b = Tokenize.tokenizeRankDistributed(li, Tokenize.LineitemCols, tiebreak)
+      .select(outCols.map(col): _*).collect().map(_.toSeq).sortBy(_.mkString("|"))
     assert(a.length == b.length && a.toSeq == b.toSeq)
   }
 
