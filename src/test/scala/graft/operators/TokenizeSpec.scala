@@ -79,6 +79,25 @@ class TokenizeSpec extends SparkSpec {
     assert(a.length == b.length && a.toSeq == b.toSeq)
   }
 
+  test("selection rank tokenizer equals the window formulation (incl. tie-heavy cols)") {
+    // l_quantity/l_discount are massively tied (50/11 distinct values), so
+    // NTILE boundaries fall INSIDE tie groups and the composite-key
+    // selection must split ties exactly as the window's total order does.
+    // Exercise the distributed gather path too (tiny maxCollect).
+    val li = graft.Tables.lineitem(spark, sf)
+    val tiebreak = Tokenize.LineitemKeys ++ Tokenize.LineitemCols
+    val outCols = Seq("l_orderkey", "l_linenumber") ++
+      Tokenize.LineitemCols.map(c => s"${c}_token")
+    val a = Tokenize.tokenizeRank(li, Tokenize.LineitemCols, tiebreak)
+      .select(outCols.map(col): _*).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    for (maxCollect <- Seq(64000000L, 8L)) {
+      val b = Tokenize.tokenizeRankSelect(li, Tokenize.LineitemCols, tiebreak,
+          numBuckets = 64, sampleSize = 500, maxCollect = maxCollect)
+        .select(outCols.map(col): _*).collect().map(_.toSeq).sortBy(_.mkString("|"))
+      assert(a.length == b.length && a.toSeq == b.toSeq, s"maxCollect=$maxCollect")
+    }
+  }
+
   test("exact sort-based quantiles match builtin percentile") {
     val probs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
     val mine = quantileBoundsExact(randDf, Seq("col_0"), probs)("col_0")
