@@ -138,18 +138,22 @@ object Relational3 {
       .orderBy("l_returnflag")
   }
 
-  /** Exact per-group median without the (slow, non-codegen) builtin
-    * percentile aggregate: total-order rank + middle-row average — a pure
-    * window/agg formulation that scales as one shuffle by group key. */
+  /** Exact per-group median via rank selection ([[GroupedQuantiles]]) —
+    * NO per-group total sort: a 3-value partition key would funnel the
+    * whole fact table into 3 single-task window sorts. Instead the two
+    * middle ranks per group are located with histogram passes and only
+    * candidate-bucket values are ever gathered. The oracle stays the
+    * window/rank SQL formulation — same values, different plan. */
   def qGroupMedian(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
-      .groupBy("l_returnflag")
-      .agg(max(col("n")).as("n"), round(avg(col("l_extendedprice")), 6).as("median_price"))
+    import spark.implicits._
+    val res = GroupedQuantiles.selectByRank(
+      Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice",
+      ranksOf = n => Seq((n + 1) / 2 - 1, (n + 2) / 2 - 1))
+    res.toSeq.map { case (key, (n, byRank)) =>
+      val ps = Seq((n + 1) / 2 - 1, (n + 2) / 2 - 1).distinct
+      val med = ps.map(byRank).sum / ps.size
+      (key.asInstanceOf[String], n, Tokenize.round6d(med))
+    }.toDF("l_returnflag", "n", "median_price")
       .orderBy("l_returnflag")
   }
 

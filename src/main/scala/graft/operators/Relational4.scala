@@ -57,18 +57,20 @@ object Relational4 {
 
   /** Discrete percentiles (the value AT the quantile rank, never
     * interpolated): p25/p50/p75 of extended price per return flag.
-    * percentile_disc(p) = value at rank ceil(p * n). */
+    * percentile_disc(p) = value at rank ceil(p * n), located by per-group
+    * rank selection ([[GroupedQuantiles]]) — no 3-partition full-table
+    * window sort; the rank's value is tiebreak-independent, so the oracle
+    * stays the window/rank SQL formulation. */
   def qPercentileDisc(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val n = Window.partitionBy("l_returnflag")
-    def pick(p: Double): Column =
-      max(when(col("rn") === ceil(lit(p) * col("cnt")).cast("long"), col("l_extendedprice")))
-    Tables.lineitem(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(n))
-      .groupBy("l_returnflag")
-      .agg(pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"))
+    import spark.implicits._
+    def ranks(n: Long): Seq[Long] =
+      Seq(0.25, 0.5, 0.75).map(p => math.ceil(p * n).toLong - 1)
+    val res = GroupedQuantiles.selectByRank(
+      Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice", ranks)
+    res.toSeq.map { case (key, (n, byRank)) =>
+      val Seq(p25, p50, p75) = ranks(n).map(byRank)
+      (key.asInstanceOf[String], p25, p50, p75)
+    }.toDF("l_returnflag", "p25", "p50", "p75")
       .orderBy("l_returnflag")
   }
 
