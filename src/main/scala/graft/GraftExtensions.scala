@@ -39,8 +39,8 @@ object GraftExtensions {
   }
 
   private[graft] def buildBucketize(exprs: Seq[Expression]): Expression = {
-    require(exprs.length == 3,
-      "graft_bucketize(value, boundsArrayLiteral, binsLiteral) expects 3 arguments")
+    require(exprs.length == 3 || exprs.length == 4,
+      "graft_bucketize(value, boundsArrayLiteral, binsLiteral[, rightClosed]) expects 3-4 arguments")
     val bounds = exprs(1) match {
       case f if f.foldable && f.dataType.isInstanceOf[ArrayType] =>
         // SQL numeric array literals parse as decimal arrays under ANSI —
@@ -56,7 +56,13 @@ object GraftExtensions {
       case f if f.foldable => f.eval().asInstanceOf[Number].intValue()
       case other => throw new IllegalArgumentException(s"bins must be a literal, got $other")
     }
+    val rightClosed = if (exprs.length < 4) true else exprs(3) match {
+      case Literal(v: Boolean, _) => v
+      case f if f.foldable => f.eval().asInstanceOf[Boolean]
+      case other => throw new IllegalArgumentException(s"rightClosed must be a literal, got $other")
+    }
     BucketizeExpr(
-      org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, DoubleType), bounds, bins)
+      org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, DoubleType), bounds, bins,
+      rightClosed)
   }
 }

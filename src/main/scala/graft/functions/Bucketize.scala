@@ -9,9 +9,16 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
 /** `token(v) = clamp(#{b in bounds : b < v}, 0, bins-1)` via binary search
   * over a constant sorted boundary array — the Spark-native analog of
   * `torch.bucketize(v, boundaries) - 1` + clamp
-  * (/root/reference/etl_benchmark.py:76-82). A value equal to a boundary goes
-  * to the lower bin (strict `b < v` count), i.e. right-closed intervals,
-  * matching `torch.bucketize(right=False)`.
+  * (/root/reference/etl_benchmark.py:76-82).
+  *
+  * Closure convention (SURVEY §2A fine print 1) — the reference ships BOTH:
+  *  - `rightClosed = true` (default): a value equal to a boundary goes to
+  *    the LOWER bin (strict `b < v` count), matching
+  *    `torch.bucketize(right=False) - 1` (etl_benchmark.py:79);
+  *  - `rightClosed = false`: boundary-equal values go to the UPPER bin
+  *    (`b <= v` count), matching the Numba kernel's `val < thresholds[i]`
+  *    first-hit search (etl_benchmark_numba.py:47) and
+  *    `ml.feature.Bucketizer`'s left-closed intervals.
   *
   * Why a custom Catalyst expression (SURVEY §7): the composable alternative
   * `size(filter(boundsLit, b -> v > b))` is a higher-order function that is
@@ -24,7 +31,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * result the HOF formulation yields; the reference has no NaN policy
   * (SURVEY §2A fine print), ours is explicit and total.
   */
-case class BucketizeExpr(child: Expression, bounds: Seq[Double], bins: Int)
+case class BucketizeExpr(child: Expression, bounds: Seq[Double], bins: Int,
+                         rightClosed: Boolean = true)
     extends UnaryExpression {
 
   private lazy val arr: Array[Double] = bounds.toArray
@@ -33,20 +41,22 @@ case class BucketizeExpr(child: Expression, bounds: Seq[Double], bins: Int)
   override def prettyName: String = "graft_bucketize"
 
   override def nullSafeEval(input: Any): Any =
-    BucketizeExpr.search(arr, input.asInstanceOf[Double], bins)
+    if (rightClosed) BucketizeExpr.search(arr, input.asInstanceOf[Double], bins)
+    else BucketizeExpr.searchRightOpen(arr, input.asInstanceOf[Double], bins)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val b = ctx.addReferenceObj("bounds", arr, "double[]")
     val lo = ctx.freshName("lo")
     val hi = ctx.freshName("hi")
     val mid = ctx.freshName("mid")
+    val cmp = if (rightClosed) "<" else "<="
     nullSafeCodeGen(ctx, ev, v =>
       s"""
          |int $lo = 0;
          |int $hi = $b.length;
          |while ($lo < $hi) {
          |  int $mid = ($lo + $hi) >>> 1;
-         |  if ($b[$mid] < $v) { $lo = $mid + 1; } else { $hi = $mid; }
+         |  if ($b[$mid] $cmp $v) { $lo = $mid + 1; } else { $hi = $mid; }
          |}
          |${ev.value} = $lo > ${bins - 1} ? ${bins - 1} : $lo;
        """.stripMargin)
@@ -57,7 +67,8 @@ case class BucketizeExpr(child: Expression, bounds: Seq[Double], bins: Int)
 }
 
 object BucketizeExpr {
-  /** lower_bound: #bounds strictly less than v, clamped to [0, bins-1]. */
+  /** lower_bound: #bounds strictly less than v, clamped to [0, bins-1]
+    * (right-closed intervals: boundary-equal values take the lower bin). */
   def search(bounds: Array[Double], v: Double, bins: Int): Int = {
     var lo = 0
     var hi = bounds.length
@@ -68,8 +79,21 @@ object BucketizeExpr {
     if (lo > bins - 1) bins - 1 else lo
   }
 
+  /** upper_bound: #bounds <= v, clamped (right-open intervals: boundary-equal
+    * values take the upper bin — the Numba kernel's convention). */
+  def searchRightOpen(bounds: Array[Double], v: Double, bins: Int): Int = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    if (lo > bins - 1) bins - 1 else lo
+  }
+
   /** Column-level API. `bounds` must be sorted ascending; caller must ensure
     * the child column is DoubleType (cast upstream). */
-  def bucketize(c: Column, bounds: Seq[Double], bins: Int): Column =
-    Bridge.column(BucketizeExpr(Bridge.expression(c), bounds, bins))
+  def bucketize(c: Column, bounds: Seq[Double], bins: Int,
+                rightClosed: Boolean = true): Column =
+    Bridge.column(BucketizeExpr(Bridge.expression(c), bounds, bins, rightClosed))
 }

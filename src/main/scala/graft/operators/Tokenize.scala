@@ -607,6 +607,38 @@ object Tokenize {
     if (x.isNaN || x.isInfinite) x
     else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** `pd.qcut(duplicates='drop')` edge semantics (etl_benchmark.py:34): the
+    * full bins+1 quantile EDGES (including min/max), rounded to the shared
+    * 6-decimal grid, with duplicate edges COLLAPSED — on a low-cardinality
+    * column (l_discount: 11 distinct values) many quantile edges coincide
+    * and the surviving bins renumber densely, unlike [[tokenizeByBounds]]
+    * which keeps empty bins (torch semantics). */
+  def qcutDropEdges(df: DataFrame, cols: Seq[String],
+                    bins: Int = DefaultBins): Map[String, Seq[Double]] = {
+    val probs = (0 to bins).map(_.toDouble / bins)
+    quantileBoundsSelect(df, cols, probs)
+      .map { case (c, es) => c -> es.map(round6d).distinct }
+  }
+
+  /** qcut-with-drop tokenizer: token = bin among the COLLAPSED edges.
+    * With edges e_0 < … < e_m, value v gets `#{inner edge < v}` (right
+    * closed, the qcut interval convention; `rightClosed = false` gives the
+    * Numba/Bucketizer left-closed convention instead), clamped to
+    * [0, m-1]. A fully-constant column collapses to a single edge and
+    * tokenizes to bin 0 (explicit policy; pandas returns no bins). */
+  def tokenizeQcutDrop(df: DataFrame, cols: Seq[String], keep: Seq[String],
+                       bins: Int = DefaultBins, rightClosed: Boolean = true,
+                       edgesOverride: Map[String, Seq[Double]] = Map.empty): DataFrame = {
+    val edges = if (edgesOverride.nonEmpty) edgesOverride else qcutDropEdges(df, cols, bins)
+    val tokens = cols.map { c =>
+      val es = edges(c)
+      val inner = es.slice(1, es.size - 1)
+      BucketizeExpr.bucketize(col(c).cast("double"), inner,
+        math.max(es.size - 1, 1), rightClosed).as(s"${c}_token")
+    }
+    df.select(keep.map(col) ++ tokens: _*)
+  }
+
   /** Full two-phase boundary tokenizer over `cols`, keeping `keep` columns. */
   def tokenizeByBounds(df: DataFrame, cols: Seq[String], keep: Seq[String],
                        bins: Int = DefaultBins, approx: Boolean = false): DataFrame = {
@@ -650,6 +682,15 @@ object Tokenize {
       val bounds = cachedLineitemBounds(spark, dir, LineitemCols, DefaultBins)
       val tokens = LineitemCols.map(c => discretize(col(c), bounds(c), DefaultBins).as(s"${c}_token"))
       li.select(LineitemKeys.map(col) ++ tokens: _*)
+        .orderBy((LineitemKeys ++ LineitemCols.map(c => s"${c}_token")).map(col): _*)
+    },
+    "q_tokenize_qcut" -> { (spark, dir) =>
+      // duplicates='drop' collapse on the low-cardinality measures
+      // (l_discount: 11 distinct values -> 11 surviving bins of 100)
+      val li = graft.Tables.lineitem(spark, dir)
+      val edges = boundsCache.getOrElseUpdate((dir + "#qcut", LineitemCols, DefaultBins),
+        qcutDropEdges(li, LineitemCols, DefaultBins))
+      tokenizeQcutDrop(li, LineitemCols, LineitemKeys, edgesOverride = edges)
         .orderBy((LineitemKeys ++ LineitemCols.map(c => s"${c}_token")).map(col): _*)
     },
     "q_token_histogram" -> { (spark, dir) =>
@@ -698,6 +739,17 @@ object Tokenize {
         s"""WITH b AS (SELECT $boundsCtes FROM lineitem)
            |SELECT l.l_orderkey, l.l_linenumber, $bucketizeCols
            |FROM lineitem l CROSS JOIN b ORDER BY $tokenOrder""".stripMargin,
+      "q_tokenize_qcut" -> {
+        val edgeCtes = LineitemCols
+          .map(c => s"list_sort(list_distinct(list_transform(quantile_cont($c, ${probsSql(DefaultBins, inner = false)}), x -> round(x, 6)))) AS e_$c")
+          .mkString(", ")
+        val tokenExprs = LineitemCols
+          .map(c => s"CAST(greatest(least(len(list_filter(e.e_$c[2:-2], x -> l.$c > x)), len(e.e_$c) - 2), 0) AS INTEGER) AS ${c}_token")
+          .mkString(", ")
+        s"""WITH e AS (SELECT $edgeCtes FROM lineitem)
+           |SELECT l.l_orderkey, l.l_linenumber, $tokenExprs
+           |FROM lineitem l CROSS JOIN e ORDER BY $tokenOrder""".stripMargin
+      },
       "q_token_histogram" ->
         s"""WITH b AS (SELECT list_transform(quantile_cont(l_extendedprice, ${probsSql(DefaultBins, inner = true)}), x -> round(x, 6)) AS bs FROM lineitem),
            |t AS (SELECT CAST(least(greatest(len(list_filter(b.bs, x -> l.l_extendedprice > x)), 0), 99) AS INTEGER) AS token

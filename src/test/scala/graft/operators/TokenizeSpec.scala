@@ -45,6 +45,52 @@ class TokenizeSpec extends SparkSpec {
     assert(toks.toSeq == Seq(0))
   }
 
+  test("closure conventions: boundary-equal values split lower vs upper bin") {
+    // right-closed (torch.bucketize(right=False)-1): v == bound -> lower;
+    // right-open (Numba `val < thresholds` first hit): v == bound -> upper
+    val bounds = Array(1.0, 2.0, 2.0, 3.5)
+    val cases = Seq(
+      0.5 -> (0, 0), 1.0 -> (0, 1), 1.5 -> (1, 1), 2.0 -> (1, 3),
+      3.0 -> (3, 3), 3.5 -> (3, 4), 9.9 -> (4, 4))
+    cases.foreach { case (v, (closed, open)) =>
+      assert(BucketizeExpr.search(bounds, v, 100) == closed, s"closed v=$v")
+      assert(BucketizeExpr.searchRightOpen(bounds, v, 100) == open, s"open v=$v")
+    }
+    // exhaustive agreement between codegen and interpreted for both modes,
+    // on a grid that lands exactly on every boundary
+    val df = spark.range(80).select((col("id") / 10.0).as("v"))
+    Seq(true, false).foreach { rc =>
+      val out = df.select(col("v"),
+        BucketizeExpr.bucketize(col("v"), bounds.toSeq, 100, rc).as("t")).collect()
+      out.foreach { r =>
+        val expected =
+          if (rc) BucketizeExpr.search(bounds, r.getDouble(0), 100)
+          else BucketizeExpr.searchRightOpen(bounds, r.getDouble(0), 100)
+        assert(r.getInt(1) == expected, s"rc=$rc v=${r.getDouble(0)}")
+      }
+    }
+  }
+
+  test("qcut duplicates='drop' collapses duplicate edges like QuantileDiscretizer") {
+    // low-cardinality 1-decimal grid: quantile edges land ON data values and
+    // interpolation positions sit inside tie runs, so dropped-duplicate
+    // edges equal QuantileDiscretizer's (relativeError=0) collapsed splits.
+    // Its Bucketizer intervals are left-closed => compare rightClosed=false.
+    val df = spark.range(20000)
+      .select(col("id"), (floor(randn(7) * 1.5) / 10.0).as("v"))
+    val ours = tokenizeQcutDrop(df, Seq("v"), Seq("id"), bins = 10, rightClosed = false)
+    val qd = new org.apache.spark.ml.feature.QuantileDiscretizer()
+      .setInputCol("v").setOutputCol("qd_bin").setNumBuckets(10).setRelativeError(0.0)
+    val theirs = qd.fit(df).transform(df).select(col("id"), col("qd_bin").cast("int"))
+    val joined = ours.join(theirs, "id")
+    val total = joined.count()
+    val agree = joined.filter(col("v_token") === col("qd_bin")).count()
+    assert(total == 20000 && agree == total, s"agree $agree / $total")
+    // and the collapse actually happened: far fewer than 10 bins survive
+    val nBins = ours.select("v_token").distinct().count()
+    assert(nBins < 10, s"expected collapsed bins, got $nBins")
+  }
+
   test("null tokenizes to null; NaN to bin 0") {
     val df = spark.range(100).select(col("id"),
       when(col("id") === 0, lit(Double.NaN))
