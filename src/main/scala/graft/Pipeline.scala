@@ -31,9 +31,11 @@ object Pipeline {
     df.write.mode(SaveMode.Ignore).parquet(path)
 
   /** Full pipeline with per-stage wall-clock timings (O16). Returns
-    * (tokenized row count, stage timings in seconds). */
+    * (tokenized row count, stage timings in seconds). Boundary `mode`:
+    * "select" (exact, default), "gk" (Greenwald-Khanna sketch), "sample"
+    * (single-pass DKW-bounded sampling — the fast approximate path). */
   def run(spark: SparkSession, workDir: String, rows: Long = 1000000, cols: Int = 8,
-          bins: Int = Tokenize.DefaultBins, approx: Boolean = false): (Long, Map[String, Double]) = {
+          bins: Int = Tokenize.DefaultBins, mode: String = "select"): (Long, Map[String, Double]) = {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def stage[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -53,8 +55,14 @@ object Pipeline {
     }
     val tokenCols = df.columns.toSeq
     val bounds = stage("boundaries") {
-      if (approx) Tokenize.quantileBoundsApprox(df, tokenCols, Tokenize.innerProbs(bins))
-      else Tokenize.quantileBoundsSelect(df, tokenCols, Tokenize.innerProbs(bins))
+      mode match {
+        case "gk" => Tokenize.quantileBoundsApprox(df, tokenCols, Tokenize.innerProbs(bins))
+        case "sample" => Tokenize.quantileBoundsSample(df, tokenCols, Tokenize.innerProbs(bins))
+        case "sample25" => // i.i.d.-layout fast path: scan 1/4 of partitions
+          Tokenize.quantileBoundsSample(df, tokenCols, Tokenize.innerProbs(bins),
+            partitionFraction = 0.25)
+        case _ => Tokenize.quantileBoundsSelect(df, tokenCols, Tokenize.innerProbs(bins))
+      }
     }
     val n = stage("tokenize+sink") {
       val tokens = tokenCols.map(c => Tokenize.discretize(col(c), bounds(c), bins).as(s"${c}_token"))

@@ -12,9 +12,14 @@ object RefBench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val approx = args.headOption.contains("approx")
-    val (n, t) = Pipeline.run(spark, "/tmp/refbench", rows = 10000000L, cols = 20, approx = approx)
-    println(s"approx=$approx rows=$n timings=$t total=${t.values.sum}")
+    val mode = args.headOption match {
+      case Some("approx") | Some("gk") => "gk"
+      case Some("sample") => "sample"
+      case Some("sample25") => "sample25"
+      case _ => "select"
+    }
+    val (n, t) = Pipeline.run(spark, "/tmp/refbench", rows = 10000000L, cols = 20, mode = mode)
+    println(s"mode=$mode rows=$n timings=$t total=${t.values.sum}")
     spark.stop()
   }
 }

@@ -31,7 +31,8 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracleSql),
       (PipelineOps.queries, PipelineOps.oracleSql),
       (Relational4.queries, Relational4.oracleSql),
-      (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracleSql)
+      (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracleSql),
+      (CorpusPipeline.queries, CorpusPipeline.oracleSql)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

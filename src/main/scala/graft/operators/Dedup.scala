@@ -201,6 +201,18 @@ object Dedup {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
+  /** LSH funnel + Jaccard-verified pair CTEs, shared with the corpus-funnel
+    * oracle (`graft.CorpusPipeline`): ends with `jj(doc_a, doc_b, jaccard)`
+    * over the LSH candidates. */
+  private[graft] def jaccardCtes: String =
+    s"""$lshCtes,
+       |sets AS (SELECT doc_id, $shinglesSql AS sh FROM w),
+       |jj AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       |  FROM cand c JOIN sets a ON c.doc_a = a.doc_id JOIN sets b ON c.doc_b = b.doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val hex16 =
       "((strpos('0123456789abcdef', m[1]) - 1) * 4096 + (strpos('0123456789abcdef', m[2]) - 1) * 256 + " +
@@ -219,13 +231,7 @@ object Dedup {
         s"""WITH $lshCtes
            |SELECT doc_a, doc_b, n_shared_bands FROM cand ORDER BY doc_a, doc_b""".stripMargin,
       "q_dedup_jaccard" ->
-        s"""WITH $lshCtes,
-           |sets AS (SELECT doc_id, $shinglesSql AS sh FROM w),
-           |jj AS (
-           |  SELECT c.doc_a, c.doc_b,
-           |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-           |          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-           |  FROM cand c JOIN sets a ON c.doc_a = a.doc_id JOIN sets b ON c.doc_b = b.doc_id)
+        s"""WITH $jaccardCtes
            |SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
       "q_dedup_simhash" ->
         s"""WITH e AS (

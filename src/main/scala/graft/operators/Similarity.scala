@@ -207,12 +207,52 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Brute-force cosine top-k for an arbitrary query id range (broadcast
+    * query side, map-only fact side) — the ground truth for recall. */
+  private def bruteTopK(spark: SparkSession, dir: String, lo: Long, hi: Long,
+                        k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val sim = round(
+      dot(col("q_emb"), col("embedding")) / (norm(col("q_emb")) * norm(col("embedding"))), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id")
+  }
+
+  /** Recall@3 of both ANN paths against exact brute-force top-3, per query
+    * — the ScalaTest-only recall property promoted to a driver-visible
+    * oracle check (both engines compute it deterministically: round-6 sims,
+    * vec_id tiebreaks). LSH probes its own query set (vec_id < NQueries);
+    * IVF probes vec_id in [IvfQueryLo, IvfQueryLo+NQueries). */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    def recallOf(method: String, approx: DataFrame, lo: Long, hi: Long): DataFrame = {
+      val brute = bruteTopK(spark, dir, lo, hi, 3)
+      val hits = approx.select("query_id", "vec_id")
+        .join(brute, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("cnt"))
+      brute.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(method).as("method"), col("query_id"),
+          round(coalesce(col("cnt"), lit(0L)) / 3.0, 6).as("recall"))
+    }
+    recallOf("ivf", qAnnIvf(spark, dir), IvfQueryLo, IvfQueryLo + NQueries)
+      .unionAll(recallOf("lsh", qAnnLshProbe(spark, dir), 0, NQueries))
+      .orderBy("method", "query_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_ann_lsh_probe" -> qAnnLshProbe,
     "q_dedup_embedding" -> qDedupEmbedding,
-    "q_ann_ivf" -> qAnnIvf
+    "q_ann_ivf" -> qAnnIvf,
+    "q_ann_recall" -> qAnnRecall
   )
 
   // ---------------------------------------------------------------- oracles
@@ -291,7 +331,55 @@ object Similarity {
            |  FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id),
            |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC NULLS LAST, vec_id) AS rn FROM s)
            |SELECT query_id, vec_id, sim, CAST(rn AS INTEGER) AS rn FROM r
-           |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+           |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+      "q_ann_recall" -> {
+        val csimSql =
+          s"round(${dotSql("e.embedding", "c.c_emb")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("c.c_emb", "c.c_emb")})), 6)"
+        val qsimSql =
+          s"round(${dotSql("q.q_emb", "c.c_emb")} / (sqrt(${dotSql("q.q_emb", "q.q_emb")}) * sqrt(${dotSql("c.c_emb", "c.c_emb")})), 6)"
+        val rsimSql =
+          s"round(${dotSql("pp.q_emb", "a.embedding")} / (sqrt(${dotSql("pp.q_emb", "pp.q_emb")}) * sqrt(${dotSql("a.embedding", "a.embedding")})), 6)"
+        def brute(pref: String, lo: Long, hi: Long): String =
+          s"""${pref}q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+             |  WHERE vec_id >= $lo AND vec_id < $hi),
+             |${pref}s AS (SELECT q.query_id, e.vec_id, $simSql AS sim
+             |  FROM embeddings e CROSS JOIN ${pref}q q WHERE e.vec_id <> q.query_id),
+             |${pref}r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC NULLS LAST, vec_id) AS rn FROM ${pref}s),
+             |${pref}3 AS (SELECT query_id, vec_id FROM ${pref}r WHERE rn <= 3)""".stripMargin
+        s"""WITH lb AS (SELECT vec_id, embedding, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings),
+           |lq AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM lb WHERE vec_id < $NQueries),
+           |ls AS (SELECT q.query_id, e.vec_id, $simSql AS sim
+           |  FROM lb e JOIN lq q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id),
+           |lr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC NULLS LAST, vec_id) AS rn FROM ls),
+           |l3 AS (SELECT query_id, vec_id FROM lr WHERE rn <= 3),
+           |c AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NSeeds),
+           |asg0 AS (SELECT e.vec_id, e.embedding, c.cent_id, $csimSql AS csim FROM embeddings e CROSS JOIN c),
+           |asg1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS arn FROM asg0),
+           |asg AS (SELECT vec_id, embedding, CAST(cent_id AS INTEGER) AS cell FROM asg1 WHERE arn = 1),
+           |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+           |      WHERE vec_id >= $IvfQueryLo AND vec_id < ${IvfQueryLo + NQueries}),
+           |p0 AS (
+           |  SELECT q.query_id, q.q_emb, CAST(c.cent_id AS INTEGER) AS cell,
+           |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY $qsimSql DESC NULLS LAST, c.cent_id) AS prn
+           |  FROM q CROSS JOIN c),
+           |pp AS (SELECT query_id, q_emb, cell FROM p0 WHERE prn <= $NProbe),
+           |si AS (SELECT pp.query_id, a.vec_id, $rsimSql AS sim
+           |  FROM asg a JOIN pp ON a.cell = pp.cell WHERE a.vec_id <> pp.query_id),
+           |ri AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC NULLS LAST, vec_id) AS rn FROM si),
+           |i3 AS (SELECT query_id, vec_id FROM ri WHERE rn <= 3),
+           |${brute("b1", 0, NQueries)},
+           |${brute("b2", IvfQueryLo, IvfQueryLo + NQueries)},
+           |lhits AS (SELECT a.query_id, COUNT(*) AS cnt FROM l3 a
+           |  JOIN b13 b ON a.query_id = b.query_id AND a.vec_id = b.vec_id GROUP BY 1),
+           |ihits AS (SELECT a.query_id, COUNT(*) AS cnt FROM i3 a
+           |  JOIN b23 b ON a.query_id = b.query_id AND a.vec_id = b.vec_id GROUP BY 1)
+           |SELECT 'ivf' AS method, q0.query_id, round(COALESCE(h.cnt, 0) / 3.0, 6) AS recall
+           |FROM (SELECT DISTINCT query_id FROM b2q) q0 LEFT JOIN ihits h USING (query_id)
+           |UNION ALL
+           |SELECT 'lsh' AS method, q0.query_id, round(COALESCE(h.cnt, 0) / 3.0, 6) AS recall
+           |FROM (SELECT DISTINCT query_id FROM b1q) q0 LEFT JOIN lhits h USING (query_id)
+           |ORDER BY method, query_id""".stripMargin
+      }
     )
   }
 }

@@ -584,12 +584,81 @@ object Tokenize {
     })
 
   /** Phase 1 (single-pass variant): approximate boundaries via
-    * Greenwald-Khanna (`approx_percentile` sketch) — mergeable, no sort.
-    * At 100 TB this is the default; exact-by-sort remains available. */
+    * Greenwald-Khanna (`approx_percentile` sketch) — mergeable, no sort,
+    * deterministic error bound. Measured caveat: the per-value
+    * QuantileSummaries insert makes it ~8x SLOWER than exact selection on
+    * the reference workload — [[quantileBoundsSample]] is the fast
+    * single-pass path; GK remains for deterministic-bound requirements. */
   def quantileBoundsApprox(df: DataFrame, cols: Seq[String], probs: Seq[Double],
                            relativeError: Double = 1e-3): Map[String, Seq[Double]] = {
     val bounds = df.stat.approxQuantile(cols.toArray, probs.toArray, relativeError)
     cols.zip(bounds.map(_.toSeq)).toMap
+  }
+
+  /** Phase 1, approximate, ONE data pass: uniform row sample -> driver-side
+    * per-column sorts -> interpolated quantiles of the sample.
+    *
+    * The scan is map-only (Bernoulli keep + packed per-partition primitive
+    * column buffers — no Row boxing, no shuffle, no per-value sketch
+    * insert), which is why it beats both the GK sketch (per-value
+    * QuantileSummaries cost) and exact selection (two passes + candidate
+    * shuffle) on wall clock. Rank error: by Dvoretzky-Kiefer-Wolfowitz,
+    * P(sup_p |rank(b_p)/n - p| > eps) <= 2·exp(-2·s·eps²) — at the default
+    * s=1M, eps=0.003 holds with probability ~1-3e-8; property-tested in
+    * TokenizeSpec. This is the 100 TB default when boundaries feed a
+    * tokenizer (bin-edge jitter of ~eps rank is immaterial); exact
+    * selection remains the bit-exact path. */
+  def quantileBoundsSample(df: DataFrame, cols: Seq[String], probs: Seq[Double],
+                           sampleSize: Int = 1000000, seed: Long = 42,
+                           partitionFraction: Double = 1.0): Map[String, Seq[Double]] = {
+    val k = cols.size
+    val n = df.count()
+    require(n > 0, "quantileBoundsSample: empty input")
+    require(partitionFraction > 0 && partitionFraction <= 1.0)
+    val proj = df.select(cols.map(c => col(c).cast("double")): _*)
+    val rdd = proj.queryExecution.toRdd
+    // systematic partition skip: an UNTOUCHED partition iterator never
+    // opens its parquet pages, so scan cost scales with the kept fraction.
+    // Only sound when values are not correlated with file position (i.i.d.
+    // layout) — the default 1.0 keeps the row-level Bernoulli unbiased.
+    val keepEvery =
+      if (partitionFraction >= 1.0) 1
+      else math.max(1, math.round(1.0 / partitionFraction).toInt)
+    val rowFrac = math.min(1.0, sampleSize.toDouble * keepEvery / n)
+    // pack per-partition primitive column buffers; collect returns
+    // partitions-many packs of double[] per column
+    val packs: Array[Array[Array[Double]]] =
+      rdd.mapPartitionsWithIndex { (idx, it) =>
+        if (idx % keepEvery != 0) Iterator.empty
+        else {
+          val rnd = new java.util.Random(seed ^ (idx * 0x9E3779B97F4A7C15L))
+          val bufs = Array.fill(k)(new scala.collection.mutable.ArrayBuilder.ofDouble)
+          it.foreach { row =>
+            if (rowFrac >= 1.0 || rnd.nextDouble() < rowFrac) {
+              var ci = 0
+              while (ci < k) {
+                if (!row.isNullAt(ci)) bufs(ci) += row.getDouble(ci)
+                ci += 1
+              }
+            }
+          }
+          Iterator.single(bufs.map(_.result()))
+        }
+      }.collect()
+    cols.indices.map { ci =>
+      val total = packs.iterator.map(_(ci).length).sum
+      require(total > 0, s"quantileBoundsSample: no non-null sample values in ${cols(ci)}")
+      val vs = new Array[Double](total)
+      var off = 0
+      packs.foreach { p => System.arraycopy(p(ci), 0, vs, off, p(ci).length); off += p(ci).length }
+      java.util.Arrays.parallelSort(vs)
+      cols(ci) -> probs.map { p =>
+        val pos = p * (vs.length - 1)
+        val lo = vs(math.floor(pos).toInt)
+        val hi = vs(math.ceil(pos).toInt)
+        lo + (hi - lo) * (pos - math.floor(pos))
+      }
+    }.toMap
   }
 
   /** Phase 2: map-only discretize against precomputed boundaries via the

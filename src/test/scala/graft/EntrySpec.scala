@@ -20,7 +20,8 @@ class EntrySpec extends SparkSpec {
       operators.RelationalExt.queries, operators.EventOps.queries,
       operators.Relational3.queries, operators.TypedOps.queries, operators.TextOps.queries, operators.Dedup.queries,
       operators.Similarity.queries, operators.PipelineOps.queries,
-      operators.Relational4.queries, multimodal.Multimodal.queries)
+      operators.Relational4.queries, multimodal.Multimodal.queries,
+      CorpusPipeline.queries)
     val total = mods.map(_.size).sum
     assert(SparkEntry.queries.size == total, "duplicate query name across modules")
   }

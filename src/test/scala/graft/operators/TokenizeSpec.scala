@@ -144,6 +144,34 @@ class TokenizeSpec extends SparkSpec {
     }
   }
 
+  test("sample-based bounds are within the DKW rank-error envelope") {
+    // s = 20k sample: DKW eps for delta=1e-6 is sqrt(ln(2/delta)/(2s)) ~
+    // 0.019; assert with headroom at 0.03. Checked on a skewed mixture
+    // (half gaussian, half exponential-ish tail) so value error would be
+    // huge if the RANK bound were wrong.
+    import org.apache.spark.sql.functions.{exp => fexp}
+    val df = spark.range(200000).select(col("id"),
+      when(col("id") % 2 === 0, randn(3)).otherwise(fexp(randn(5) * 2)).as("v"))
+    val probs = Tokenize.innerProbs(100)
+    val bounds = quantileBoundsSample(df, Seq("v"), probs, sampleSize = 20000)("v")
+    val all = df.select("v").collect().map(_.getDouble(0)).sorted
+    val n = all.length
+    probs.zip(bounds).foreach { case (p, b) =>
+      var lo = 0
+      var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (all(mid) <= b) lo = mid + 1 else hi = mid
+      }
+      val rank = lo.toDouble / n
+      assert(math.abs(rank - p) <= 0.03, s"p=$p boundary=$b rank=$rank")
+    }
+    // full-data fraction: sample >= n degenerates to the exact sort answer
+    val small = spark.range(999).select(col("id").cast("double").as("v"))
+    val exact = quantileBoundsSample(small, Seq("v"), Seq(0.25, 0.5), sampleSize = 10000)("v")
+    assert(exact == Seq(249.5, 499.0))
+  }
+
   test("exact sort-based quantiles match builtin percentile") {
     val probs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
     val mine = quantileBoundsExact(randDf, Seq("col_0"), probs)("col_0")
