@@ -67,6 +67,88 @@ class StreamingSpec extends SparkSpec {
     assert(u2.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("session windows MERGE across micro-batches (3 incremental triggers)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.sessionize(mem.toDF())
+      .writeStream.format("memory").queryName("sess_multi").outputMode("complete").start()
+    try {
+      // trigger 1: opens a session at 00:00
+      mem.addData(UserEvent(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_multi").count() == 1)
+      // trigger 2: 20 min later (< 30 min gap) -> must EXTEND the open
+      // session's state, not start a new one
+      mem.addData(UserEvent(2, ts("2024-01-01 00:20:00"), 7, "click", 2.0))
+      q.processAllAvailable()
+      val afterT2 = spark.table("sess_multi").collect()
+      assert(afterT2.length == 1 && afterT2.head.getLong(3) == 2L,
+        s"expected one merged 2-event session, got ${afterT2.mkString(";")}")
+      // trigger 3: one more extension at 00:40 AND a fresh session at 02:00
+      mem.addData(
+        UserEvent(3, ts("2024-01-01 00:40:00"), 7, "click", 3.0),
+        UserEvent(4, ts("2024-01-01 02:00:00"), 7, "click", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("sess_multi").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(sessions.length == 2, sessions.mkString(";"))
+    // merged session: 3 events over [00:00, 00:40+30min), value 6
+    assert(sessions(0) ==
+      ((ts("2024-01-01 00:00:00"), ts("2024-01-01 01:10:00"), 3L, 6.0)))
+    assert(sessions(1) ==
+      ((ts("2024-01-01 02:00:00"), ts("2024-01-01 02:30:00"), 1L, 4.0)))
+  }
+
+  test("dedup state persists across micro-batches (3 incremental triggers)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.dedupByKey(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_multi").outputMode("append").start()
+    try {
+      mem.addData(UserEvent(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // trigger 2: duplicate key from batch 1 (must be dropped by carried
+      // state) + a brand-new key (must pass)
+      mem.addData(
+        UserEvent(2, ts("2024-01-01 00:10:00"), 1, "click", 2.0),
+        UserEvent(3, ts("2024-01-01 00:11:00"), 2, "view", 3.0))
+      q.processAllAvailable()
+      // trigger 3: duplicates of BOTH earlier keys, still within watermark
+      mem.addData(
+        UserEvent(4, ts("2024-01-01 00:20:00"), 1, "click", 4.0),
+        UserEvent(5, ts("2024-01-01 00:21:00"), 2, "view", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_multi").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 3L), s"state failed to drop cross-batch dups: ${out.mkString(",")}")
+  }
+
+  test("incremental hourly agg over 3 triggers equals the batch agg of the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.hourlyAgg(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_multi").outputMode("complete").start()
+    try {
+      fixture.grouped(2).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("hourly_multi")
+      .select("hour", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = fixture.toDF()
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
