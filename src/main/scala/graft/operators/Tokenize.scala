@@ -753,6 +753,18 @@ object Tokenize {
       li.select(LineitemKeys.map(col) ++ tokens: _*)
         .orderBy((LineitemKeys ++ LineitemCols.map(c => s"${c}_token")).map(col): _*)
     },
+    "q_tokenize_rightopen" -> { (spark, dir) =>
+      // the Numba kernel's closure (etl_benchmark_numba.py:47): a value
+      // equal to a boundary goes to the UPPER bin — same cached boundaries
+      // as q_tokenize_bucketize, opposite convention
+      val li = graft.Tables.lineitem(spark, dir)
+      val bounds = cachedLineitemBounds(spark, dir, LineitemCols, DefaultBins)
+      val tokens = LineitemCols.map(c =>
+        BucketizeExpr.bucketize(col(c).cast("double"), bounds(c), DefaultBins,
+          rightClosed = false).as(s"${c}_token"))
+      li.select(LineitemKeys.map(col) ++ tokens: _*)
+        .orderBy((LineitemKeys ++ LineitemCols.map(c => s"${c}_token")).map(col): _*)
+    },
     "q_tokenize_qcut" -> { (spark, dir) =>
       // duplicates='drop' collapse on the low-cardinality measures
       // (l_discount: 11 distinct values -> 11 surviving bins of 100)
@@ -808,6 +820,14 @@ object Tokenize {
         s"""WITH b AS (SELECT $boundsCtes FROM lineitem)
            |SELECT l.l_orderkey, l.l_linenumber, $bucketizeCols
            |FROM lineitem l CROSS JOIN b ORDER BY $tokenOrder""".stripMargin,
+      "q_tokenize_rightopen" -> {
+        val cols = LineitemCols
+          .map(c => s"CAST(least(len(list_filter(b.b_$c, x -> l.$c >= x)), 99) AS INTEGER) AS ${c}_token")
+          .mkString(", ")
+        s"""WITH b AS (SELECT $boundsCtes FROM lineitem)
+           |SELECT l.l_orderkey, l.l_linenumber, $cols
+           |FROM lineitem l CROSS JOIN b ORDER BY $tokenOrder""".stripMargin
+      },
       "q_tokenize_qcut" -> {
         val edgeCtes = LineitemCols
           .map(c => s"list_sort(list_distinct(list_transform(quantile_cont($c, ${probsSql(DefaultBins, inner = false)}), x -> round(x, 6)))) AS e_$c")
