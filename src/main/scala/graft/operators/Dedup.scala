@@ -161,11 +161,61 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * Jaccard pair graph, labeled by the component's minimum doc_id — the
+    * step an actual dedup job needs (keep ONE doc per cluster, not per
+    * pair). Distributed min-label propagation: each iteration joins the
+    * current labels across the undirected edge set and keeps the row-wise
+    * minimum; iterate to fixpoint (O(component diameter) rounds — the
+    * pair graph is the tiny LSH-funnel output, a few orders smaller than
+    * the corpus, so each round is a small-join job even at 100 TB; the
+    * only driver value per round is the changed-row count). */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = qDedupJaccard(spark, dir).select("doc_a", "doc_b")
+    val und = pairs.unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    // track the PERSISTED frame per round — unpersisting a derived
+    // projection would not free the cached parent plan
+    var cached: DataFrame = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val neighborMin = und
+          .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+          .groupBy(col("doc_a").as("doc_id"))
+          .agg(min(col("cluster_id")).as("nbr_min"))
+        val next = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+            (col("nbr_min") < col("cluster_id")).as("moved"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        changed = next.filter(col("moved")).count()
+        cached.unpersist(blocking = false)
+        cached = next
+        labels = next.drop("moved")
+        rounds += 1
+      }
+      labels
+        .join(labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")), "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally {
+      und.unpersist(blocking = false)
+      cached.unpersist(blocking = false)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_jaccard" -> qDedupJaccard,
-    "q_dedup_simhash" -> qDedupSimhash
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_clusters" -> qDedupClusters
   )
 
   // ---------------------------------------------------------------- oracles
@@ -233,6 +283,20 @@ object Dedup {
       "q_dedup_jaccard" ->
         s"""WITH $jaccardCtes
            |SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE $jaccardCtes,
+           |p AS (SELECT doc_a, doc_b FROM jj WHERE jaccard >= 0.5),
+           |und AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM und
+           |  UNION
+           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+           |lbl AS (
+           |  SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+           |  FROM reach GROUP BY a)
+           |SELECT l.doc_id, l.cluster_id,
+           |  CAST(COUNT(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS cluster_size
+           |FROM lbl l ORDER BY doc_id""".stripMargin,
       "q_dedup_simhash" ->
         s"""WITH e AS (
            |  SELECT doc_id, source, md5(unnest(string_split(text, ' '))) AS m FROM documents),

@@ -46,6 +46,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("near-dup clusters: pair endpoints co-clustered, label = component min") {
+    val pairs = Dedup.qDedupJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.qDedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every doc in a verified pair is labeled, both ends identically
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // label is the minimum doc_id of its cluster; sizes are consistent
+    clusters.groupBy(_._2._1).foreach { case (label, members) =>
+      assert(members.keys.min == label, s"cluster $label not labeled by its min")
+      assert(members.values.forall(_._2 == members.size))
+    }
+  }
+
   test("simhash hamming distance is 0 for identical word multisets") {
     val pairs = Dedup.qDedupSimhash(spark, sf).collect()
     assert(pairs.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 4))
