@@ -152,36 +152,41 @@ object Similarity {
     * no shuffle and no per-row join. The probe side is a broadcast equi-join
     * on cell id. Ranking: round-6 cosine, centroid/vector-id tiebreaks.
     */
-  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    // NSeeds x Dim constants (plus their norms, same fixed-order fp sum)
-    val cents: Array[(Int, Array[Float])] = e.filter(col("vec_id") < NSeeds)
+  /** NSeeds x Dim centroid constants (vec_id < NSeeds — deterministic
+    * k-means seed stand-in), collected once. */
+  private def ivfCentroids(e: DataFrame): Array[(Int, Array[Float])] =
+    e.filter(col("vec_id") < NSeeds)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    def centNorm(v: Array[Float]): Double = {
-      var s = 0.0
-      var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
-      math.sqrt(s)
-    }
-    // round-6 cosine of the row's embedding against centroid p (map-only)
-    def csim(emb: Column, p: Int): Column = {
+
+  private def centNorm(v: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Map-only nearest-centroid cell id: round-6 cosine against each folded
+    * centroid constant, argmax via struct `greatest` — each cosine subtree
+    * evaluated once (a when-chain reduce would copy subtrees exponentially
+    * and blow the 64 KB JVM codegen method limit). */
+  private def cellExpr(cents: Array[(Int, Array[Float])])(emb: Column): Column = {
+    def csim(p: Int): Column = {
       val (_, v) = cents(p)
       round(dot(emb, typedlit(v)) / (norm(emb) * lit(centNorm(v))), 6)
     }
-    // argmax over the NSeeds csim columns via struct max: (sim, -cent_id)
-    // picks the highest similarity, then the smallest centroid id.
-    // greatest() evaluates each child once — a when(b > a, b).otherwise(a)
-    // reduce would copy every cosine subtree 2^NSeeds times and blow the
-    // 64 KB JVM method limit in codegen.
-    def cell(emb: Column): Column = {
-      val best = greatest((0 until NSeeds)
-        .map(p => struct(csim(emb, p).as("s"), lit(-cents(p)._1).as("negid"))): _*)
-      -best.getField("negid")
-    }
-    val assigned = e.select(col("vec_id"), col("embedding"), cell(col("embedding")).as("cell"))
+    val best = greatest(cents.indices
+      .map(p => struct(csim(p).as("s"), lit(-cents(p)._1).as("negid"))): _*)
+    -best.getField("negid")
+  }
+
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(e)
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      cellExpr(cents)(col("embedding")).as("cell"))
     val q = assigned
       .filter(col("vec_id") >= IvfQueryLo && col("vec_id") < IvfQueryLo + NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -246,7 +251,34 @@ object Similarity {
       .orderBy("method", "query_id")
   }
 
+  /** One Lloyd/k-means iteration over the embedding corpus: map-only cell
+    * assignment against the folded centroid constants, then the centroid
+    * UPDATE as one aggregation — per (cell, dim) mean of the member
+    * embeddings. Elements are rounded to the shared 6-decimal grid BEFORE
+    * summing so the decimal sum (then one double division) is bit-identical
+    * across engines regardless of accumulation order — the same
+    * determinism pattern as the money sums. 100 TB shape: one scan, one
+    * (cells x dims)-key aggregation with map-side combine; no shuffle of
+    * the embedding column itself beyond the exploded (cell, dim, v) rows. */
+  def qKmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.embeddings(spark, dir)
+    val cents = ivfCentroids(e)
+    val assigned = e.select(cellExpr(cents)(col("embedding")).as("cell"), col("embedding"))
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("cell"), (col("pos") + 1).as("dim"),
+        round(col("v0").cast("double"), 6).as("v"))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("v").cast(DecimalType(38, 6))).cast("double") / count(lit(1)), 6)
+          .as("centroid"))
+      .select("cell", "dim", "centroid", "n")
+      .orderBy("cell", "dim")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans_step" -> qKmeansStep,
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_ann_lsh_probe" -> qAnnLshProbe,
@@ -332,6 +364,20 @@ object Similarity {
            |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC NULLS LAST, vec_id) AS rn FROM s)
            |SELECT query_id, vec_id, sim, CAST(rn AS INTEGER) AS rn FROM r
            |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+      "q_kmeans_step" -> {
+        val csimSql =
+          s"round(${dotSql("e.embedding", "c.c_emb")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("c.c_emb", "c.c_emb")})), 6)"
+        s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NSeeds),
+           |asg0 AS (SELECT e.vec_id, e.embedding, c.cent_id, $csimSql AS csim FROM embeddings e CROSS JOIN c),
+           |asg1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS arn FROM asg0),
+           |asg AS (SELECT vec_id, embedding, CAST(cent_id AS INTEGER) AS cell FROM asg1 WHERE arn = 1),
+           |ex AS (SELECT asg.cell, t.dim, round(CAST(embedding[t.dim] AS DOUBLE), 6) AS v
+           |       FROM asg, generate_series(1, $Dim) t(dim))
+           |SELECT cell, CAST(dim AS INTEGER) AS dim,
+           |  round(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS centroid,
+           |  CAST(COUNT(*) AS BIGINT) AS n
+           |FROM ex GROUP BY cell, dim ORDER BY cell, dim""".stripMargin
+      },
       "q_ann_recall" -> {
         val csimSql =
           s"round(${dotSql("e.embedding", "c.c_emb")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("c.c_emb", "c.c_emb")})), 6)"

@@ -119,7 +119,22 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Canonical text normalization (the cleaning map every corpus pipeline
+    * runs before dedup/tokenization): lowercase, strip every char outside
+    * [a-z0-9 ], collapse whitespace runs, trim — all map-only, one fused
+    * projection. ASCII classes only, so Java regex and DuckDB RE2 agree. */
+  def qTextNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("norm_text"),
+        length(col("text")).as("n_chars_raw"),
+        length(norm).as("n_chars_norm"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_normalize" -> qTextNormalize,
     "q_text_stats" -> qTextStats,
     "q_word_freq" -> qWordFreq,
     "q_lang_breakdown" -> qLangBreakdown,
@@ -134,6 +149,13 @@ object TextOps {
     s"CAST((length($expr) - length(replace($expr, '$pat', ''))) / ${pat.length} AS INTEGER)"
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_normalize" -> {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+      s"""SELECT doc_id, $norm AS norm_text,
+         |  CAST(length(text) AS INTEGER) AS n_chars_raw,
+         |  CAST(length($norm) AS INTEGER) AS n_chars_norm
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
