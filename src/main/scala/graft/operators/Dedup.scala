@@ -170,9 +170,58 @@ object Dedup {
     * pair graph is the tiny LSH-funnel output, a few orders smaller than
     * the corpus, so each round is a small-join job even at 100 TB; the
     * only driver value per round is the changed-row count). */
-  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir, smallCollect = 1000000L)
+
+  /** See [[qDedupClusters]] scaladoc above. `smallCollect`: pair graphs at
+    * or under this edge count are solved with driver-side union-find (the
+    * same small-input fast path as the selection quantiles — a handful of
+    * per-round Spark jobs costs more than sorting dust); larger graphs run
+    * the distributed min-label propagation loop. */
+  private[operators] def dedupClusters(spark: SparkSession, dir: String,
+                                       smallCollect: Long): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // materialize the funnel ONCE before self-unioning: both union branches
+    // reference the same plan, so an unpersisted union would run the whole
+    // LSH+Jaccard funnel twice on first materialization
     val pairs = qDedupJaccard(spark, dir).select("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val npairs = pairs.count()
+    if (npairs <= smallCollect) {
+      // driver union-find with path compression; label = component min
+      import spark.implicits._
+      val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      pairs.unpersist(blocking = false)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val label = parent.keys.map(d => d -> find(d)).toMap
+        .groupBy(_._2).values.flatMap { members =>
+          val minDoc = members.keys.min
+          members.keys.map(_ -> (minDoc, members.size.toLong))
+        }.toMap
+      label.toSeq.map { case (d, (cid, sz)) => (d, cid, sz) }
+        .sortBy(_._1)
+        .toDF("doc_id", "cluster_id", "cluster_size")
+    } else distributedClusters(spark, pairs)
+  }
+
+  /** Distributed path: min-label propagation to fixpoint over the (cached)
+    * pair frame — O(component diameter) rounds of small joins. */
+  private def distributedClusters(spark: SparkSession,
+                                  pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val und = pairs.unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("doc_a").as("doc_id")).distinct()
@@ -184,11 +233,14 @@ object Dedup {
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 50) {
+        // label/pair frames are the LSH-funnel output — orders smaller than
+        // the corpus — so broadcast both round joins (drop the hints and
+        // let AQE decide if a corpus ever yields a driver-scale pair graph)
         val neighborMin = und
-          .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+          .join(broadcast(labels.withColumnRenamed("doc_id", "doc_b")), Seq("doc_b"))
           .groupBy(col("doc_a").as("doc_id"))
           .agg(min(col("cluster_id")).as("nbr_min"))
-        val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        val next = labels.join(broadcast(neighborMin), Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
             (col("nbr_min") < col("cluster_id")).as("moved"))
@@ -205,6 +257,7 @@ object Dedup {
         .orderBy("doc_id")
         .localCheckpoint(true)
     } finally {
+      pairs.unpersist(blocking = false)
       und.unpersist(blocking = false)
       cached.unpersist(blocking = false)
     }

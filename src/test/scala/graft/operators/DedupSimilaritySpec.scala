@@ -61,6 +61,11 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(members.keys.min == label, s"cluster $label not labeled by its min")
       assert(members.values.forall(_._2 == members.size))
     }
+    // the distributed min-label propagation path (forced with
+    // smallCollect = 0) must agree with the driver union-find fast path
+    val distributed = Dedup.dedupClusters(spark, sf, smallCollect = 0L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(distributed == clusters, "distributed and union-find clusterings differ")
   }
 
   test("simhash hamming distance is 0 for identical word multisets") {
