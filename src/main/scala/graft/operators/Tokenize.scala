@@ -12,26 +12,32 @@ import graft.functions.BucketizeExpr
   * + torch.bucketize - 1 + clamp; and etl_benchmark_numba.py:39-50 — linear
   * boundary search kernel).
   *
-  * Two Spark-first formulations, with different scale profiles:
+  * Spark-first formulations, with different scale profiles:
   *
-  *  1. '''Rank-based''' (`tokenizeRank`): token = ntile(bins) - 1 over a
-  *     total order (value, tiebreak…). Semantics of `pd.qcut(labels=False)`
-  *     (rank/interval based, deterministic given the tiebreak). Requires a
-  *     global sort per column — exact but the least scalable; kept because it
-  *     is bit-stable against a SQL oracle (no float boundary arithmetic).
+  *  1. '''Rank-based''' — `pd.qcut(labels=False)` semantics (token =
+  *     NTILE(bins) - 1 over a total order (value, tiebreak…)), three
+  *     spec-equal implementations: `tokenizeRank` (window form — compact,
+  *     bit-stable oracle reference, but one single-partition sort per
+  *     column), `tokenizeRankDistributed` (melt + one range sort —
+  *     null-tolerant general form), and '''`tokenizeRankSelect`''' (the
+  *     contract scale path: bucket-boundary rows located by selection,
+  *     tokens map-only — 7.3 s vs 52.8 s window at 10 M×4, RankBench).
   *
   *  2. '''Boundary-based, two-phase''' (`tokenizeByBounds`) — the 100 TB
   *     path, mirroring the reference's precompute-boundaries-once design
   *     (etl_benchmark.py:74 quantile; :79 bucketize; :82 clamp):
   *      - phase 1 computes per-column boundary vectors: exact via
-  *        distributed sort + select-by-position (`quantileBoundsExact`), or
-  *        approximate single-pass Greenwald-Khanna (`quantileBoundsApprox`) —
-  *        either way the result is cols × bins doubles, trivially
+  *        selection (`quantileBoundsSelect`) or distributed sort
+  *        (`quantileBoundsExact`); approximate via single-pass sampling
+  *        with a DKW rank bound (`quantileBoundsSample` — the fast path) or
+  *        the Greenwald-Khanna sketch (`quantileBoundsApprox` —
+  *        deterministic bound) — either way cols × bins doubles, trivially
   *        collectable;
   *      - phase 2 folds the boundaries into the plan as a constant and
   *        discretizes '''map-only''' with the codegen'd binary-search
-  *        expression [[graft.functions.BucketizeExpr]]. The fact table is
-  *        never shuffled or sorted.
+  *        expression [[graft.functions.BucketizeExpr]] (both closure
+  *        conventions). The fact table is never shuffled or sorted.
+  *        `tokenizeQcutDrop` adds pandas' duplicates='drop' edge collapse.
   *
   * Closure convention (SURVEY §2A fine print 1): a value equal to a boundary
   * goes in the '''lower''' bin (strict `b < v` count), matching
