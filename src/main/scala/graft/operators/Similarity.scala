@@ -237,12 +237,13 @@ object Similarity {
     * IVF probes vec_id in [IvfQueryLo, IvfQueryLo+NQueries). */
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
     def recallOf(method: String, approx: DataFrame, lo: Long, hi: Long): DataFrame = {
+      // every frame here is <= NQueries x k rows — broadcast both joins
       val brute = bruteTopK(spark, dir, lo, hi, 3)
       val hits = approx.select("query_id", "vec_id")
-        .join(brute, Seq("query_id", "vec_id"), "left_semi")
+        .join(broadcast(brute), Seq("query_id", "vec_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("cnt"))
       brute.select("query_id").distinct()
-        .join(hits, Seq("query_id"), "left")
+        .join(broadcast(hits), Seq("query_id"), "left")
         .select(lit(method).as("method"), col("query_id"),
           round(coalesce(col("cnt"), lit(0L)) / 3.0, 6).as("recall"))
     }

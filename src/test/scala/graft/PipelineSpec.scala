@@ -21,6 +21,26 @@ class PipelineSpec extends SparkSpec {
     assert(counts.length == 100 && counts.max < 2 * 500 && counts.min > 250)
   }
 
+  test("sample-mode boundaries degenerate to exact when the sample covers the data") {
+    // sampleSize (1M default) >= rows => fraction 1.0 => the sampled path
+    // IS an exact sort — bounds must be bit-identical to selection's
+    val dir = Files.createTempDirectory("graft_sample").toString
+    Pipeline.writeIgnore(Pipeline.syntheticTable(spark, 20000, 3), s"$dir/massive_data.parquet")
+    val df = spark.read.parquet(s"$dir/massive_data.parquet")
+    val cols = df.columns.toSeq
+    val probs = operators.Tokenize.innerProbs(100)
+    val exact = operators.Tokenize.quantileBoundsSelect(df, cols, probs)
+    val sampled = operators.Tokenize.quantileBoundsSample(df, cols, probs)
+    assert(sampled == exact)
+    // graft_bucketize SQL surface: the optional rightClosed argument
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bucketize", exprs => GraftExtensions.buildBucketize(exprs), "built-in")
+    val out = spark.sql(
+      "SELECT graft_bucketize(v, array(1.0, 2.0), 100, false) AS t FROM VALUES (1.0), (2.0) AS d(v)")
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(1, 2)) // boundary-equal -> upper bin in right-open mode
+  }
+
   test("idempotent write guard (O2): second generate is a no-op") {
     val dir = Files.createTempDirectory("graft_ignore").toString
     Pipeline.writeIgnore(Pipeline.syntheticTable(spark, 100, 2, seed = 1), s"$dir/d.parquet")
