@@ -51,6 +51,29 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"unexpected shuffle on the corpus side ($exchanges exchanges):\n$plan")
   }
 
+  test("q_tokenize_rank has no single-partition exchange anywhere (round 3)") {
+    val plan = SparkEntry.queries("q_tokenize_rank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "the selection rank tokenizer must never funnel through one partition")
+  }
+
+  test("q_kmeans_step: map-only cell assignment, one combined aggregation") {
+    val plan = formatted(operators.Similarity.qKmeansStep(spark, sf))
+    // exchanges: the (cell, dim) aggregation shuffle + the output sort only —
+    // the embedding column itself is never shuffled
+    val exchanges = plan.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 2, s"cell assign must stay map-only ($exchanges exchanges):\n$plan")
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, "centroid update must map-side combine")
+  }
+
+  test("q_dedup_simhash candidates come from an equi-join, not a theta join") {
+    val plan = formatted(operators.Dedup.qDedupSimhash(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "segment banding must make candidate generation an equi-join:\n" + plan)
+  }
+
   test("boundary tokenizer is map-only over the fact table (no exchange)") {
     val li = Tables.lineitem(spark, sf)
     val bounds = operators.Tokenize.quantileBoundsExact(
