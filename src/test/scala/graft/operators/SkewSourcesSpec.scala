@@ -24,6 +24,42 @@ class SkewSourcesSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("partitionBy parquet sink is partition-PRUNED on read (100 TB layout)") {
+    val base = Files.createTempDirectory("graft_part").toString
+    val docs = graft.Tables.documents(spark, sf)
+    docs.write.partitionBy("lang").parquet(s"$base/by_lang")
+    val rd = spark.read.parquet(s"$base/by_lang").filter(col("lang") === "en")
+    // the filter must prune at the PARTITION level (directory skip), not as
+    // a row predicate after reading everything
+    val plan = rd.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val partFilters = plan.linesIterator.find(_.trim.startsWith("PartitionFilters:")).get
+    assert(partFilters.contains("lang"), partFilters)
+    assert(rd.count() == docs.filter(col("lang") === "en").count())
+    // and the partition column round-trips as data
+    assert(rd.select("doc_id").distinct().count() == rd.count())
+  }
+
+  test("bucketed table co-locates the join (no exchange on the bucketed side)") {
+    // bucketing is THE pre-shuffle device for repeated big joins: write both
+    // sides bucketed by the key into the warehouse, join without exchanges
+    spark.sql("DROP TABLE IF EXISTS g_orders_b")
+    spark.sql("DROP TABLE IF EXISTS g_cust_b")
+    graft.Tables.orders(spark, sf).write
+      .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("g_orders_b")
+    graft.Tables.customer(spark, sf)
+      .withColumnRenamed("c_custkey", "o_custkey").write
+      .bucketBy(4, "o_custkey").saveAsTable("g_cust_b")
+    val joined = spark.table("g_orders_b").join(spark.table("g_cust_b"), "o_custkey")
+      .groupBy("o_custkey").count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed join must not shuffle either side:\n" + plan)
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS g_orders_b")
+    spark.sql("DROP TABLE IF EXISTS g_cust_b")
+  }
+
   test("csv/json/orc sinks round-trip the star schema sample") {
     val li = graft.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
