@@ -50,6 +50,24 @@ object StreamOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming two-phase tokenizer — the reference's core capability under
+    * Structured Streaming. Boundaries are MODEL STATE: computed once from a
+    * batch snapshot (train side — any of the Tokenize phase-1 algorithms),
+    * folded into the plan as constants, and every micro-batch then
+    * discretizes map-only with the same codegen'd
+    * [[graft.functions.BucketizeExpr]] as the batch path. A stateless
+    * streaming projection: no watermark, no state store, unbounded
+    * throughput — exactly how a 100 TB/day feature pipeline serves a
+    * precomputed quantile binning. Spec-proved batch-equal per micro-batch.
+    */
+  def tokenizeStream(stream: DataFrame, bounds: Map[String, Seq[Double]],
+                     keep: Seq[String],
+                     bins: Int = graft.operators.Tokenize.DefaultBins): DataFrame = {
+    val tokens = bounds.keys.toSeq.sorted.map(c =>
+      graft.operators.Tokenize.discretize(col(c), bounds(c), bins).as(s"${c}_token"))
+    stream.select(keep.map(col) ++ tokens: _*)
+  }
+
   case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                        event_type: String, value: Double)
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)

@@ -197,6 +197,34 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) == ((3L, 14.0)))
   }
 
+  test("streaming tokenizer equals the batch boundary tokenizer across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // train side: boundaries from a batch snapshot
+    val snapshot = spark.range(5000).select(col("id"), randn(11).as("v"))
+    val bounds = graft.operators.Tokenize
+      .quantileBoundsSelect(snapshot, Seq("v"), graft.operators.Tokenize.innerProbs(100))
+      .map { case (c, bs) => c -> bs.map(b => math.rint(b * 1e6) / 1e6) }
+    // serve side: 3 incremental micro-batches of fresh values
+    val rows = (0 until 900).map(i => (i.toLong, (i % 37) / 5.0 - 3.0))
+    val mem = MemoryStream[(Long, Double)]
+    val q = StreamOps.tokenizeStream(
+        mem.toDF().toDF("id", "v"), bounds, keep = Seq("id"))
+      .writeStream.format("memory").queryName("tok_stream").outputMode("append").start()
+    try {
+      rows.grouped(300).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("tok_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val batch = StreamOps.tokenizeStream(rows.toDF("id", "v"), bounds, keep = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(streamed.size == 900)
+    assert(streamed == batch)
+  }
+
   test("stream-static enrichment join matches the batch join per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
