@@ -217,18 +217,25 @@ object Dedup {
     } else distributedClusters(spark, pairs)
   }
 
-  /** Distributed path: min-label propagation to fixpoint over the (cached)
-    * pair frame — O(component diameter) rounds of small joins. */
-  private def distributedClusters(spark: SparkSession,
-                                  pairs: DataFrame): DataFrame = {
+  /** Distributed path: min-label propagation WITH pointer doubling to
+    * fixpoint over the (cached) pair frame. Each round takes the min over
+    * direct neighbors' labels, then follows the resulting label one more
+    * hop (label-of-label) — labels reach the component minimum in
+    * O(log diameter) rounds instead of O(diameter), the standard
+    * large-graph connected-components acceleration. */
+  private[operators] def distributedClusters(spark: SparkSession,
+                                             pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val und = pairs.unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // every round ends in an EAGER localCheckpoint: the data is cached and
+    // the logical plan is truncated — without it the doubling join (which
+    // references the round's frame twice) doubles the lineage every round
+    // and the plan blows up exponentially (ContextCleaner reclaims the
+    // per-round checkpoint blocks on GC)
     var labels = und.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-    // track the PERSISTED frame per round — unpersisting a derived
-    // projection would not free the cached parent plan
-    var cached: DataFrame = labels.persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     try {
       var changed = 1L
       var rounds = 0
@@ -240,14 +247,20 @@ object Dedup {
           .join(broadcast(labels.withColumnRenamed("doc_id", "doc_b")), Seq("doc_b"))
           .groupBy(col("doc_a").as("doc_id"))
           .agg(min(col("cluster_id")).as("nbr_min"))
-        val next = labels.join(broadcast(neighborMin), Seq("doc_id"), "left")
+        val prop = labels.join(broadcast(neighborMin), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("cluster_id").as("old_cid"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("mid_cid"))
+        // pointer doubling: follow the new label one more hop (the label of
+        // a doc is itself a doc in the same component)
+        val hop = prop.select(col("doc_id").as("mid_cid"), col("mid_cid").as("hop_cid"))
+        val next = prop.join(broadcast(hop), Seq("mid_cid"), "left")
           .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
-            (col("nbr_min") < col("cluster_id")).as("moved"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+            least(col("mid_cid"), coalesce(col("hop_cid"), col("mid_cid"))).as("cluster_id"),
+            col("old_cid"))
+          .withColumn("moved", col("cluster_id") < col("old_cid"))
+          .drop("old_cid")
+          .localCheckpoint(true)
         changed = next.filter(col("moved")).count()
-        cached.unpersist(blocking = false)
-        cached = next
         labels = next.drop("moved")
         rounds += 1
       }
@@ -259,7 +272,6 @@ object Dedup {
     } finally {
       pairs.unpersist(blocking = false)
       und.unpersist(blocking = false)
-      cached.unpersist(blocking = false)
     }
   }
 

@@ -68,6 +68,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(distributed == clusters, "distributed and union-find clusterings differ")
   }
 
+  test("distributed label propagation clusters long chains (pointer doubling)") {
+    import spark.implicits._
+    // worst-case shape for plain min-propagation: a 64-node chain (diameter
+    // 63) plus a separate 5-node chain — doubling must converge in O(log)
+    val pairs = ((0L until 63L).map(i => (i, i + 1)) ++
+      (100L until 104L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+      .persist()
+    val out = Dedup.distributedClusters(spark, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 69)
+    (0L to 63L).foreach(d => assert(out(d) == ((0L, 64L)), s"doc $d"))
+    (100L to 104L).foreach(d => assert(out(d) == ((100L, 5L)), s"doc $d"))
+  }
+
   test("simhash hamming distance is 0 for identical word multisets") {
     val pairs = Dedup.qDedupSimhash(spark, sf).collect()
     assert(pairs.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 4))
