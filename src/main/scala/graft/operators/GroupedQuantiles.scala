@@ -27,6 +27,16 @@ import graft.functions.BucketizeExpr
   * position's VALUE well-defined regardless of any tiebreak, which is why
   * rank-selection queries (percentile_disc, median) need no composite keys.
   * NaN unsupported; null values ignored (they get no rank).
+  *
+  * Choosing the plan by group cardinality: this selection shape wins when
+  * groups are FEW relative to rows (each group would otherwise be a
+  * single-task sort of ~|rows|/|groups| records — the q_group_median
+  * shape, 3 groups over the fact table). When the key is HIGH-cardinality
+  * (|groups| ≈ |rows| / small constant), a window partitioned by the key
+  * is already well-parallelized and is the right plan — that is the
+  * q_window_dist shape (per-customer partitions of ~10 rows). Rule of
+  * thumb: selection when |rows|/|groups| dwarfs a task's comfortable sort
+  * size AND the per-group count table fits the driver; window otherwise.
   */
 object GroupedQuantiles {
 
