@@ -2,7 +2,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Bench harness (driver contract): times every SparkEntry query at
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line on stdout.
+  * SPARK_GRAFT_SF_DIR and prints JSON lines on stdout — the LAST line is the
+  * result the driver parses.
   *
   * Noise model this is built for: the host shows multi-second hypervisor
   * steal bursts (identical queries swing 1s -> 40s+ while the guest CPU sits
@@ -13,6 +14,20 @@ import org.apache.spark.sql.SparkSession
   * two samples still disagree badly (one sample poisoned) get a third,
   * later, sample. Pass 1 also absorbs JIT/classloading/disk-cache warmup.
   *
+  * Robustness contract (round-3 bench died rc 124 with ZERO data; never
+  * again):
+  *  - a provisional full JSON result line is printed after EVERY query, so
+  *    an external kill at any moment still leaves a parseable last line with
+  *    everything measured so far;
+  *  - each query's time is logged to stderr the moment it finishes
+  *    (`[bench] pass=N name=secs`), so a future stall is attributable to a
+  *    named query — silence after `[bench] start q=X` means X is the stall;
+  *  - a global wall budget (env SPARK_GRAFT_BENCH_BUDGET_S, default 900 s)
+  *    skips later passes / third samples once exceeded — on a degraded host
+  *    pass 1 alone suffices for a valid (if noisy) number;
+  *  - query errors are RECORDED in an "errors" JSON field (and the query is
+  *    excluded from the total), never silently scored as ~0 s.
+  *
   * The noop sink forces the FULL physical plan (count() would let Catalyst
   * prune expensive columns, e.g. the rank-tokenizer windows) with zero
   * write-side cost.
@@ -20,6 +35,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = SparkSession.builder()
@@ -30,26 +46,87 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def once(name: String): Double = {
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var passesDone = 0
+
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+
+    /** Full provisional result line — the driver parses the LAST stdout
+      * line, so every emission makes the run kill-safe up to that point. */
+    def emit(): Unit = {
+      val qs = best.toSeq.sortBy(_._1)
+        .map { case (n, s) => s"${jsonStr(n)}:$s" }.mkString("{", ",", "}")
+      val es = errors.toSeq.sortBy(_._1)
+        .map { case (n, m) => s"${jsonStr(n)}:${jsonStr(m)}" }.mkString("{", ",", "}")
+      val total = best.values.sum
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":$elapsed,"sf":${jsonStr(sfDir)}}""")
+      Console.out.flush()
     }
-    val pass1 = names.map(n => n -> once(n)).toMap
-    val pass2 = names.map(n => n -> once(n)).toMap
-    var best = names.map(n => n -> math.min(pass1(n), pass2(n))).toMap
-    // One sample poisoned by a steal burst shows as large disagreement on a
-    // non-trivial query; take one more decorrelated sample for those only.
+
+    /** One timed run of `name`. Returns the seconds on success; records the
+      * error (and returns None) on failure. Always logs + emits. */
+    def once(pass: Int, name: String): Option[Double] = {
+      System.err.println(f"[bench] start pass=$pass q=$name elapsed=$elapsed%.1f")
+      Console.err.flush()
+      val s0 = System.nanoTime()
+      val res =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - s0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            val msg = s"pass$pass ${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200)
+            errors(name) = msg
+            System.err.println(s"[bench] ERROR q=$name $msg")
+            None
+        }
+      res.foreach { sec =>
+        best(name) = best.get(name).fold(sec)(math.min(_, sec))
+        System.err.println(f"[bench] done pass=$pass q=$name sec=$sec%.3f elapsed=$elapsed%.1f")
+      }
+      Console.err.flush()
+      emit()
+      res
+    }
+
+    // Pass 1: every query, unconditionally (the only pass guaranteed to run;
+    // per-query emission keeps even a mid-pass kill parseable).
+    val pass1 = names.map(n => n -> once(1, n)).toMap
+    passesDone = 1
+    emit()
+
+    // Pass 2: decorrelated second samples, budget permitting per query.
+    val pass2 = scala.collection.mutable.HashMap.empty[String, Double]
+    for (n <- names if elapsed < budgetS) once(2, n).foreach(pass2(n) = _)
+    passesDone = 2
+    emit()
+
+    // Pass 3: only queries whose two samples disagree badly (one poisoned by
+    // a steal burst) get a third, later, sample — budget permitting.
     val noisy = names.filter { n =>
-      best(n) > 1.0 && math.max(pass1(n), pass2(n)) / best(n) > 2.0
+      (pass1(n), pass2.get(n)) match {
+        case (Some(a), Some(b)) =>
+          math.min(a, b) > 1.0 && math.max(a, b) / math.min(a, b) > 2.0
+        case _ => false
+      }
     }
-    noisy.foreach(n => best = best.updated(n, math.min(best(n), once(n))))
-    val qs = names.map(n => "\"" + n + "\":" + best(n)).mkString("{", ",", "}")
-    val total = best.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    Console.out.flush()
+    for (n <- noisy if elapsed < budgetS) once(3, n)
+    passesDone = 3
+    emit()
     spark.stop()
   }
 }

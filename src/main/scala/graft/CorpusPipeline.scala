@@ -42,9 +42,15 @@ object CorpusPipeline {
     val exact = stage("exact_dedup")(
       docs.join(exactKeep.select("doc_id"), Seq("doc_id"), "left_semi"))
 
-    // 2. near-dup removal: LSH candidates verified by Jaccard >= 0.5 (the
-    // oracle-checked q_dedup_jaccard); drop the larger id of each pair
-    val dupPairs = operators.Dedup.queries("q_dedup_jaccard")(spark, dir)
+    // 2. near-dup removal on the EXACT-DEDUP SURVIVORS (not raw docs): a
+    // group of k exact duplicates collides on every LSH band and would blow
+    // up to Bands*k²/2 candidate rows — real corpora have boilerplate
+    // clusters with k in the millions. Running LSH after exact dedup keeps
+    // the survivor set identical (any pair through a dropped copy is
+    // mirrored by its kept min-id twin, which has the same text, signature,
+    // and bands) while killing the k² candidate blowup. Verified by
+    // Jaccard >= 0.5; drop the larger id of each pair.
+    val dupPairs = operators.Dedup.verifiedNearDupPairs(exact)
       .select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct()
     val nearDeduped = stage("near_dedup")(
       exact.join(dupPairs, Seq("doc_id"), "left_anti"))
@@ -84,7 +90,11 @@ object CorpusPipeline {
     val docs = Tables.documents(spark, dir)
     val exactKeep = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val exact = docs.join(exactKeep, Seq("doc_id"), "left_semi")
-    val dupPairs = operators.Dedup.queries("q_dedup_jaccard")(spark, dir)
+    // near-dup stage consumes exact-dedup survivors — see [[run]] stage 2
+    // for the survivor-set-identity argument and the k² blowup this avoids.
+    // The oracle intentionally keeps the raw-docs formulation: its result is
+    // provably identical, so it cross-checks the rewrite every round.
+    val dupPairs = operators.Dedup.verifiedNearDupPairs(exact)
       .select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct()
     val nearDeduped = exact.join(dupPairs, Seq("doc_id"), "left_anti")
     val digitRatio = (length(col("text")) -

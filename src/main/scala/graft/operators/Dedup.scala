@@ -53,9 +53,12 @@ object Dedup {
       .orderBy("keep_id")
 
   /** (doc_id, shingle) exploded rows with the two 32-bit md5-derived hash
-    * components. One md5 per (doc, shingle). */
-  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    * components. One md5 per (doc, shingle). Parameterized by the input
+    * docs frame so the corpus funnel can run the LSH stage on exact-dedup
+    * SURVIVORS — a group of k exact duplicates collides on every band and
+    * would otherwise emit Bands*k²/2 candidate rows before dedup. */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
       .withColumn("m", md5(col("s")))
       .withColumn("v1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
@@ -63,16 +66,19 @@ object Dedup {
 
   /** MinHash signatures: sig_i = min over shingles of (v1 + i*v2) mod 2^32.
     * Aggregation-based — map-side combine, tiny shuffle. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(docs: DataFrame): DataFrame = {
     val aggs = (0 until MinhashFuncs).map { i =>
       min((col("v1") + lit(i.toLong) * col("v2")) % Mod).as(s"sig$i")
     }
-    shingleHashes(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    shingleHashes(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(Tables.documents(spark, dir))
+
   /** (doc_id, band_idx, band_hash) — band hash = md5 of the band's sigs. */
-  private def bandRows(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
+  private def bandRows(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
     val bandCols = (0 until Bands).map { b =>
       md5(concat_ws("|",
         (b * 2 until (b + 1) * 2).map(i => col(s"sig$i").cast("string")): _*)).as(s"band$b")
@@ -83,10 +89,11 @@ object Dedup {
           .as(Seq("band_idx", "band_hash")))
   }
 
-  /** MinHash + LSH banding: candidate near-dup pairs = docs sharing at least
-    * one band hash; outputs (doc_a, doc_b, n_shared_bands). */
-  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bands = bandRows(spark, dir)
+  /** MinHash + LSH banding over an arbitrary docs frame: candidate near-dup
+    * pairs = docs sharing at least one band hash;
+    * outputs (doc_a, doc_b, n_shared_bands). */
+  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
+    val bands = bandRows(docs)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
@@ -94,17 +101,19 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-      .orderBy("doc_a", "doc_b")
   }
 
-  /** Verified near-dups: exact word-3-gram Jaccard >= 0.5, computed only on
-    * the LSH candidate pairs (the production funnel — never all pairs; the
-    * funnel cost is intentionally NOT memoized so the benchmark measures
-    * the full candidate-generation + verify pipeline). */
-  def qDedupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val cand = qDedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
-    val sets = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+  def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    lshCandidates(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
+
+  /** Verified near-dups over an arbitrary docs frame: exact word-3-gram
+    * Jaccard >= 0.5, computed only on the LSH candidate pairs (the
+    * production funnel — never all pairs; the funnel cost is intentionally
+    * NOT memoized so the benchmark measures the full candidate-generation +
+    * verify pipeline). */
+  private[graft] def verifiedNearDupPairs(docs: DataFrame): DataFrame = {
+    val cand = lshCandidates(docs).select("doc_a", "doc_b")
+    val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
     val j = (size(array_intersect(col("sa"), col("sb"))).cast("double") /
       size(array_union(col("sa"), col("sb"))))
     cand
@@ -112,40 +121,66 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
   }
 
-  /** 16-bit word hash: first 4 hex chars of md5 as an integer. */
-  private def wordHash16(c: Column): Column =
-    conv(substring(md5(c), 1, 4), 16, 10).cast("long")
+  def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    verifiedNearDupPairs(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
 
-  /** Hamming-pigeonhole segments of the 16-bit simhash: 5 segments of
-    * 4+3+3+3+3 bits. Hamming distance <= 4 flips at most 4 segments, so at
-    * least one segment is bit-identical — candidate pairs are an EQUI-JOIN
-    * on (source, segment_idx, segment_bits), never an all-pairs block join. */
-  private val SimhashSegments: Seq[(Int, Int)] = Seq((0, 4), (4, 3), (7, 3), (10, 3), (13, 3))
+  /** SimHash width and Hamming radius: 64-bit hash, 8 pigeonhole segments
+    * of 8 bits each — Hamming distance <= 7 flips at most 7 segments, so at
+    * least one segment is bit-identical. The 64-bit word hash is built from
+    * TWO 32-bit md5 halves (hex chars 1-8 and 9-16) because a single
+    * unsigned-64 hex parse overflows a signed BIGINT on both engines. */
+  private val SimhashBits = 64
+  private val SimhashMaxHamming = 7
 
-  /** SimHash16 per doc + near-dup pairs at Hamming distance <= 4 within the
+  /** Hamming-pigeonhole segments (bitOffset, bitLen) of the 64-bit simhash:
+    * 8 segments x 8 bits. Candidate pairs are an EQUI-JOIN on
+    * (source, segment_idx, segment_bits), never an all-pairs block join.
+    * Capacity math: each (source, segment) key space is 2^8 = 256 values
+    * (vs 2^3..2^4 = 8-16 for the old 16-bit hash), so within-source
+    * candidates are O(8 * m^2 / 256) worst case — and on real content the
+    * 8 matched bits correlate with actual similarity, so occupied buckets
+    * are far smaller than m/256. Fewer, wider segments (e.g. 4 x 16 at
+    * radius 3) trade radius for capacity; this layout keeps a useful
+    * radius-7 near-dup semantic while lifting the join-key cardinality
+    * bound 16x. */
+  private val SimhashSegments: Seq[(Int, Int)] =
+    (0 until 8).map(s => (s * 8, 8))
+
+  /** SimHash64 per doc + near-dup pairs at Hamming distance <= 7 within the
     * same source block. Candidate generation is banded (same shape as the
     * MinHash band join above): each doc emits one row per simhash segment,
     * pairs sharing any (source, segment) equi-join, duplicates from
     * multi-segment matches collapse with a distinct, and the Hamming
     * verify runs on candidates only — within-source cost is O(matches),
-    * not O(m²) per source block. */
+    * not O(m²) per source block.
+    *
+    * Bit accounting: word-hash low 32 bits come from md5 hex chars 9-16
+    * (`h_lo`), high 32 from chars 1-8 (`h_hi`). The signed-64 simhash value
+    * is assembled by summing per-bit terms in ascending bit order with the
+    * bit-63 term equal to Long.MinValue — partial sums peak at 2^63-1, so
+    * the arithmetic never overflows even under ANSI checking. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val exploded = d.select(col("doc_id"), col("source"),
       explode(words(col("text"))).as("word"))
-      .withColumn("h", wordHash16(col("word")))
-    val bitVotes = (0 until 16).map { bit =>
-      sum(shiftright(col("h"), bit) % 2 * 2 - 1).as(s"v$bit")
+      .withColumn("m", md5(col("word")))
+      .withColumn("h_hi", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h_lo", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
+    val bitVotes = (0 until SimhashBits).map { bit =>
+      val src = if (bit < 32) col("h_lo") else col("h_hi")
+      sum(shiftright(src, bit % 32) % 2 * 2 - 1).as(s"v$bit")
     }
+    val simhashVal = (0 until SimhashBits).map { bit =>
+      val term = if (bit == 63) Long.MinValue else 1L << bit
+      when(col(s"v$bit") > 0, lit(term)).otherwise(0L)
+    }.reduce(_ + _)
     val sim = exploded.groupBy("doc_id", "source").agg(bitVotes.head, bitVotes.tail: _*)
-      .select(col("doc_id"), col("source"),
-        (0 until 16).map(bit => when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+      .select(col("doc_id"), col("source"), simhashVal.as("simhash"))
     val segCols = SimhashSegments.map { case (off, len) =>
-      shiftright(col("simhash"), off).bitwiseAND(lit((1 << len) - 1))
+      // arithmetic shift sign-extends for the top segment; the AND masks it
+      shiftright(col("simhash"), off).bitwiseAND(lit((1L << len) - 1))
     }
     val segRows = sim.select(col("doc_id"), col("source"), col("simhash"),
       posexplode(array(segCols: _*)).as(Seq("seg_idx", "seg_bits")))
@@ -156,7 +191,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .filter(col("hamming") <= 4)
+      .filter(col("hamming") <= SimhashMaxHamming)
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
@@ -214,8 +249,15 @@ object Dedup {
       label.toSeq.map { case (d, (cid, sz)) => (d, cid, sz) }
         .sortBy(_._1)
         .toDF("doc_id", "cluster_id", "cluster_size")
-    } else distributedClusters(spark, pairs)
+    } else distributedClusters(spark, pairs, npairs)
   }
+
+  /** Pair graphs at or under this edge count get explicit `broadcast()`
+    * hints on the per-round label frames (they are at most `2 * npairs`
+    * rows); larger graphs drop the hints and let AQE pick the join
+    * strategy from runtime sizes — a driver-scale pair graph must never be
+    * forced through a driver broadcast. */
+  private val BroadcastPairLimit = 5000000L
 
   /** Distributed path: min-label propagation WITH pointer doubling to
     * fixpoint over the (cached) pair frame. Each round takes the min over
@@ -224,8 +266,13 @@ object Dedup {
     * O(log diameter) rounds instead of O(diameter), the standard
     * large-graph connected-components acceleration. */
   private[operators] def distributedClusters(spark: SparkSession,
-                                             pairs: DataFrame): DataFrame = {
+                                             pairs: DataFrame,
+                                             npairs: Long = -1L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // hint only when the caller-counted edge count proves the label frames
+    // are small; unknown (-1) or large graphs rely on AQE
+    val hinted = npairs >= 0L && npairs <= BroadcastPairLimit
+    def maybeBroadcast(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     val und = pairs.unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // every round ends in an EAGER localCheckpoint: the data is cached and
@@ -240,20 +287,17 @@ object Dedup {
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 50) {
-        // label/pair frames are the LSH-funnel output — orders smaller than
-        // the corpus — so broadcast both round joins (drop the hints and
-        // let AQE decide if a corpus ever yields a driver-scale pair graph)
         val neighborMin = und
-          .join(broadcast(labels.withColumnRenamed("doc_id", "doc_b")), Seq("doc_b"))
+          .join(maybeBroadcast(labels.withColumnRenamed("doc_id", "doc_b")), Seq("doc_b"))
           .groupBy(col("doc_a").as("doc_id"))
           .agg(min(col("cluster_id")).as("nbr_min"))
-        val prop = labels.join(broadcast(neighborMin), Seq("doc_id"), "left")
+        val prop = labels.join(maybeBroadcast(neighborMin), Seq("doc_id"), "left")
           .select(col("doc_id"), col("cluster_id").as("old_cid"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("mid_cid"))
         // pointer doubling: follow the new label one more hop (the label of
         // a doc is itself a doc in the same component)
         val hop = prop.select(col("doc_id").as("mid_cid"), col("mid_cid").as("hop_cid"))
-        val next = prop.join(broadcast(hop), Seq("mid_cid"), "left")
+        val next = prop.join(maybeBroadcast(hop), Seq("mid_cid"), "left")
           .select(col("doc_id"),
             least(col("mid_cid"), coalesce(col("hop_cid"), col("mid_cid"))).as("cluster_id"),
             col("old_cid"))
@@ -264,6 +308,10 @@ object Dedup {
         labels = next.drop("moved")
         rounds += 1
       }
+      // a pathological pair graph must fail loudly, never return
+      // partially-propagated labels as if they were clusters
+      require(changed == 0,
+        s"label propagation did not converge in $rounds rounds ($changed labels still moving)")
       labels
         .join(labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")), "cluster_id")
         .select("doc_id", "cluster_id", "cluster_size")
@@ -329,15 +377,18 @@ object Dedup {
        |  FROM cand c JOIN sets a ON c.doc_a = a.doc_id JOIN sets b ON c.doc_b = b.doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = {
-    val hex16 =
-      "((strpos('0123456789abcdef', m[1]) - 1) * 4096 + (strpos('0123456789abcdef', m[2]) - 1) * 256 + " +
-        "(strpos('0123456789abcdef', m[3]) - 1) * 16 + (strpos('0123456789abcdef', m[4]) - 1))"
-    val votes = (0 until 16)
-      .map(bit => s"SUM(((h // ${1L << bit}) % 2) * 2 - 1) AS v$bit")
-      .mkString(", ")
-    val simhashExpr = (0 until 16)
-      .map(bit => s"CASE WHEN v$bit > 0 THEN ${1L << bit} ELSE 0 END")
-      .mkString(" + ")
+    // 64-bit simhash from two 32-bit md5 halves (h_hi = hex chars 1-8,
+    // h_lo = chars 9-16): bit b < 32 reads h_lo, b >= 32 reads h_hi.
+    // The signed-64 value sums per-bit terms in ascending order with the
+    // bit-63 term = BIGINT min — partial sums peak at 2^63-1, no overflow.
+    val votes = (0 until SimhashBits).map { bit =>
+      val src = if (bit < 32) "h_lo" else "h_hi"
+      s"SUM((($src // ${1L << (bit % 32)}) % 2) * 2 - 1) AS v$bit"
+    }.mkString(", ")
+    val simhashExpr = (0 until SimhashBits).map { bit =>
+      val term = if (bit == 63) "(-9223372036854775807 - 1)" else s"CAST(${1L << bit} AS BIGINT)"
+      s"CASE WHEN v$bit > 0 THEN $term ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
     Map(
       "q_dedup_exact" ->
         """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
@@ -365,13 +416,13 @@ object Dedup {
       "q_dedup_simhash" ->
         s"""WITH e AS (
            |  SELECT doc_id, source, md5(unnest(string_split(text, ' '))) AS m FROM documents),
-           |h AS (SELECT doc_id, source, $hex16 AS h FROM e),
+           |h AS (SELECT doc_id, source, ${hex32Sql(1)} AS h_hi, ${hex32Sql(9)} AS h_lo FROM e),
            |v AS (SELECT doc_id, source, $votes FROM h GROUP BY doc_id, source),
            |s AS (SELECT doc_id, source, CAST($simhashExpr AS BIGINT) AS simhash FROM v)
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
            |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
            |ORDER BY doc_a, doc_b""".stripMargin
     )
   }

@@ -48,10 +48,14 @@ object GroupedQuantiles {
                    maxCollect: Long = 64000000L): Map[Any, (Long, Map[Long, Double])] = {
     val sc = df.sparkSession.sparkContext
     val proj = df.select(col(groupCol), col(valueCol).cast("double"))
-    val counts: Array[(Any, Long)] = proj
-      .groupBy(col(groupCol)).agg(count(col(valueCol)).as("__n"))
-      .collect().map(r => (r.get(0), r.getLong(1)))
-      .sortBy(_._1.toString)
+    val counts: Array[(Any, Long)] = {
+      val raw = proj
+        .groupBy(col(groupCol)).agg(count(col(valueCol)).as("__n"))
+        .collect().map(r => (r.get(0), r.getLong(1)))
+      require(raw.forall(_._1 != null),
+        s"selectByRank: null group key in '$groupCol' — filter null keys or coalesce them to a sentinel first")
+      raw.sortBy(_._1.toString)
+    }
     val g = counts.length
     val gIdx: Map[Any, Int] = counts.map(_._1).zipWithIndex.toMap
     val positions: Array[Array[Long]] =
@@ -79,17 +83,24 @@ object GroupedQuantiles {
     val flatOff: Array[Int] = nb.scanLeft(0)(_ + _)
     val splitsB = sc.broadcast(splits)
     val gIdxB = sc.broadcast(gIdx)
-    val hist: Array[Long] = proj.rdd.treeAggregate(new Array[Long](flatOff(g)))(
+    // last slot counts NaN values (scaladoc: NaN unsupported) so a bad
+    // upstream fails with a descriptive message, not silently wrong ranks
+    val histAll: Array[Long] = proj.rdd.treeAggregate(new Array[Long](flatOff(g) + 1))(
       seqOp = (acc, row) => {
         if (!row.isNullAt(1)) {
-          gIdxB.value.get(row.get(0)).foreach { gi =>
-            val b = BucketizeExpr.search(splitsB.value(gi), row.getDouble(1), Int.MaxValue)
+          val v = row.getDouble(1)
+          if (v != v) acc(acc.length - 1) += 1
+          else gIdxB.value.get(row.get(0)).foreach { gi =>
+            val b = BucketizeExpr.search(splitsB.value(gi), v, Int.MaxValue)
             acc(flatOff(gi) + b) += 1
           }
         }
         acc
       },
       combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    require(histAll.last == 0,
+      s"selectByRank: ${histAll.last} NaN values in '$valueCol' — NaN has no rank; filter first")
+    val hist = histAll
     val cums: Array[Array[Long]] = Array.tabulate(g) { gi =>
       val cum = new Array[Long](nb(gi) + 1)
       (0 until nb(gi)).foreach(b => cum(b + 1) = cum(b) + hist(flatOff(gi) + b))

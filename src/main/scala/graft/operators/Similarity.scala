@@ -28,15 +28,33 @@ import graft.Tables
 object Similarity {
 
   val Dim = 64
-  val NPlanes = 8
   val TopK = 5
   val NQueries = 5
+
+  /** LSH plane-count scaling (round-4): a FIXED plane count p gives 2^p
+    * buckets forever, so within-bucket candidate pairs are O(n²/2^p) —
+    * still quadratic in n. Instead the plane count grows with the corpus:
+    * the smallest p in [MinPlanes, MaxPlanes] with n <= TargetBucket * 2^p,
+    * i.e. p ≈ log2(n / TargetBucket), holding the EXPECTED bucket
+    * occupancy at ~TargetBucket rows regardless of n — candidate pairs per
+    * bucket stay O(TargetBucket²) and total candidates O(n · TargetBucket),
+    * linear in n. The ladder is pure integer comparison (no log2 fp) so
+    * Spark and the DuckDB oracle can never disagree at a boundary. */
+  val TargetBucket = 64
+  val MinPlanes = 8
+  val MaxPlanes = 16
+
+  def planesFor(n: Long): Int = {
+    var p = MinPlanes
+    while (p < MaxPlanes && n > (TargetBucket.toLong << p)) p += 1
+    p
+  }
 
   /** Deterministic ±1 hyperplane components: sign from the first hex digit
     * of md5("plane|dim"). Constant, engine-independent, reproducible. */
   lazy val planeSigns: Array[Array[Int]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NPlanes, Dim) { (p, d) =>
+    Array.tabulate(MaxPlanes, Dim) { (p, d) =>
       val h = mdig.digest(s"$p|$d".getBytes("UTF-8"))
       val firstHex = (h(0) >> 4) & 0xf
       if (firstHex < 8) 1 else -1
@@ -77,15 +95,29 @@ object Similarity {
       if (planeSigns(p)(d) > 0) e else -e
     }.reduce(_ + _)
 
-  /** LSH bucket assignment + bucket occupancy: map-only 8-bit bucket id per
-    * vector; the bucket histogram shows the partition-pruning structure a
-    * 100 TB ANN probe would use. Occupancy is a groupBy (map-side combined,
-    * 256 tiny rows) broadcast-joined back — not a count-over-window, which
-    * would shuffle every vector into 256 bucket partitions. */
-  def qAnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (0 until NPlanes)
+  /** Map-only size-scaled LSH bucket id: `np = planesFor(corpus count)`
+    * planes — see the TargetBucket scaladoc for the O(n·TargetBucket)
+    * candidate math. The count is one parquet-metadata job at plan build. */
+  private def lshBucket(np: Int): Column =
+    (0 until np)
       .map(p => when(projection(p) > 0, lit(1 << p)).otherwise(0))
       .reduce(_ + _)
+
+  private def nEmbeddings(spark: SparkSession, dir: String): Long =
+    Tables.embeddings(spark, dir).count()
+
+  /** Bucket ids for an arbitrary embedding frame at an explicit plane count
+    * (spec hook: proves the recall property survives higher plane counts). */
+  private[graft] def bucketOf(df: DataFrame, np: Int): DataFrame =
+    df.withColumn("bucket", lshBucket(np))
+
+  /** LSH bucket assignment + bucket occupancy: map-only np-bit bucket id per
+    * vector; the bucket histogram shows the partition-pruning structure a
+    * 100 TB ANN probe would use. Occupancy is a groupBy (map-side combined,
+    * 2^np tiny rows) broadcast-joined back — not a count-over-window, which
+    * would shuffle every vector into per-bucket partitions. */
+  def qAnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = lshBucket(planesFor(nEmbeddings(spark, dir)))
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), bucket.as("bucket"))
     val occ = e.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
     e.join(broadcast(occ), "bucket")
@@ -97,9 +129,7 @@ object Similarity {
     * bucket (candidate pruning via equi-join on bucket id — the scale path;
     * recall vs brute force is property-tested in ScalaTest). */
   def qAnnLshProbe(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (0 until NPlanes)
-      .map(p => when(projection(p) > 0, lit(1 << p)).otherwise(0))
-      .reduce(_ + _)
+    val bucket = lshBucket(planesFor(nEmbeddings(spark, dir)))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
     val q = e.filter(col("vec_id") < NQueries)
@@ -120,9 +150,7 @@ object Similarity {
     * of the north-star dedup family): candidate pairs = same LSH bucket
     * (equi-join, no O(n²) cross join), verified by cosine >= 0.3 (the corpus has no planted near-identical embeddings — max pairwise cosine ~0.51 — so the threshold selects the top-similarity tail). */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = (0 until NPlanes)
-      .map(p => when(projection(p) > 0, lit(1 << p)).otherwise(0))
-      .reduce(_ + _)
+    val bucket = lshBucket(planesFor(nEmbeddings(spark, dir)))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
     val a = e.as("a")
@@ -301,8 +329,18 @@ object Similarity {
       if (planeSigns(p)(d) > 0) t else s"(-$t)"
     }.mkString("(", " + ", ")")
 
+  /** The `planesFor` integer ladder as SQL — identical breakpoints, no fp. */
+  private def nplanesCte: String = {
+    val ladder = (MinPlanes until MaxPlanes)
+      .map(p => s"WHEN n <= ${TargetBucket.toLong << p} THEN $p")
+      .mkString(" ")
+    s"nplanes AS (SELECT CASE $ladder ELSE $MaxPlanes END AS np FROM (SELECT COUNT(*) AS n FROM embeddings))"
+  }
+
+  /** Size-scaled bucket id: plane p contributes only when p < np. */
   private def bucketSql: String =
-    (0 until NPlanes).map(p => s"CASE WHEN ${projSql(p)} > 0 THEN ${1 << p} ELSE 0 END")
+    (0 until MaxPlanes)
+      .map(p => s"CASE WHEN $p < (SELECT np FROM nplanes) AND ${projSql(p)} > 0 THEN ${1 << p} ELSE 0 END")
       .mkString(" + ")
 
   def oracleSql: Map[String, String] = {
@@ -318,11 +356,13 @@ object Similarity {
            |SELECT query_id, vec_id, sim, CAST(rn AS INTEGER) AS rn FROM r
            |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
       "q_ann_lsh_buckets" ->
-        s"""WITH b AS (SELECT vec_id, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings)
+        s"""WITH $nplanesCte,
+           |b AS (SELECT vec_id, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings)
            |SELECT vec_id, bucket, CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_n
            |FROM b ORDER BY vec_id""".stripMargin,
       "q_dedup_embedding" ->
-        s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings),
+        s"""WITH $nplanesCte,
+           |b AS (SELECT vec_id, embedding, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings),
            |s AS (
            |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
            |    round(${dotSql("x.embedding", "y.embedding")} /
@@ -357,7 +397,8 @@ object Similarity {
            |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
       },
       "q_ann_lsh_probe" ->
-        s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings),
+        s"""WITH $nplanesCte,
+           |b AS (SELECT vec_id, embedding, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings),
            |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < $NQueries),
            |s AS (
            |  SELECT q.query_id, e.vec_id, $simSql AS sim
@@ -393,7 +434,8 @@ object Similarity {
              |  FROM embeddings e CROSS JOIN ${pref}q q WHERE e.vec_id <> q.query_id),
              |${pref}r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC NULLS LAST, vec_id) AS rn FROM ${pref}s),
              |${pref}3 AS (SELECT query_id, vec_id FROM ${pref}r WHERE rn <= 3)""".stripMargin
-        s"""WITH lb AS (SELECT vec_id, embedding, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings),
+        s"""WITH $nplanesCte,
+           |lb AS (SELECT vec_id, embedding, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings),
            |lq AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM lb WHERE vec_id < $NQueries),
            |ls AS (SELECT q.query_id, e.vec_id, $simSql AS sim
            |  FROM lb e JOIN lq q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id),

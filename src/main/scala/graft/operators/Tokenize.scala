@@ -117,6 +117,12 @@ object Tokenize {
       // of shuffle; n falls out for free (no separate count job).
       val pidCounts = sorted.groupBy(spark_partition_id().as("__pid")).count()
         .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      // the global-position reconstruction below reads the partition-local
+      // record counter from monotonically_increasing_id's low 33 bits — an
+      // undocumented layout; assert the only way it can go wrong (a cached
+      // partition with >= 2^33 rows would carry into the partition-id bits)
+      require(pidCounts.forall(_._2 < (1L << 33)),
+        s"tokenizeRankDistributed: a cached partition holds >= 2^33 rows (max ${pidCounts.map(_._2).max}) — repartition the input before tokenizing")
       val n = pidCounts.map(_._2).sum / k
       // NTILE semantics: first (n % bins) buckets have size n/bins + 1
       val base = n / bins
@@ -213,6 +219,21 @@ object Tokenize {
     // buckets because the tiebreak participates in the comparison)
     val frac = math.min(1.0, sampleSize.toDouble / n)
     val sampleRows = proj.sample(withReplacement = false, frac, seed = 42).collect()
+    // the sample is the FIRST thing to touch the data, so it is also the
+    // first place a null/NaN precondition violation can surface — fail here
+    // with the column name, not an opaque NPE inside keyOf (the full-data
+    // check is the pass-1 histogram's null/NaN slots below)
+    sampleRows.foreach { row =>
+      var f = 0
+      while (f < m - 1) {
+        require(!row.isNullAt(f),
+          s"tokenizeRankSelect: null in sort column '${tiebreak(f)}' — keys must be non-null")
+        val v = row.getDouble(f)
+        require(v == v,
+          s"tokenizeRankSelect: NaN in sort column '${tiebreak(f)}' — binary search and Spark sort order disagree on NaN")
+        f += 1
+      }
+    }
     def keyOf(row: org.apache.spark.sql.Row, ci: Int): Array[Double] = {
       val out = new Array[Double](m)
       var f = 0
@@ -235,16 +256,23 @@ object Tokenize {
     val splitsB = sc.broadcast(splits)
     val keyIdxB = sc.broadcast(keyIdx)
     // pass 1: flat (col, bucket) histogram — one treeAggregate scan, one
-    // composite binary search + one increment per (row, col). The last slot
-    // counts rows with a null sort field (precondition violation -> loud).
-    val histAll: Array[Long] = internal.treeAggregate(new Array[Long](flatOff(k) + 1))(
+    // composite binary search + one increment per (row, col). The last two
+    // slots count rows with a null / NaN sort field (precondition
+    // violations -> loud, with a name, over the FULL data).
+    val histAll: Array[Long] = internal.treeAggregate(new Array[Long](flatOff(k) + 2))(
       seqOp = (acc, row) => {
         val sp = splitsB.value
         val ki = keyIdxB.value
         var f = 0
         var hasNull = false
-        while (f < m - 1) { if (row.isNullAt(f)) hasNull = true; f += 1 }
-        if (hasNull) acc(acc.length - 1) += 1
+        var hasNaN = false
+        while (f < m - 1) {
+          if (row.isNullAt(f)) hasNull = true
+          else { val v = row.getDouble(f); if (v != v) hasNaN = true }
+          f += 1
+        }
+        if (hasNull) acc(acc.length - 2) += 1
+        else if (hasNaN) acc(acc.length - 1) += 1
         else {
           var ci = 0
           while (ci < k) {
@@ -255,8 +283,10 @@ object Tokenize {
         acc
       },
       combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    require(histAll(histAll.length - 2) == 0,
+      s"tokenizeRankSelect: ${histAll(histAll.length - 2)} rows have null sort columns")
     require(histAll.last == 0,
-      s"tokenizeRankSelect: ${histAll.last} rows have null sort columns")
+      s"tokenizeRankSelect: ${histAll.last} rows have NaN sort columns — binary search and Spark sort order disagree on NaN")
     val hist = histAll
     // cumulative counts -> (bucket, in-bucket offset) for every position
     val cums: Array[Array[Long]] = Array.tabulate(k) { ci =>
@@ -741,12 +771,30 @@ object Tokenize {
       // (col_name, p_idx 0..100, boundary) rows — the exact shape of the
       // reference's boundary tensor (etl_benchmark.py:63:
       // torch.linspace(0,1,101) -> torch.quantile), computed by the
-      // distributed sort-based exact quantile and emitted driver-side
-      // (the result is always cols × (bins+1) values — tiny).
+      // SELECTION-based exact quantile (sample→histogram→gather of only the
+      // boundary-position rows; the fact table is never globally sorted)
+      // and emitted driver-side (the result is always cols × (bins+1)
+      // values — tiny).
       import spark.implicits._
       val li = graft.Tables.lineitem(spark, dir)
       val probs = (0 to DefaultBins).map(_.toDouble / DefaultBins)
       val bounds = quantileBoundsSelect(li, LineitemCols, probs)
+      LineitemCols.flatMap { c =>
+        bounds(c).zipWithIndex.map { case (b, i) => (c, i, round6d(b)) }
+      }.toDF("col_name", "p_idx", "boundary")
+        .orderBy("col_name", "p_idx")
+    },
+    "q_quantile_bounds_sample" -> { (spark, dir) =>
+      // Rows-only contract entry for the engine's FASTEST bounds path
+      // ([[quantileBoundsSample]]: one map-only scan, DKW-bounded — 3.3-4 s
+      // vs 12.5 s exact on 10 M×20). Sampled boundaries have no hash-stable
+      // cross-engine oracle (the sample depends on partition layout), so
+      // the driver records a rows-only check; the DKW rank-error property
+      // and exact-path agreement are spec-enforced in TokenizeSpec.
+      import spark.implicits._
+      val li = graft.Tables.lineitem(spark, dir)
+      val probs = (0 to DefaultBins).map(_.toDouble / DefaultBins)
+      val bounds = quantileBoundsSample(li, LineitemCols, probs)
       LineitemCols.flatMap { c =>
         bounds(c).zipWithIndex.map { case (b, i) => (c, i, round6d(b)) }
       }.toDF("col_name", "p_idx", "boundary")

@@ -11,7 +11,10 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
-    assert(rowsOnly == Set("q_multimodal_features", "q_approx_sketches"), s"unexpected rows-only: $rowsOnly")
+    // q_quantile_bounds_sample: sampled boundaries have no hash-stable
+    // cross-engine oracle; correctness carried by the DKW spec (TokenizeSpec)
+    assert(rowsOnly == Set("q_multimodal_features", "q_approx_sketches",
+      "q_quantile_bounds_sample"), s"unexpected rows-only: $rowsOnly")
   }
 
   test("query names are unique across modules (no silent map overwrites)") {

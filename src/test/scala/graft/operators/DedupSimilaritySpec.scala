@@ -75,16 +75,34 @@ class DedupSimilaritySpec extends SparkSpec {
     val pairs = ((0L until 63L).map(i => (i, i + 1)) ++
       (100L until 104L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
       .persist()
-    val out = Dedup.distributedClusters(spark, pairs).collect()
+    val out = Dedup.distributedClusters(spark, pairs, npairs = pairs.count())
+      .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out.size == 69)
     (0L to 63L).foreach(d => assert(out(d) == ((0L, 64L)), s"doc $d"))
     (100L to 104L).foreach(d => assert(out(d) == ((100L, 5L)), s"doc $d"))
+    // hints-off path (edge count above the broadcast gate): AQE picks the
+    // join strategy and the result must be identical
+    val outAqe = Dedup.distributedClusters(spark, pairs, npairs = Long.MaxValue)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(outAqe == out, "broadcast-hinted and AQE paths disagree")
   }
 
-  test("simhash hamming distance is 0 for identical word multisets") {
+  test("simhash pairs respect the Hamming radius; exact dups collide at 0") {
     val pairs = Dedup.qDedupSimhash(spark, sf).collect()
-    assert(pairs.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 4))
+    assert(pairs.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 7))
+    // identical texts within one source have identical simhashes — every
+    // such pair must surface with hamming = 0 (64-bit hash, radius 7)
+    val d = graft.Tables.documents(spark, sf)
+    val a = d.as("a"); val b = d.as("b")
+    val exactPairs = a.join(b,
+        col("a.source") === col("b.source") && col("a.text") === col("b.text") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val zero = pairs.filter(_.getInt(2) == 0).map(r => (r.getLong(0), r.getLong(1))).toSet
+    exactPairs.foreach(p => assert(zero.contains(p), s"exact-dup pair $p missing"))
   }
 
   test("cosine top-k: sims in [-1,1], ranks 1..k per query") {
@@ -113,9 +131,42 @@ class DedupSimilaritySpec extends SparkSpec {
         assert(math.abs(s - r.getDouble(2)) < 1e-12)
       }
     }
-    // buckets are 8-bit
+    // buckets fit the size-scaled plane count
+    val np = Similarity.planesFor(graft.Tables.embeddings(spark, sf).count())
     val buckets = Similarity.qAnnLshBuckets(spark, sf).select("bucket").distinct()
       .collect().map(_.getInt(0))
-    assert(buckets.forall(b => b >= 0 && b < 256))
+    assert(buckets.forall(b => b >= 0 && b < (1 << np)))
+  }
+
+  test("planesFor holds expected bucket occupancy ~TargetBucket across scales") {
+    import Similarity.{planesFor, TargetBucket, MinPlanes, MaxPlanes}
+    assert(planesFor(0L) == MinPlanes)
+    assert(planesFor(500L) == MinPlanes)
+    // exactly at the boundary stays; one past it steps up
+    assert(planesFor(TargetBucket.toLong << MinPlanes) == MinPlanes)
+    assert(planesFor((TargetBucket.toLong << MinPlanes) + 1) == MinPlanes + 1)
+    assert(planesFor(1L << 30) == MaxPlanes) // clamped at the top
+    // occupancy bound: n / 2^p <= TargetBucket whenever the ladder isn't capped
+    for (n <- Seq(10000L, 1000000L, 50000000L)) {
+      val p = planesFor(n)
+      if (p < MaxPlanes) assert(n.toDouble / (1L << p) <= TargetBucket)
+    }
+  }
+
+  test("identical embeddings share an LSH bucket at every plane count") {
+    import spark.implicits._
+    // near-identical cluster: base vector and +-1e-6 perturbations keep all
+    // 64 signed projections on the same side of 0 (|proj| >> 64 * 1e-6),
+    // so the whole cluster collides in ONE bucket at any np in [8, 16] —
+    // the recall property that must survive the size-scaled plane count
+    val base = Array.tabulate(Similarity.Dim)(d => (0.1f + 0.01f * (d % 7)))
+    val docs = (0 until 20).map { i =>
+      (i.toLong, base.map(v => v + (if (i % 2 == 0) 1e-6f else -1e-6f) * (i % 3)))
+    }
+    val df = docs.toDF("vec_id", "embedding")
+    for (np <- Seq(Similarity.MinPlanes, 12, Similarity.MaxPlanes)) {
+      val nb = Similarity.bucketOf(df, np).select("bucket").distinct().count()
+      assert(nb == 1L, s"cluster split across $nb buckets at np=$np")
+    }
   }
 }
