@@ -30,6 +30,7 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracleSql),
       (Similarity.queries, Similarity.oracleSql),
       (PipelineOps.queries, PipelineOps.oracleSql),
+      (TrainPrep.queries, TrainPrep.oracleSql),
       (Relational4.queries, Relational4.oracleSql),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracleSql),
       (CorpusPipeline.queries, CorpusPipeline.oracleSql)

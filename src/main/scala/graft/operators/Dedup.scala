@@ -126,6 +126,28 @@ object Dedup {
   def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
     verifiedNearDupPairs(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
 
+  /** Directional MinHash containment C(A→B) = |A∩B| / |A| over the SAME
+    * LSH candidate funnel as [[qDedupJaccard]]. Containment catches
+    * quote/subset duplication that symmetric Jaccard misses: a short doc
+    * fully embedded in a long one has containment ≈ 1 but Jaccard ≈
+    * |short|/|long| (the union is dominated by the long doc). Pairs where
+    * either direction ≥ 0.5 survive. Same 100 TB shape as the Jaccard
+    * verify: candidates only, never all pairs. */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = lshCandidates(docs).select("doc_a", "doc_b")
+    val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(inter / size(col("sa")), 6).as("containment_a"),
+        round(inter / size(col("sb")), 6).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash width and Hamming radius: 64-bit hash, 8 pigeonhole segments
     * of 8 bits each — Hamming distance <= 7 flips at most 7 segments, so at
     * least one segment is bit-identical. The 64-bit word hash is built from
@@ -327,6 +349,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash_lsh" -> qDedupMinhashLsh,
     "q_dedup_jaccard" -> qDedupJaccard,
+    "q_dedup_containment" -> qDedupContainment,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_clusters" -> qDedupClusters
   )
@@ -399,6 +422,16 @@ object Dedup {
       "q_dedup_jaccard" ->
         s"""WITH $jaccardCtes
            |SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+      "q_dedup_containment" ->
+        s"""WITH $lshCtes,
+           |sets AS (SELECT doc_id, $shinglesSql AS sh FROM w),
+           |ct AS (
+           |  SELECT c.doc_a, c.doc_b,
+           |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS containment_a,
+           |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) AS containment_b
+           |  FROM cand c JOIN sets a ON c.doc_a = a.doc_id JOIN sets b ON c.doc_b = b.doc_id)
+           |SELECT doc_a, doc_b, containment_a, containment_b FROM ct
+           |WHERE greatest(containment_a, containment_b) >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
       "q_dedup_clusters" ->
         s"""WITH RECURSIVE $jaccardCtes,
            |p AS (SELECT doc_a, doc_b FROM jj WHERE jaccard >= 0.5),

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-corpus preparation operators beyond dedup/similarity (SURVEY
+  * §2C north-star family): benchmark decontamination, context-window
+  * sequence packing, and deterministic shard assignment. The reference
+  * pipeline stops at tokenization (etl_benchmark.py:53-84); these are the
+  * operations a corpus feeding an actual training run needs next, each
+  * expressed as one declarative plan the DuckDB oracle can mirror.
+  */
+object TrainPrep {
+
+  /** Context-window token budget for sequence packing. Small enough that
+    * sf0.01's ~50-token docs form multi-pack sources, big enough that packs
+    * hold several documents — the shape a 2k/8k production budget has. */
+  val PackBudget = 512
+
+  /** Shard count for deterministic corpus sharding. */
+  val NShards = 16
+
+  /** Benchmark membership: doc_id ≡ 0 (mod 97). Stands in for a held-out
+    * eval set; 97 is prime so membership is uncorrelated with the
+    * generator's source/lang striping. */
+  private val BenchMod = 97
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Distinct word-3-gram shingles — same convention as [[Dedup.shingles]]
+    * (kept local: both modules treat the shingle shape as part of the
+    * query's public contract, not shared mutable design). */
+  private def shingles(c: Column): Column = {
+    val w = words(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(1))),
+      i => concat_ws("|", slice(w, i, lit(3)))))
+  }
+
+  /** Benchmark decontamination: for every corpus (non-benchmark) document,
+    * how many of its distinct word-3-grams appear anywhere in the benchmark
+    * set. Training corpora are scrubbed of eval-set n-gram overlap before
+    * training; the contamination ratio is the standard report.
+    *
+    * 100 TB shape: the benchmark gram set is tiny (an eval suite, not the
+    * corpus) — broadcast it and the overlap count is a map-side hash join
+    * on the exploded corpus grams; the only shuffle is the per-doc groupBy,
+    * map-side combined. Every doc is reported (zero-overlap docs with
+    * contamination 0.0) so the output is also the scrub-list input. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+    val bench = grams.filter(col("doc_id") % BenchMod === 0)
+      .select("g").distinct()
+    val corpus = grams.filter(col("doc_id") % BenchMod =!= 0)
+    val perDoc = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val overlap = corpus.join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    perDoc.join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** Greedy offset sequence packing: documents are laid end-to-end per
+    * source in doc_id order; a document belongs to the pack its FIRST token
+    * lands in (`floor(start_offset / budget)`). Output: per-(source, pack)
+    * document count and token sum — the packing manifest a training loader
+    * consumes.
+    *
+    * 100 TB shape: one shuffle by source, then a running sum inside each
+    * partition — no global sort. At cluster scale the unit is (shard,
+    * source): sharding first (see [[qShardAssign]]) bounds any one window
+    * partition, and packs never cross shards by construction. */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val running = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tok"))
+      .withColumn("start", sum(col("n_tok")).over(running) - col("n_tok"))
+      .withColumn("pack_id", floor(col("start") / PackBudget).cast("int"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
+  /** Deterministic corpus shuffle via hash sharding: shard = first md5 byte
+    * of the doc id mod NShards, position = rank of the full md5 within the
+    * shard. Training runs need a reproducible global permutation; ordering
+    * by a hash IS one, and ranking only WITHIN each shard replaces the
+    * global total-order sort with NShards independent partition-local sorts
+    * — the shard file layout a 100 TB corpus actually ships. The md5 is
+    * collision-free on distinct doc_ids for any real corpus size; doc_id
+    * breaks the (never-observed) tie deterministically. */
+  def qShardAssign(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    val byHash = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 2), 16, 10).cast("int") % NShards).cast("int"))
+      .withColumn("pos", row_number().over(byHash))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> qDecontaminate,
+    "q_pack_sequences" -> qPackSequences,
+    "q_shard_assign" -> qShardAssign
+  )
+
+  private val shinglesSql =
+    "list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1), i -> array_to_string(ws[i:i+2], '|')))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest($shinglesSql) AS g FROM w),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % $BenchMod = 0),
+         |corpus AS (SELECT * FROM g WHERE doc_id % $BenchMod <> 0),
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM corpus GROUP BY doc_id),
+         |ov AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+         |       FROM corpus c JOIN bench b ON c.g = b.g GROUP BY c.doc_id)
+         |SELECT pd.doc_id, pd.n_grams,
+         |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+         |  round(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / pd.n_grams, 6) AS contamination
+         |FROM pd LEFT JOIN ov ON pd.doc_id = ov.doc_id
+         |ORDER BY pd.doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |s AS (
+         |  SELECT source, doc_id, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start
+         |  FROM t)
+         |SELECT source, CAST(FLOOR(start / $PackBudget) AS INTEGER) AS pack_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+         |FROM s GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+    "q_shard_assign" -> {
+      // first md5 hex byte as an integer, DuckDB-side (no 0x parse)
+      val byte0 =
+        "(strpos('0123456789abcdef', h[1]) - 1) * 16 + (strpos('0123456789abcdef', h[2]) - 1)"
+      s"""WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |s AS (SELECT doc_id, h, CAST(($byte0) % $NShards AS INTEGER) AS shard FROM t)
+         |SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
+         |FROM s ORDER BY doc_id""".stripMargin
+    }
+  )
+}
