@@ -74,6 +74,31 @@ class PlanSpec extends SparkSpec {
       "segment banding must make candidate generation an equi-join:\n" + plan)
   }
 
+  test("q_decontaminate joins corpus grams against a broadcast benchmark set") {
+    val plan = formatted(operators.TrainPrep.qDecontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the benchmark gram set must broadcast — the corpus side never shuffles for the overlap join:\n" + plan)
+  }
+
+  test("q_pack_sequences: one data shuffle (by source) feeds window and agg") {
+    val plan = formatted(operators.TrainPrep.qPackSequences(spark, sf))
+    // exchanges: the partitionBy(source) shuffle + the final output sort;
+    // the groupBy(source, pack_id) reuses the source partitioning
+    val exchanges = plan.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 3, s"packing must not re-shuffle per stage ($exchanges exchanges):\n$plan")
+    assert(plan.contains("Window"), "running offset must be a window, not a self-join")
+  }
+
+  test("q_shard_assign sorts within shards, never globally before ranking") {
+    val plan = formatted(operators.TrainPrep.qShardAssign(spark, sf))
+    // the row_number window partitions by shard: its sort is partition-local
+    // (the only global sort is the final output ORDER BY doc_id)
+    val windowLine = plan.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.nonEmpty, "shard position must be a window rank")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "shard ranking must never funnel through one partition:\n" + plan)
+  }
+
   test("boundary tokenizer is map-only over the fact table (no exchange)") {
     val li = Tables.lineitem(spark, sf)
     val bounds = operators.Tokenize.quantileBoundsExact(
