@@ -438,20 +438,34 @@ object Tokenize {
   /** Phase 1, exact, selection-based — the preferred scale path. Finds the
     * exact values at the quantile positions WITHOUT any global sort:
     *
-    *  1. one aggregation for per-column non-null counts;
-    *  2. a driver-side sample picks ~`numBuckets` split points per column;
+    *  1. a metadata-speed row count (zero columns read on parquet) decides
+    *     the small-input collect path;
+    *  2. a PARTITION-HEAD SKIP-SAMPLE picks ~`numBuckets` split points per
+    *     column: up to 64 evenly-strided partitions are visited and only
+    *     the first ~sampleSize/64 rows of each are decoded (~2% of a large
+    *     scan). The sample only steers bucket granularity, so its bias can
+    *     never change the RESULT — a pathological sample (e.g. a file
+    *     value-clustered so partition heads miss the range) only inflates
+    *     candidate-bucket volume, which the maxCollect guard absorbs via
+    *     the distributed gather fallback;
     *  3. ONE scan bucket-counts every column against its split points
     *     (codegen'd binary search, map-side combined — the shuffle carries
-    *     only (col, bucket) partial counts);
+    *     only (col, bucket) partial counts); per-column non-null counts
+    *     fall out as the histogram row sums — no separate count pass;
     *  4. cumulative bucket counts locate each needed position's bucket; a
     *     second scan shuffles ONLY the candidate buckets (≈ |probs| x n/B
     *     rows per column), each sorted locally inside flatMapGroups and the
     *     needed offsets emitted.
     *
-    * vs the sort path: 2 scans + a candidate-sized shuffle instead of one
-    * range-partitioned full sort + double-pass zipWithIndex per column. The
-    * result is byte-identical to [[quantileBoundsExact]] (equality spec) —
-    * positions are exact; the sample only steers bucket granularity.
+    * vs the sort path: 2 full scans + a candidate-sized shuffle instead of
+    * one range-partitioned full sort + double-pass zipWithIndex per column
+    * (and vs the round-3 shape: the count aggregation and the full-scan
+    * Bernoulli sample are gone — 4 data passes became 2 plus two ~free
+    * jobs). The result is byte-identical to [[quantileBoundsExact]]
+    * (equality spec) — positions are exact; the sample only steers bucket
+    * granularity. [[quantileBoundsSample]] deliberately KEEPS its full-scan
+    * Bernoulli sample: there the sample IS the answer, and skip-sampling
+    * would trade the DKW guarantee for speed.
     *
     * Caveats: values equal to a split point share a bucket (ties never split
     * across buckets, so tie-heavy columns degrade gracefully into one big
@@ -465,23 +479,18 @@ object Tokenize {
     val spark = df.sparkSession
     val sc = spark.sparkContext
     val k = cols.size
-    // one aggregation job: per-column non-null counts AND the total row
-    // count — collect/sample sizing must use TOTAL rows (a mostly-null wide
-    // input can have tiny non-null counts but still be huge to collect)
-    val countRow = df.agg(count(lit(1)).as("__total"),
-      cols.map(c => count(col(c)).as(c)): _*).head()
-    val totalRows = countRow.getLong(0)
-    val counts: Array[Long] = cols.indices.map(i => countRow.getLong(i + 1)).toArray
-    cols.indices.foreach(i =>
-      require(counts(i) > 0, s"quantileBoundsSelect: no non-null values in ${cols(i)}"))
-    val positions: Array[Seq[(Long, Long, Double)]] = cols.indices.map { ci =>
+    // helper: the exact (floor, ceil, frac) interpolation positions for a
+    // column with n non-null values
+    def positionsFor(n: Long): Seq[(Long, Long, Double)] =
       probs.map { p =>
-        val pos = p * (counts(ci) - 1)
+        val pos = p * (n - 1)
         (math.floor(pos).toLong, math.ceil(pos).toLong, pos - math.floor(pos))
       }
-    }.toArray
-    val needPos: Array[Array[Long]] =
-      positions.map(_.flatMap(t => Seq(t._1, t._2)).distinct.sorted.toArray)
+    // metadata-speed job: count(lit(1)) prunes every column, so on a plain
+    // parquet scan the row count comes from footers without reading data
+    // pages — collect/sample sizing must use TOTAL rows (a mostly-null wide
+    // input can have tiny non-null counts but still be huge to collect)
+    val totalRows = df.count()
     val proj = df.select(cols.map(c => col(c).cast("double")): _*)
     // small inputs: one collect, driver-side sorts — the bucket machinery's
     // extra jobs cost more than they save under ~1M rows
@@ -489,8 +498,9 @@ object Tokenize {
       val rows = proj.collect()
       return cols.indices.map { ci =>
         val vs = rows.iterator.filterNot(_.isNullAt(ci)).map(_.getDouble(ci)).toArray
+        require(vs.nonEmpty, s"quantileBoundsSelect: no non-null values in ${cols(ci)}")
         java.util.Arrays.sort(vs)
-        cols(ci) -> positions(ci).map { case (lo, hi, fr) =>
+        cols(ci) -> positionsFor(vs.length).map { case (lo, hi, fr) =>
           val l = vs(lo.toInt)
           val h = vs(hi.toInt)
           l + (h - l) * fr
@@ -498,9 +508,20 @@ object Tokenize {
       }.toMap
     }
     // sample-derived split points (sorted, distinct) per column; the sample
-    // only steers bucket granularity — positions stay exact regardless
-    val frac = math.min(1.0, sampleSize.toDouble / totalRows)
-    val sampleRows = proj.sample(withReplacement = false, frac, seed = 42).collect()
+    // only steers bucket granularity — positions stay exact regardless, so
+    // a cheap partition-head skip-sample suffices: visit up to 64 evenly
+    // strided partitions, decode only the head rows of each (early-stop —
+    // the parquet reader never pulls later batches), skip the rest entirely
+    // primitive InternalRow access (no Row boxing) for every pass below;
+    // scan-reused rows must be copied when they outlive the iterator step
+    val internal = proj.queryExecution.toRdd
+    val nPart = internal.getNumPartitions
+    val visit = math.min(nPart, 64)
+    val stride = math.max(1, nPart / visit)
+    val perPartCap = math.max(256, sampleSize / visit)
+    val sampleRows = internal.mapPartitionsWithIndex { (pid, it) =>
+      if (pid % stride == 0) it.take(perPartCap).map(_.copy()) else Iterator.empty
+    }.collect()
     val splits: Array[Array[Double]] = cols.indices.map { ci =>
       val vs = sampleRows.iterator.filterNot(_.isNullAt(ci)).map(_.getDouble(ci)).toArray
       java.util.Arrays.sort(vs)
@@ -517,7 +538,7 @@ object Tokenize {
     val splitsB = sc.broadcast(splits)
     // pass 1: flat (col, bucket) histogram in one treeAggregate scan —
     // per value: one binary search + one array increment, zero allocation
-    val hist: Array[Long] = proj.rdd.treeAggregate(new Array[Long](flatOff(k)))(
+    val hist: Array[Long] = internal.treeAggregate(new Array[Long](flatOff(k)))(
       seqOp = (acc, row) => {
         val sp = splitsB.value
         var ci = 0
@@ -537,6 +558,15 @@ object Tokenize {
       (0 until nb(ci)).foreach(b => cum(b + 1) = cum(b) + hist(flatOff(ci) + b))
       cum
     }.toArray
+    // per-column non-null counts are the histogram row sums — the round-3
+    // dedicated count aggregation pass is gone
+    val counts: Array[Long] = cums.map(_.last)
+    cols.indices.foreach(i =>
+      require(counts(i) > 0, s"quantileBoundsSelect: no non-null values in ${cols(i)}"))
+    val positions: Array[Seq[(Long, Long, Double)]] =
+      counts.map(positionsFor)
+    val needPos: Array[Array[Long]] =
+      positions.map(_.flatMap(t => Seq(t._1, t._2)).distinct.sorted.toArray)
     val neededOffsets: Array[Map[Int, Array[Long]]] = cols.indices.map { ci =>
       val cum = cums(ci)
       needPos(ci).toSeq.groupBy { p =>
@@ -555,7 +585,7 @@ object Tokenize {
     }.sum
     val neededBkB = sc.broadcast(neededBuckets)
     // pass 2: gather ONLY candidate-bucket values (≈ |probs| x n/B per col)
-    val cand = proj.rdd.mapPartitions { it =>
+    val cand = internal.mapPartitions { it =>
       val sp = splitsB.value
       val nbk = neededBkB.value
       it.flatMap { row =>
