@@ -31,6 +31,7 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracleSql),
       (PipelineOps.queries, PipelineOps.oracleSql),
       (TrainPrep.queries, TrainPrep.oracleSql),
+      (QualityOps.queries, QualityOps.oracleSql),
       (Relational4.queries, Relational4.oracleSql),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracleSql),
       (CorpusPipeline.queries, CorpusPipeline.oracleSql)

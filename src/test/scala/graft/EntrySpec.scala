@@ -23,7 +23,7 @@ class EntrySpec extends SparkSpec {
       operators.RelationalExt.queries, operators.EventOps.queries,
       operators.Relational3.queries, operators.TypedOps.queries, operators.TextOps.queries, operators.Dedup.queries,
       operators.Similarity.queries, operators.PipelineOps.queries,
-      operators.TrainPrep.queries,
+      operators.TrainPrep.queries, operators.QualityOps.queries,
       operators.Relational4.queries, multimodal.Multimodal.queries,
       CorpusPipeline.queries)
     val total = mods.map(_.size).sum

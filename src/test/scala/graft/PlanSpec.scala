@@ -99,6 +99,39 @@ class PlanSpec extends SparkSpec {
       "shard ranking must never funnel through one partition:\n" + plan)
   }
 
+  test("q_sample_weighted / q_doc_chunks shuffle only for the output sort") {
+    for (q <- Seq(operators.QualityOps.qSampleWeighted(spark, sf),
+                  operators.QualityOps.qDocChunks(spark, sf))) {
+      val exchanges = formatted(q).linesIterator.count(_.contains(") Exchange"))
+      assert(exchanges == 1, s"map-only up to the ORDER BY, got $exchanges exchanges")
+    }
+  }
+
+  test("q_vocab_coverage joins tokens against a broadcast vocabulary") {
+    val plan = formatted(operators.QualityOps.qVocabCoverage(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the tiny vocab must broadcast — the exploded token stream never shuffles for it:\n" + plan)
+  }
+
+  test("q_emb_hamming: map-only signatures, broadcast queries, <=2 shuffles") {
+    val plan = formatted(operators.QualityOps.qEmbHamming(spark, sf))
+    assert(plan.contains("Broadcast"), "the 5-row query side must broadcast")
+    // shuffles: the per-query top-k window + the final output sort only —
+    // the 64-bit signature stream itself never hash-shuffles
+    val exchanges = plan.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 2, s"candidate stream must not shuffle ($exchanges exchanges):\n$plan")
+  }
+
+  test("q_segment_dedup: segment shuffle + doc reassembly shuffle only") {
+    val plan = formatted(operators.QualityOps.qSegmentDedup(spark, sf))
+    // exchanges: hash by segment (first-occurrence window), hash by doc_id
+    // (reassembly agg), final output sort — never a single partition
+    val exchanges = plan.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "cross-corpus dedup must never funnel through one partition")
+  }
+
   test("boundary tokenizer is map-only over the fact table (no exchange)") {
     val li = Tables.lineitem(spark, sf)
     val bounds = operators.Tokenize.quantileBoundsExact(
