@@ -25,6 +25,12 @@ import org.apache.spark.sql.SparkSession
   *  - a global wall budget (env SPARK_GRAFT_BENCH_BUDGET_S, default 900 s)
   *    skips later passes / third samples once exceeded — on a degraded host
   *    pass 1 alone suffices for a valid (if noisy) number;
+  *  - a hard cap (env SPARK_GRAFT_BENCH_HARDCAP_S, default 3x budget)
+  *    bounds even pass 1: once exceeded, remaining pass-1 queries are
+  *    recorded as skipped in "errors" and the run self-terminates with the
+  *    partial total (measured on this host: a degradation phase can inflate
+  *    single queries 100x — 3.4 s -> ~450 s — so an unbounded pass 1 can
+  *    outlive any external timeout, which is exactly round 3's rc-124 mode);
   *  - query errors are RECORDED in an "errors" JSON field (and the query is
   *    excluded from the total), never silently scored as ~0 s.
   *
@@ -36,6 +42,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toDouble
+    val hardcapS = sys.env.getOrElse("SPARK_GRAFT_BENCH_HARDCAP_S", (budgetS * 3).toString).toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = SparkSession.builder()
@@ -103,9 +110,19 @@ object Bench {
       res
     }
 
-    // Pass 1: every query, unconditionally (the only pass guaranteed to run;
-    // per-query emission keeps even a mid-pass kill parseable).
-    val pass1 = names.map(n => n -> once(1, n)).toMap
+    // Pass 1: every query (the only pass guaranteed to run; per-query
+    // emission keeps even a mid-pass kill parseable) — unless the wall hard
+    // cap trips, in which case the remainder is disclosed as skipped and the
+    // partial total still parses.
+    val pass1 = names.map { n =>
+      n -> (if (elapsed < hardcapS) once(1, n)
+            else {
+              errors(n) = s"skipped: wall hardcap ${hardcapS}s exceeded in pass 1"
+              System.err.println(s"[bench] SKIP q=$n (hardcap)")
+              emit()
+              None
+            })
+    }.toMap
     passesDone = 1
     emit()
 
