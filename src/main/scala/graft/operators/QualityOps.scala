@@ -44,8 +44,8 @@ object QualityOps {
 
   /** Word n-grams starting at every position; the greatest() guard emits one
     * (possibly short) gram for docs with fewer than n words, mirroring
-    * TextOps.qDocFingerprint. */
-  private def ngrams(w: Column, n: Int): Column =
+    * TextOps.qDocFingerprint. (Shared with the streaming ingest twin.) */
+  private[graft] def ngrams(w: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(w, i, lit(n))))
 

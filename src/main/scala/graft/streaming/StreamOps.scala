@@ -68,6 +68,47 @@ object StreamOps {
     stream.select(keep.map(col) ++ tokens: _*)
   }
 
+  /** Streaming corpus-ingest front-end: the QualityOps curation chain under
+    * Structured Streaming. Normalize -> content fingerprint -> cross-batch
+    * exact dedup -> repetition filter -> length-weighted deterministic
+    * sample, emitting per-doc curation stats.
+    *
+    * Everything except the dedup is a stateless map-only projection/filter
+    * (no watermark, no state store — unbounded throughput, the shape of a
+    * document-ingest stream at 100 TB/day). The exact dedup holds one
+    * fingerprint per distinct document in the state store; that state is
+    * the genuinely unbounded piece of any streaming content dedup — at
+    * corpus scale it is bounded operationally (TTL/watermark on an ingest
+    * timestamp, or fingerprint-space sharding), which the documents fixture
+    * has no event-time column to express.
+    *
+    * The plan is input-agnostic: applied to a batch frame it IS the batch
+    * twin, which is how the spec proves stream/batch equality per
+    * micro-batch. */
+  def ingestDocs(docs: DataFrame): DataFrame = {
+    import graft.operators.QualityOps.ngrams
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val w = split(col("norm_text"), " ")
+    val g3 = ngrams(w, 3)
+    val sampleKey = conv(
+      substring(md5(concat(lit("wsmp|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+    docs
+      .select(col("doc_id"), norm.as("norm_text"))
+      .withColumn("fingerprint", md5(col("norm_text")))
+      .dropDuplicates(Seq("fingerprint"))
+      .select(
+        col("doc_id"), col("fingerprint"),
+        size(w).as("n_tokens"),
+        round((size(g3) - size(array_distinct(g3))).cast("double") / size(g3), 6)
+          .as("dup_3gram_frac"),
+        length(col("norm_text")).as("n_chars"),
+        sampleKey.as("sample_key"))
+      .filter(col("dup_3gram_frac") <= 0.02)
+      .filter(col("sample_key") < least(lit(65536L), col("n_chars") * lit(60L)))
+  }
+
   case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                        event_type: String, value: Double)
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)

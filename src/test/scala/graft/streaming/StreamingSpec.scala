@@ -52,6 +52,49 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet == Set((1L, "click"), (2L, "view")))
   }
 
+  test("streaming ingest chain equals the batch plan on the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = StreamOps.ingestDocs(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("ingest").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ingest").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSet
+    // the same plan over the batch frame IS the batch twin; the fixture has
+    // no duplicate texts at sf0.001, so dedup nondeterminism can't differ
+    val batch = StreamOps.ingestDocs(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "ingest chain must pass some docs")
+  }
+
+  test("streaming ingest dedups content ACROSS micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.ingestDocs(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("ingest_dedup").outputMode("append").start()
+    try {
+      // 200 distinct words: all 3-grams distinct (repetition filter passes)
+      // and n_chars*60 > 65536 caps the sample threshold, so EVERY doc_id's
+      // 16-bit key passes — the only thing that can drop the second copy is
+      // the fingerprint state
+      val text = (1 to 200).map(i => s"word$i").mkString(" ")
+      mem.addData((1L, text))
+      q.processAllAvailable()
+      val afterFirst = spark.table("ingest_dedup").count()
+      // batch 2: same CONTENT under a new doc_id -> fingerprint state drops it
+      mem.addData((2L, text))
+      q.processAllAvailable()
+      assert(spark.table("ingest_dedup").count() == afterFirst,
+        "identical content in a later micro-batch must be dropped by state")
+    } finally q.stop()
+  }
+
   test("session windows split on the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
