@@ -33,6 +33,7 @@ object SparkEntry {
       (TrainPrep.queries, TrainPrep.oracleSql),
       (QualityOps.queries, QualityOps.oracleSql),
       (Relational4.queries, Relational4.oracleSql),
+      (Layout.queries, Layout.oracleSql),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracleSql),
       (CorpusPipeline.queries, CorpusPipeline.oracleSql)
     )

@@ -164,6 +164,39 @@ object QualityOps {
       .orderBy("doc_id")
   }
 
+  /** Temperature-sampling scale constant: per-source keep rate is
+    * `min(1, MixScale / sqrt(n_s))`, so expected sampled counts are
+    * proportional to `sqrt(n_s)` — the tau = 2 temperature mixture that
+    * upweights small domains against head domains (the standard recipe for
+    * balancing web-crawl vs curated sources in a training mix). */
+  private val MixScale = 8.0
+
+  /** Temperature-weighted domain mixture sample: deterministic per-doc
+    * Bernoulli with a PER-SOURCE rate derived from source sizes. Unlike
+    * [[qSampleWeighted]] (per-row length weights), the knob here is the
+    * domain mixture itself.
+    *
+    * Cross-engine determinism without rounding: every arithmetic step is a
+    * single correctly-rounded IEEE op from exact integer inputs (sqrt of a
+    * count, one divide, min, multiply by 65536, floor) — no multi-way double
+    * sums whose association order could differ, so Spark and DuckDB agree
+    * bit-for-bit. 100 TB shape: source stats are one tiny map-side-combined
+    * groupBy; the sample itself is a map-only filter after a broadcast join
+    * of the ~dozens-of-rows rate table. */
+  def qMixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rates = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .select(col("source"),
+        floor(least(lit(1.0), lit(MixScale) / sqrt(col("n_s"))) * 65536).cast("long")
+          .as("threshold"))
+    val key = conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+    docs.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), key.as("sample_key"), col("threshold"))
+      .filter(col("sample_key") < col("threshold"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- similarity
 
   private val NQueries = 5
@@ -239,6 +272,7 @@ object QualityOps {
     "q_segment_dedup" -> qSegmentDedup,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_sample_weighted" -> qSampleWeighted,
+    "q_mixture_sample" -> qMixtureSample,
     "q_emb_hamming" -> qEmbHamming,
     "q_doc_chunks" -> qDocChunks
   )
@@ -297,6 +331,18 @@ object QualityOps {
          |SELECT doc_id, lang, n_chars, CAST($hex16Sql AS BIGINT) AS sample_key,
          |  least(65536, n_chars * 60) AS threshold
          |FROM h WHERE $hex16Sql < least(65536, n_chars * 60)
+         |ORDER BY doc_id""".stripMargin,
+    "q_mixture_sample" ->
+      s"""WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+         |           FROM documents GROUP BY source),
+         |r AS (SELECT source,
+         |        CAST(FLOOR(least(1.0, $MixScale / sqrt(n_s)) * 65536) AS BIGINT) AS threshold
+         |      FROM s),
+         |h AS (SELECT doc_id, d.source, threshold,
+         |        md5('mix|' || CAST(doc_id AS VARCHAR)) AS m
+         |      FROM documents d JOIN r ON d.source = r.source)
+         |SELECT doc_id, source, CAST($hex16Sql AS BIGINT) AS sample_key, threshold
+         |FROM h WHERE $hex16Sql < threshold
          |ORDER BY doc_id""".stripMargin,
     "q_emb_hamming" -> {
       val sig = (0 until 64).map { bit =>

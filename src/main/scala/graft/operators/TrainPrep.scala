@@ -110,8 +110,41 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
+  /** Capacity the decontamination bloom filter is sized for. An eval suite's
+    * gram count is known ahead of time (it is curated data, not the corpus);
+    * overshooting only lowers the false-positive rate and costs ~1.2 bytes
+    * per budgeted key in the broadcast literal. */
+  private val BloomCapacity = 1L << 20
+
+  /** Bloom-prefiltered decontamination scrub list: corpus documents with at
+    * least one word-3-gram in the benchmark set, with the overlap count —
+    * the rows a curation pipeline drops (or flags) before training.
+    *
+    * Same exact semantics as [[qDecontaminate]]'s overlap arm, different
+    * physical shape for the 100 TB case: the benchmark grams are folded into
+    * a ~150 KB bloom filter literal ([[graft.functions.Bloom]]) and probed
+    * MAP-SIDE during the corpus scan, so only bloom-positive grams (true
+    * overlaps + ~1% false positives) reach the exact-confirm broadcast join.
+    * A broadcast-hash join alone needs every bench gram string in executor
+    * memory; the bloom needs ~10 bits per gram — the difference between
+    * fits-and-doesn't at eval suites of 10^8+ grams. False positives are
+    * removed by the confirm join, so the result is byte-identical to the
+    * unfiltered plan (the oracle below is plain exact SQL). */
+  def qDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+    val bench = grams.filter(col("doc_id") % BenchMod === 0).select("g").distinct()
+    val bloom = graft.functions.Bloom.build(bench, col("g"), BloomCapacity)
+    grams.filter(col("doc_id") % BenchMod =!= 0)
+      .filter(graft.functions.Bloom.mightContain(bloom, col("g")))
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> qDecontaminate,
+    "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_pack_sequences" -> qPackSequences,
     "q_shard_assign" -> qShardAssign
   )
@@ -133,6 +166,14 @@ object TrainPrep {
          |  round(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / pd.n_grams, 6) AS contamination
          |FROM pd LEFT JOIN ov ON pd.doc_id = ov.doc_id
          |ORDER BY pd.doc_id""".stripMargin,
+    "q_decontaminate_bloom" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest($shinglesSql) AS g FROM w),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % $BenchMod = 0)
+         |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+         |FROM g c JOIN bench b ON c.g = b.g
+         |WHERE c.doc_id % $BenchMod <> 0
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -71,6 +71,27 @@ class QualityOpsSpec extends SparkSpec {
       s"length-weighted inclusion must overrepresent long docs ($meanKept vs $meanAll)")
   }
 
+  test("mixture sample: per-source rate follows the tau=2 temperature law") {
+    val docs = graft.Tables.documents(spark, sf)
+    val sizes = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = QualityOps.qMixtureSample(spark, sf).collect()
+    out.foreach { r =>
+      val (src, key, thr) = (r.getString(1), r.getLong(2), r.getLong(3))
+      val expected = math.floor(math.min(1.0, 8.0 / math.sqrt(sizes(src))) * 65536).toLong
+      assert(thr == expected, s"threshold law for $src: $thr != $expected")
+      assert(key < thr, s"kept row violates its own threshold: $r")
+    }
+    // sampled fraction per source tracks the rate within binomial noise
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val rate = math.min(1.0, 8.0 / math.sqrt(sizes(src)))
+      val n = sizes(src).toDouble
+      val tol = 4 * math.sqrt(rate * (1 - rate) / n) + 2.0 / n
+      assert(math.abs(rows.length / n - rate) <= tol + 1e-9,
+        s"$src: sampled ${rows.length}/$n vs rate $rate")
+    }
+  }
+
   test("hamming top-k: 5 ranked neighbors per query, distance bounded") {
     val out = QualityOps.qEmbHamming(spark, sf).collect()
     assert(out.length == 25, "5 queries x top-5")

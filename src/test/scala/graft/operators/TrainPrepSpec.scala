@@ -41,6 +41,28 @@ class TrainPrepSpec extends SparkSpec {
     assert(!ov.contains(6L), "disjoint doc has zero overlap")
   }
 
+  test("bloom scrub list equals the exact overlap arm of decontamination") {
+    // the bloom prefilter must be invisible in the result: same rows as the
+    // plain query's n_overlap > 0 subset
+    val exact = TrainPrep.qDecontaminate(spark, sf)
+      .filter(col("n_overlap") > 0).select("doc_id", "n_overlap")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = TrainPrep.qDecontaminateBloom(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom == exact, "bloom-prefiltered scrub list differs from exact")
+  }
+
+  test("bloom probe admits every member and prunes most non-members") {
+    import spark.implicits._
+    val members = (0 until 1000).map(i => s"member_$i").toDF("k")
+    val bf = graft.functions.Bloom.build(members, col("k"), 1000)
+    val probed = (0 until 10000).map(i => s"other_$i").toDF("k")
+      .filter(graft.functions.Bloom.mightContain(bf, col("k"))).count()
+    val kept = members.filter(graft.functions.Bloom.mightContain(bf, col("k"))).count()
+    assert(kept == 1000, "bloom filters never false-negative")
+    assert(probed < 500, s"~1% FPP expected, got $probed/10000 false positives")
+  }
+
   test("sequence packing conserves docs and tokens, budget bounds pack starts") {
     val d = graft.Tables.documents(spark, sf)
     val totalDocs = d.count()
