@@ -196,8 +196,69 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Merge rounds for [[qBpeTrain]]. Production BPE runs ~30k rounds of the
+    * SAME loop body; 4 rounds exercise every moving part (count, argmax,
+    * merge, recount-on-merged) while keeping the oracle CTE chain finite. */
+  val BpeRounds = 4
+
+  /** Full BPE merge-rule training ([[qBpePairs]]'s counting step closed
+    * into the Sennrich et al. 2016 loop): per round, count adjacent symbol
+    * pairs over the WORD-TYPE table weighted by word frequency, take the
+    * (count desc, pair asc) argmax, fuse every non-overlapping occurrence
+    * ([[graft.functions.BpeMergeExpr]]), repeat on the merged symbols.
+    * Output: the learned merge table — the artifact a tokenizer trainer
+    * ships.
+    *
+    * 100 TB shape: the corpus-sized work is the ONE word-frequency
+    * aggregation (explode + map-side-combined groupBy), checkpointed; every
+    * round after that runs on the word-TYPE table (vocabulary-sized, ~10^8
+    * rows for web scale — still distributed, never driver-side), with one
+    * map-only merge projection and one map-side-combined pair count per
+    * round. Only the per-round argmax row (one pair) is collected —
+    * boundary-constant pattern, like quantile bounds. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words0 = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(split(col("word"), "").as("sym"), col("freq"))
+      .localCheckpoint(true) // corpus explode runs once; rounds reuse the cache
+    trainBpe(words0, BpeRounds)
+      .toDF("round", "pair_left", "pair_right", "pair_count")
+      .orderBy("round")
+  }
+
+  /** The merge-rule loop over a (sym: array<string>, freq: long) word-type
+    * frame; returns (round, left, right, pair_count) per learned rule.
+    * Separated from [[qBpeTrain]] so specs can train on planted vocab. */
+  private[operators] def trainBpe(words: DataFrame,
+                                  rounds: Int): Seq[(Int, String, String, Long)] = {
+    var cur = words
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val top = cur
+        .filter(size(col("sym")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(sym) - 1), " +
+            "i -> struct(element_at(sym, i) AS l, element_at(sym, i + 1) AS r))"))
+          .as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .head()
+      val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      rules += ((round, l, r, c))
+      if (round < rounds)
+        cur = cur.select(
+          graft.functions.BpeMergeExpr.mergePair(col("sym"), l, r).as("sym"),
+          col("freq"))
+    }
+    rules.result()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_char_entropy" -> qCharEntropy,
+    "q_bpe_train" -> qBpeTrain,
     "q_sample_stratified" -> qSampleStratified,
     "q_sessionize" -> qSessionize,
     "q_session_window" -> qSessionWindow,
@@ -215,7 +276,41 @@ object PipelineOps {
       .map { case (mult, i) => s"(strpos('0123456789abcdef', m[${i + 1}]) - 1) * $mult" }
       .mkString("(", " + ", ")")
 
+  /** Oracle for [[qBpeTrain]]: the same loop unrolled as a CTE chain —
+    * round i's merge is DuckDB `list_reduce` folding symbols left-to-right
+    * (a just-fused pair can never re-match as a left, so the fold equals
+    * greedy non-overlapping replacement; see BpeMergeExpr). */
+  private def bpeTrainSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH words AS (
+             |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  GROUP BY 1),
+             |w0 AS (SELECT list_transform(range(1, len(word) + 1), i -> word[i]) AS sym, freq
+             |       FROM words)""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+                |p$i AS (SELECT sym[i] AS l, sym[i + 1] AS r, SUM(freq) AS c
+                |        FROM w${i - 1}, UNNEST(range(1, len(sym))) AS t(i) GROUP BY 1, 2),
+                |b$i AS (SELECT l, r, CAST(c AS BIGINT) AS c FROM p$i ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+      if (i < k)
+        sb ++= s""",
+                  |w$i AS (SELECT list_reduce(list_transform(sym, x -> [x]),
+                  |          (acc, x) -> CASE WHEN acc[-1] = b$i.l AND x[1] = b$i.r
+                  |                      THEN acc[:length(acc) - 1] || [b$i.l || b$i.r]
+                  |                      ELSE acc || x END) AS sym, freq
+                  |        FROM w${i - 1}, b$i)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM ("
+    sb ++= (1 to k).map(i =>
+      s"SELECT $i AS round, l AS pair_left, r AS pair_right, c AS pair_count FROM b$i")
+      .mkString(" UNION ALL ")
+    sb ++= ") ORDER BY round"
+    sb.result()
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainSql(BpeRounds),
     "q_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
         |cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS cnt

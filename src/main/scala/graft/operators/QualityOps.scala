@@ -189,7 +189,7 @@ object QualityOps {
       .select(col("source"),
         floor(least(lit(1.0), lit(MixScale) / sqrt(col("n_s"))) * 65536).cast("long")
           .as("threshold"))
-    val key = conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+    val key = conv(substring(md5(concat(lit("temp|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
       .cast("long")
     docs.join(broadcast(rates), "source")
       .select(col("doc_id"), col("source"), key.as("sample_key"), col("threshold"))
@@ -339,7 +339,7 @@ object QualityOps {
          |        CAST(FLOOR(least(1.0, $MixScale / sqrt(n_s)) * 65536) AS BIGINT) AS threshold
          |      FROM s),
          |h AS (SELECT doc_id, d.source, threshold,
-         |        md5('mix|' || CAST(doc_id AS VARCHAR)) AS m
+         |        md5('temp|' || CAST(doc_id AS VARCHAR)) AS m
          |      FROM documents d JOIN r ON d.source = r.source)
          |SELECT doc_id, source, CAST($hex16Sql AS BIGINT) AS sample_key, threshold
          |FROM h WHERE $hex16Sql < threshold

@@ -109,6 +109,43 @@ object StreamOps {
       .filter(col("sample_key") < least(lit(65536L), col("n_chars") * lit(60L)))
   }
 
+  case class DocSeen(fingerprint: String, doc_id: Long)
+  case class DedupRecord(fingerprint: String, first_doc_id: Long, n_duplicates: Long)
+
+  /** Streaming exact dedup WITH duplicate telemetry: for every content
+    * fingerprint, keep the first-seen doc_id and count the suppressed
+    * copies, emitting an updated record whenever the count changes.
+    * `dropDuplicates` can only drop; curation pipelines also need the
+    * drop COUNTS (boilerplate hot-spots, attack detection, dedup-rate
+    * dashboards) — per-key state Spark's built-ins can't express, so this
+    * is the `flatMapGroupsWithState` form (SURVEY §2C streaming custom
+    * state).
+    *
+    * State per key: (first doc_id, copies so far) — two longs, the minimum
+    * any first-wins dedup must hold; sharded by fingerprint hash across
+    * executors exactly like the batch groupBy twin. Emission is Update-mode
+    * (one row per key per batch in which the key appeared); the LAST record
+    * per fingerprint equals the batch `groupBy(fingerprint).agg(min_by,
+    * count-1)` — the equivalence StreamingSpec proves across multi-trigger
+    * splits. First-wins inside a batch follows the iterator's arrival
+    * order; cross-batch it is genuine arrival order — same contract as
+    * `dropDuplicates`. */
+  def dedupWithCounts(docs: Dataset[DocSeen]): Dataset[DedupRecord] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.fingerprint)
+      .flatMapGroupsWithState[(Long, Long), DedupRecord](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (fp: String, batch: Iterator[DocSeen], state: GroupState[(Long, Long)]) =>
+          val (first0, dups0) = state.getOption.getOrElse((-1L, -1L))
+          val (first, dups) = batch.foldLeft((first0, dups0)) {
+            case ((f, d), doc) => if (f < 0) (doc.doc_id, d + 1) else (f, d + 1)
+          }
+          state.update((first, dups))
+          Iterator.single(DedupRecord(fp, first, dups))
+      }
+  }
+
   case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                        event_type: String, value: Double)
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)

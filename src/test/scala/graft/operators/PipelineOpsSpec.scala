@@ -64,6 +64,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(5) > 0.0))
   }
 
+  test("bpe merge expr: greedy non-overlapping fusion, resume after merge") {
+    import spark.implicits._
+    val out = Seq(
+      (Seq("a", "a", "a"), 1L),
+      (Seq("a", "b", "a", "b", "c"), 1L),
+      (Seq("x"), 1L)).toDF("sym", "freq")
+      .select(graft.functions.BpeMergeExpr.mergePair(col("sym"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("aa", "a"), s"overlap must not re-merge: ${out(0)}")
+    assert(out(1) == Seq("a", "b", "a", "b", "c"), "no occurrence, no change")
+    assert(out(2) == Seq("x"), "single symbol untouched")
+  }
+
+  test("bpe training learns the Sennrich merges on the classic vocabulary") {
+    import spark.implicits._
+    // low:5 lower:2 newest:6 widest:3 — hand-derived rule sequence:
+    // (e,s) 9 [tie with (s,t), lexicographic asc], (es,t) 9, (l,o) 7
+    // [tie with (o,w)], (lo,w) 7
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "freq")
+      .select(split(col("word"), "").as("sym"), col("freq"))
+    val rules = PipelineOps.trainBpe(words, 4)
+    assert(rules == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L), (4, "lo", "w", 7L)),
+      s"got $rules")
+  }
+
   test("ivf ann: three ranked hits per query from probed cells only") {
     val rows = Similarity.qAnnIvf(spark, sf).collect()
     val byQuery = rows.groupBy(_.getLong(0))

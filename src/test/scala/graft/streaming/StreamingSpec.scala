@@ -268,6 +268,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stateful dedup-with-counts converges to the batch truth across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamOps.DocSeen
+    val mem = MemoryStream[DocSeen]
+    val q = StreamOps.dedupWithCounts(mem.toDS())
+      .writeStream.format("memory").queryName("dedup_counts")
+      .outputMode("update").start()
+    try {
+      // trigger 1: two distinct docs, one in-batch duplicate of A
+      mem.addData(DocSeen("A", 10), DocSeen("B", 11), DocSeen("A", 12))
+      q.processAllAvailable()
+      // trigger 2: cross-batch duplicates of both, one new doc
+      mem.addData(DocSeen("B", 13), DocSeen("A", 14), DocSeen("C", 15))
+      q.processAllAvailable()
+      // trigger 3: another copy of C
+      mem.addData(DocSeen("C", 16))
+      q.processAllAvailable()
+    } finally q.stop()
+    // n_duplicates is monotone per key, so the max row per fingerprint is
+    // the final state
+    val last = spark.table("dedup_counts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (fp, rows) => fp -> rows.maxBy(_._3) }
+    assert(last("A") == (("A", 10L, 2L)), s"A: ${last("A")}")
+    assert(last("B") == (("B", 11L, 1L)), s"B: ${last("B")}")
+    assert(last("C") == (("C", 15L, 1L)), s"C: ${last("C")}")
+    // first-wins matches the batch twin on the full data
+    val all = Seq(("A", 10L), ("B", 11L), ("A", 12L), ("B", 13L), ("A", 14L),
+      ("C", 15L), ("C", 16L))
+    val batch = all.groupBy(_._1).map { case (fp, rows) =>
+      fp -> ((fp, rows.head._2, rows.length - 1L))
+    }
+    assert(last == batch)
+  }
+
   test("stream-static enrichment join matches the batch join per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
