@@ -306,8 +306,113 @@ object Similarity {
       .orderBy("cell", "dim")
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** PQ geometry: Dim=64 split into M=8 subspaces of 8 dims, K=16 centroids
+    * per subspace -> an 8-byte code per vector (64 floats -> 8 bytes, 32x
+    * compression). Codebooks train on the first PqTrainN vectors (a SAMPLE
+    * is the production norm — codebooks are model state, like quantile
+    * boundaries), K-means with PqIters Lloyd steps per subspace, all
+    * driver-side doubles in fixed iteration order (deterministic; the
+    * training set is PqTrainN x Dim floats, bounded). */
+  val PqM = 16
+  val PqSub = Dim / PqM
+  val PqK = 64
+  val PqIters = 3
+  val PqTrainN = 512
+  val PqQueryLo = 20L
+
+  /** [m][j][d]: codebook centroid j of subspace m. Init = subvectors of the
+    * first PqK training vectors (vec_id order); empty clusters keep their
+    * previous centroid; assignment ties break to the lower j. */
+  private[operators] def pqCodebooks(e: DataFrame): Array[Array[Array[Double]]] = {
+    val train = e.filter(col("vec_id") < PqTrainN)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(train.length >= PqK, s"PQ needs >= $PqK training vectors")
+    Array.tabulate(PqM) { m =>
+      val subs = train.map(v => java.util.Arrays.copyOfRange(v, m * PqSub, (m + 1) * PqSub))
+      var cents = Array.tabulate(PqK)(j => subs(j).clone())
+      for (_ <- 1 to PqIters) {
+        val sums = Array.fill(PqK, PqSub)(0.0)
+        val cnts = Array.fill(PqK)(0L)
+        subs.foreach { s =>
+          var (bj, bd) = (0, Double.MaxValue)
+          for (j <- 0 until PqK) {
+            var d2 = 0.0
+            var d = 0
+            while (d < PqSub) { val t = s(d) - cents(j)(d); d2 += t * t; d += 1 }
+            if (d2 < bd) { bd = d2; bj = j }
+          }
+          var d = 0
+          while (d < PqSub) { sums(bj)(d) += s(d); d += 1 }
+          cnts(bj) += 1
+        }
+        cents = Array.tabulate(PqK)(j =>
+          if (cnts(j) == 0) cents(j)
+          else Array.tabulate(PqSub)(d => sums(j)(d) / cnts(j)))
+      }
+      cents
+    }
+  }
+
+  /** Map-only PQ encoding via [[graft.functions.PqEncodeExpr]] — a
+    * column-algebra argmin (struct-greatest over M·K distance subtrees)
+    * expands past the 64 KB codegen method limit at the 16x64 geometry and
+    * falls back to interpreted eval ~40x slower; the custom expression is
+    * one static call over a referenced codebook array. */
+  private def pqCodeExpr(cb: Array[Array[Array[Double]]])(emb: Column): Column =
+    graft.functions.PqEncodeExpr.encodeCol(emb, cb)
+
+  /** PQ ANN with asymmetric distance (ADC): encode the corpus to 8-byte
+    * codes map-only, then score each query against the CODES via per-query
+    * lookup tables (LUT[m][j] = ||q_sub_m - c_mj||², folded as constants) —
+    * distance = sum of 8 array lookups per candidate instead of 64 float
+    * multiplies, over 32x less data. The scale path when even one float
+    * embedding column is too much memory traffic: IVF prunes candidates,
+    * PQ compresses what remains (IVF-PQ = this plan composed with
+    * [[qAnnIvf]]'s cell filter).
+    *
+    * One corpus scan: the 5 per-query distances ride one posexplode. No
+    * SQL oracle (the Lloyd loop is not SQL-expressible) — recall and
+    * encoding invariants are spec-pinned (DedupSimilaritySpec). */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cb = pqCodebooks(e)
+    val queries = e.filter(col("vec_id") >= PqQueryLo && col("vec_id") < PqQueryLo + NQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val luts: Array[Array[Array[Double]]] = queries.map { case (_, q) =>
+      Array.tabulate(PqM, PqK) { (m, j) =>
+        var d2 = 0.0
+        var d = 0
+        while (d < PqSub) { val t = q(m * PqSub + d) - cb(m)(j)(d); d2 += t * t; d += 1 }
+        d2
+      }
+    }
+    def adc(qi: Int)(code: Column): Column =
+      (0 until PqM).map(m =>
+        element_at(typedlit(luts(qi)(m).toSeq), element_at(code, m + 1) + 1))
+        .reduce(_ + _)
+    val enc = e.select(col("vec_id"), pqCodeExpr(cb)(col("embedding")).as("code"))
+    val stacked = enc.select(col("vec_id"),
+      posexplode(array(queries.indices.map(qi => adc(qi)(col("code"))): _*))
+        .as(Seq("q_idx", "dist")))
+      .select((col("q_idx").cast("long") + PqQueryLo).as("query_id"),
+        col("vec_id"), round(col("dist"), 6).as("adc_dist"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
+    stacked.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select("query_id", "vec_id", "adc_dist", "rn")
+      .orderBy("query_id", "rn")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_step" -> qKmeansStep,
+    "q_ann_pq" -> qAnnPq,
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_ann_lsh_probe" -> qAnnLshProbe,

@@ -153,6 +153,51 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq: codes are PqM subspace indices in [0, PqK); top-k shape holds") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val cb = Similarity.pqCodebooks(e)
+    assert(cb.length == Similarity.PqM &&
+      cb.forall(m => m.length == Similarity.PqK && m.forall(_.length == Similarity.PqSub)))
+    val out = Similarity.qAnnPq(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == Similarity.NQueries, s"queries: ${byQ.keySet}")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to Similarity.TopK))
+      assert(rows.forall(_.getLong(1) != q), "query never its own neighbor")
+      // adc distances weakly increase with rank
+      val byRank = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("pq adc recall@5 vs exact cosine stays useful") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val all = e.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val byId = all.toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      for (i <- a.indices) { val t = a(i) - b(i); s += t * t }
+      s
+    }
+    val approx = Similarity.qAnnPq(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = approx.map { case (q, ids) =>
+      // ADC approximates squared L2, so the ground truth is exact L2 top-5
+      val brute = all.filter(_._1 != q)
+        .map { case (id, v) => (id, l2(byId(q), v)) }
+        .sortBy { case (id, s) => (s, id) }.take(5).map(_._1).toSet
+      ids.intersect(brute).size / 5.0
+    }
+    val avg = recalls.sum / recalls.size
+    info(f"pq recall@5 per query: ${recalls.mkString(", ")} avg=$avg%.2f")
+    // i.i.d. random embeddings are the hard case for any quantizer
+    // (distance concentration); measured avg 0.48 at sf0.001 with the
+    // 16x64 geometry — pin well above the ~0.01 random-pick baseline
+    // but below measurement noise
+    assert(avg >= 0.3, s"recall collapsed: $recalls")
+  }
+
   test("identical embeddings share an LSH bucket at every plane count") {
     import spark.implicits._
     // near-identical cluster: base vector and +-1e-6 perturbations keep all
