@@ -142,4 +142,43 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "discretize phase must not shuffle")
     assert(plan.contains("* Project"), "discretize must stay inside codegen (starred ops)")
   }
+
+  test("q_decontaminate_bloom probes the filter map-side BEFORE the confirm join") {
+    val plan = formatted(operators.TrainPrep.qDecontaminateBloom(spark, sf))
+    assert(plan.contains("might_contain"),
+      "bloom probe must appear as a filter predicate:\n" + plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      "the exact-confirm join must broadcast the bench grams:\n" + plan)
+    // the probe must be below (before) the join: in the formatted tree the
+    // Filter carrying might_contain sits on the corpus-scan side
+    val filterIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(filterIdx >= 0 && joinIdx >= 0)
+  }
+
+  test("q_mixture_sample: tiny rate table broadcasts back onto the doc scan") {
+    val plan = formatted(operators.QualityOps.qMixtureSample(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-source rates must broadcast — docs never shuffle for the join:\n" + plan)
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, "source stats must map-side combine")
+  }
+
+  test("q_zorder_cluster is map-only up to the output sort") {
+    val plan = formatted(operators.Layout.qZorderCluster(spark, sf))
+    val exchanges = plan.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges == 1,
+      s"z-value computation must not shuffle (only the ORDER BY may), got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), "no join anywhere in zorder clustering")
+  }
+
+  test("q_ann_pq encodes map-only; the only exchanges are rank windows + sort") {
+    val plan = formatted(operators.Similarity.qAnnPq(spark, sf))
+    assert(plan.contains("graft_pq_encode") || plan.contains("pq_encode"),
+      "encode must be the custom codegen expression:\n" + plan)
+    assert(!plan.contains("Join"), "ADC scoring must not join — LUTs are folded constants")
+    // exchanges: the per-query rank window shuffle + final sort
+    val exchanges = plan.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 2, s"PQ path must stay map-only before ranking, got $exchanges:\n$plan")
+  }
 }
