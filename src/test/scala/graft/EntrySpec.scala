@@ -12,9 +12,11 @@ class EntrySpec extends SparkSpec {
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
     // q_quantile_bounds_sample: sampled boundaries have no hash-stable
-    // cross-engine oracle; correctness carried by the DKW spec (TokenizeSpec)
+    // cross-engine oracle; correctness carried by the DKW spec (TokenizeSpec).
+    // q_ann_pq: the Lloyd codebook loop is not SQL-expressible; recall and
+    // encoding invariants are spec-pinned (DedupSimilaritySpec)
     assert(rowsOnly == Set("q_multimodal_features", "q_approx_sketches",
-      "q_quantile_bounds_sample"), s"unexpected rows-only: $rowsOnly")
+      "q_quantile_bounds_sample", "q_ann_pq"), s"unexpected rows-only: $rowsOnly")
   }
 
   test("query names are unique across modules (no silent map overwrites)") {
@@ -24,8 +26,8 @@ class EntrySpec extends SparkSpec {
       operators.Relational3.queries, operators.TypedOps.queries, operators.TextOps.queries, operators.Dedup.queries,
       operators.Similarity.queries, operators.PipelineOps.queries,
       operators.TrainPrep.queries, operators.QualityOps.queries,
-      operators.Relational4.queries, multimodal.Multimodal.queries,
-      CorpusPipeline.queries)
+      operators.Relational4.queries, operators.Layout.queries,
+      multimodal.Multimodal.queries, CorpusPipeline.queries)
     val total = mods.map(_.size).sum
     assert(SparkEntry.queries.size == total, "duplicate query name across modules")
   }
