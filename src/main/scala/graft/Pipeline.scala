@@ -34,8 +34,15 @@ object Pipeline {
     * (tokenized row count, stage timings in seconds). Boundary `mode`:
     * "select" (exact, default), "gk" (Greenwald-Khanna sketch), "sample"
     * (single-pass DKW-bounded sampling — the fast approximate path). */
+  /** `sink = true` persists tokens to parquet (the full-pipeline shape);
+    * `sink = false` materializes every token through the noop sink without
+    * writing — the REFERENCE-PARITY shape: etl_benchmark.py:66-81 computes
+    * `tokenized_data` in memory and never persists it, so charging our run
+    * a 10M x 20 parquet write the reference doesn't pay overstates the
+    * gap (write-side variance on this host is also the noisiest stage). */
   def run(spark: SparkSession, workDir: String, rows: Long = 1000000, cols: Int = 8,
-          bins: Int = Tokenize.DefaultBins, mode: String = "select"): (Long, Map[String, Double]) = {
+          bins: Int = Tokenize.DefaultBins, mode: String = "select",
+          sink: Boolean = true): (Long, Map[String, Double]) = {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def stage[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -64,10 +71,15 @@ object Pipeline {
         case _ => Tokenize.quantileBoundsSelect(df, tokenCols, Tokenize.innerProbs(bins))
       }
     }
-    val n = stage("tokenize+sink") {
+    val n = stage(if (sink) "tokenize+sink" else "tokenize") {
       val tokens = tokenCols.map(c => Tokenize.discretize(col(c), bounds(c), bins).as(s"${c}_token"))
-      df.select(tokens: _*).write.mode(SaveMode.Overwrite).parquet(tokenPath)
-      spark.read.parquet(tokenPath).count()
+      if (sink) {
+        df.select(tokens: _*).write.mode(SaveMode.Overwrite).parquet(tokenPath)
+        spark.read.parquet(tokenPath).count()
+      } else {
+        df.select(tokens: _*).write.format("noop").mode("overwrite").save()
+        rows
+      }
     }
     (n, timings.toMap)
   }

@@ -12,14 +12,20 @@ object RefBench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val mode = args.headOption match {
-      case Some("approx") | Some("gk") => "gk"
-      case Some("sample") => "sample"
-      case Some("sample25") => "sample25"
+    // "-nosink" suffix: reference-parity run — tokens materialize through
+    // the noop sink, not a parquet write the reference never pays
+    // (etl_benchmark.py computes tokenized_data in memory only)
+    val raw = args.headOption.getOrElse("select")
+    val sink = !raw.endsWith("-nosink")
+    val mode = raw.stripSuffix("-nosink") match {
+      case "approx" | "gk" => "gk"
+      case "sample" => "sample"
+      case "sample25" => "sample25"
       case _ => "select"
     }
-    val (n, t) = Pipeline.run(spark, "/tmp/refbench", rows = 10000000L, cols = 20, mode = mode)
-    println(s"mode=$mode rows=$n timings=$t total=${t.values.sum}")
+    val (n, t) = Pipeline.run(spark, "/tmp/refbench", rows = 10000000L, cols = 20,
+      mode = mode, sink = sink)
+    println(s"mode=$mode sink=$sink rows=$n timings=$t total=${t.values.sum}")
     spark.stop()
   }
 }
