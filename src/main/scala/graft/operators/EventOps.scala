@@ -104,8 +104,44 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Rolling-window row count for [[qRollingQuantile]]. */
+  private val RollRows = 20
+
+  /** Rolling exact quantiles (median + p90 of `value` over the trailing 20
+    * events per event_type) — the p95-latency / anomaly-band staple of an
+    * event pipeline. Spark has no exact-percentile window function, so the
+    * window collects its frame (bounded: ROWS BETWEEN 19 PRECEDING makes
+    * state O(RollRows), never the partition), sorts the 20-element array,
+    * and interpolates at rank p·(n-1) — the same `quantile_cont` linear
+    * interpolation DuckDB applies, with round-6 absorbing ulp differences.
+    *
+    * 100 TB shape: one shuffle by event_type (at cluster scale the key is
+    * (event_type, time_bucket) so no partition outgrows an executor); the
+    * frame bound keeps per-row state constant regardless of partition
+    * length. */
+  def qRollingQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(RollRows - 1), Window.currentRow)
+    def interp(arr: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
+               p: Double): org.apache.spark.sql.Column = {
+      val idx = (n - 1).cast("double") * p
+      val lo = floor(idx).cast("int")
+      val frac = idx - lo
+      round(element_at(arr, lo + 1) * (lit(1.0) - frac) +
+        element_at(arr, least(lo + lit(2), n)) * frac, 6)
+    }
+    Tables.events(spark, dir)
+      .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
+      .withColumn("roll_n", size(col("arr")))
+      .select(col("event_id"), col("event_type"), col("roll_n"),
+        interp(col("arr"), col("roll_n"), 0.5).as("roll_median"),
+        interp(col("arr"), col("roll_n"), 0.9).as("roll_p90"))
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> qEventsHourly,
+    "q_rolling_quantile" -> qRollingQuantile,
     "q_events_sliding" -> qEventsSliding,
     "q_gap_fill" -> qGapFill,
     "q_events_json" -> qEventsJson,
@@ -114,6 +150,15 @@ object EventOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_rolling_quantile" ->
+      s"""SELECT event_id, event_type,
+         |  CAST(COUNT(*) OVER w AS INTEGER) AS roll_n,
+         |  round(CAST(quantile_cont(value, 0.5) OVER w AS DOUBLE), 6) AS roll_median,
+         |  round(CAST(quantile_cont(value, 0.9) OVER w AS DOUBLE), 6) AS roll_p90
+         |FROM events
+         |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+         |  ROWS BETWEEN ${RollRows - 1} PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,

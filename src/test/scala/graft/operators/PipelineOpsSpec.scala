@@ -64,6 +64,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(5) > 0.0))
   }
 
+  test("rolling quantile: frame bounded at 20 rows, degenerate frames exact") {
+    val rows = EventOps.qRollingQuantile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, med, p90) = (r.getInt(2), r.getDouble(3), r.getDouble(4))
+      assert(n >= 1 && n <= 20, s"frame bound violated: $r")
+      assert(med <= p90 + 1e-9, s"median must not exceed p90: $r")
+      if (n == 1) assert(med == p90, s"single-row frame: both quantiles equal: $r")
+    }
+  }
+
   test("bpe merge expr: greedy non-overlapping fusion, resume after merge") {
     import spark.implicits._
     val out = Seq(
