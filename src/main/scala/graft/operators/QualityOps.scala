@@ -197,6 +197,59 @@ object QualityOps {
       .orderBy("doc_id")
   }
 
+  /** Fixed per-source quota for [[qSampleReservoir]]. */
+  private val ReservoirK = 40
+
+  /** Deterministic reservoir (fixed-quota) sample: EXACTLY min(k, n_s) docs
+    * per source — the quota-based companion to rate-based sampling
+    * ([[qMixtureSample]]): a data recipe that says "at most K examples per
+    * domain" regardless of domain size. Uniformity comes from ranking by
+    * the md5 key (a random permutation per source); determinism and
+    * rerun-stability come from the (key, doc_id) total order.
+    *
+    * 100 TB shape: one shuffle by source for the rank window; at cluster
+    * scale the window is per (source, shard) with quota k/shards — the
+    * same bounded-partition trick as [[graft.operators.TrainPrep
+    * .qShardAssign]]. No collects; the quota never materializes a
+    * partition. */
+  def qSampleReservoir(spark: SparkSession, dir: String): DataFrame = {
+    val key = conv(substring(md5(concat(lit("resv|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), key.as("sample_key"))
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= ReservoirK)
+      .orderBy("doc_id")
+  }
+
+  /** PII scrub pass: mask email-shaped and long-digit-run tokens, report
+    * per-doc counts — the redaction step every training corpus runs before
+    * anything else sees the text. Map-only regexp work (two codegen'd
+    * regexp_replace + two counts via regexp_count); patterns restricted to
+    * the RE2/Java-regex common subset so the DuckDB oracle is identical.
+    * The scrubbed text ships with the counts so the output is auditable
+    * (docs with pii_total = 0 pass through byte-identical). */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrub(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The scrub transformation over any (doc_id, text) frame. The driver
+    * corpus is PII-free by construction, so the oracle hash proves the
+    * ZERO-FALSE-POSITIVE side (a scrub that mangles clean text corrupts
+    * the corpus silently); the masking side is spec-proven on planted
+    * emails/digit runs (QualityOpsSpec). */
+  private[operators] def piiScrub(d: DataFrame): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val digits = "[0-9]{6,}"
+    d.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(email)).cast("int").as("n_emails"),
+      regexp_count(col("text"), lit(digits)).cast("int").as("n_digit_runs"),
+      regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), digits, "<NUM>")
+        .as("scrubbed"))
+      .withColumn("pii_total", col("n_emails") + col("n_digit_runs"))
+  }
+
   // ------------------------------------------------------------- similarity
 
   private val NQueries = 5
@@ -273,6 +326,8 @@ object QualityOps {
     "q_vocab_coverage" -> qVocabCoverage,
     "q_sample_weighted" -> qSampleWeighted,
     "q_mixture_sample" -> qMixtureSample,
+    "q_sample_reservoir" -> qSampleReservoir,
+    "q_pii_scrub" -> qPiiScrub,
     "q_emb_hamming" -> qEmbHamming,
     "q_doc_chunks" -> qDocChunks
   )
@@ -281,6 +336,12 @@ object QualityOps {
   private val hex16Sql: String =
     Seq(4096, 256, 16, 1).zipWithIndex
       .map { case (mult, i) => s"(strpos('0123456789abcdef', m[${i + 1}]) - 1) * $mult" }
+      .mkString("(", " + ", ")")
+
+  /** Exact integer parse of md5 hex chars [1..8] (32-bit key, DuckDB). */
+  private val hex32Sql: String =
+    (0 until 8)
+      .map(i => s"(strpos('0123456789abcdef', m[${i + 1}]) - 1) * ${1L << (4 * (7 - i))}")
       .mkString("(", " + ", ")")
 
   /** DuckDB n-gram list over alias ws (1-based slices, truncated tail grams
@@ -344,6 +405,24 @@ object QualityOps {
          |SELECT doc_id, source, CAST($hex16Sql AS BIGINT) AS sample_key, threshold
          |FROM h WHERE $hex16Sql < threshold
          |ORDER BY doc_id""".stripMargin,
+    "q_sample_reservoir" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |    md5('resv|' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         |k AS (SELECT doc_id, source, CAST($hex32Sql AS BIGINT) AS sample_key FROM h)
+         |SELECT doc_id, source, sample_key,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY sample_key, doc_id) AS INTEGER) AS pick
+         |FROM k QUALIFY pick <= $ReservoirK
+         |ORDER BY doc_id""".stripMargin,
+    "q_pii_scrub" -> {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val digits = "[0-9]{6,}"
+      s"""SELECT doc_id,
+         |  CAST(length(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+         |  CAST(length(regexp_extract_all(text, '$digits')) AS INTEGER) AS n_digit_runs,
+         |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$digits', '<NUM>', 'g') AS scrubbed,
+         |  CAST(length(regexp_extract_all(text, '$email')) + length(regexp_extract_all(text, '$digits')) AS INTEGER) AS pii_total
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q_emb_hamming" -> {
       val sig = (0 until 64).map { bit =>
         val term = if (bit == 63) "(-9223372036854775807 - 1)" else s"CAST(${1L << bit} AS BIGINT)"

@@ -92,6 +92,33 @@ class QualityOpsSpec extends SparkSpec {
     }
   }
 
+  test("reservoir sample: exactly min(k, n_s) docs per source, dense picks") {
+    val sizes = graft.Tables.documents(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = QualityOps.qSampleReservoir(spark, sf).collect()
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      assert(rows.length == math.min(40L, sizes(src)), s"quota for $src")
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length),
+        s"picks must be dense 1..k for $src")
+    }
+    assert(out.map(_.getString(1)).toSet == sizes.keySet, "every source sampled")
+  }
+
+  test("pii scrub masks planted emails and digit runs, leaves clean text alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at alice@example.com or bob.smith@mail.co today"),
+      (2L, "card 1234567890 and pin 999999 leaked"),
+      (3L, "clean text with short 12345 digits and no at signs")).toDF("doc_id", "text")
+    val out = QualityOps.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3), r.getInt(4)))).toMap
+    assert(out(1L) == ((2, 0, "contact me at <EMAIL> or <EMAIL> today", 2)), s"${out(1L)}")
+    assert(out(2L) == ((0, 2, "card <NUM> and pin <NUM> leaked", 2)), s"${out(2L)}")
+    assert(out(3L) == ((0, 0, "clean text with short 12345 digits and no at signs", 0)),
+      "five-digit run must NOT mask (threshold is 6)")
+  }
+
   test("hamming top-k: 5 ranked neighbors per query, distance bounded") {
     val out = QualityOps.qEmbHamming(spark, sf).collect()
     assert(out.length == 25, "5 queries x top-5")
