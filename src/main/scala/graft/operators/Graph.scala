@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Iterative graph analytics over the star schema: PageRank power iteration
+  * on the undirected customer–supplier purchase graph (an edge per distinct
+  * (o_custkey, l_suppkey) pair in the order history). Quality/centrality
+  * propagation over a relation graph is a standard corpus-curation signal
+  * (authority-weighted sampling); the operator here is the canonical
+  * distributed formulation: each iteration is one equi-join of the rank
+  * frame onto the edge list plus one aggregation — no collects, no
+  * adjacency materialization on the driver.
+  *
+  * Cross-engine determinism (the interesting part): a straight double sum
+  * over neighbor contributions is shuffle-order-dependent. Every
+  * contribution r(u)/deg(u) is therefore rounded to the shared 6-decimal
+  * grid and summed as DECIMAL(38,6) — exact and associative, so Spark's
+  * shuffle order and DuckDB's scan order cannot disagree — then the damping
+  * arithmetic (one multiply, one add) and the final round-6 are identical
+  * single IEEE ops on both engines. This quantized PageRank differs from
+  * the fp-exact value by < 1e-6 per edge per round, and is BIT-identical
+  * across engines (the same pattern as the money-sum DECIMAL convention).
+  *
+  * 100 TB shape: the edge list shuffles once to build degrees; each
+  * iteration shuffles contribution rows by destination (map-side combined).
+  * At cluster scale both sides bucket by node id so iterations reuse the
+  * partitioning; the rank frame is |V| rows — orders of magnitude smaller
+  * than the |E|-row edge list that dominates the join.
+  */
+object Graph {
+
+  val Damping = 0.85
+
+  /** Teleport numerator written as its own literal: Scala's `1.0 - 0.85`
+    * is 0.15000000000000002 while DuckDB's DECIMAL `1.0 - 0.85` casts to
+    * the double nearest 0.15 — one ulp apart, enough to flip a round-6
+    * knife edge. Both engines parse the literal `0.15` to the identical
+    * double. */
+  val TeleportNum = 0.15
+  val PrRounds = 3
+
+  /** Undirected edge list, both directions, one row per (src, dst):
+    * node ids are 'c<custkey>' / 's<suppkey>'. */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cust"),
+        concat(lit("s"), col("l_suppkey")).as("supp"))
+      .distinct()
+    pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
+  /** PageRank after [[PrRounds]] quantized power iterations. */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // every node has an edge (graph built from edges), so src covers V
+    val n = deg.count()
+    val teleport = TeleportNum / n
+    var ranks = deg.select(col("src").as("node"), round(lit(1.0 / n), 6).as("rank"))
+    for (_ <- 1 to PrRounds) {
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst"),
+          round(col("rank") / col("deg"), 6).cast(DecimalType(38, 6)).as("c"))
+      ranks = contrib.groupBy(col("dst").as("node"))
+        .agg(round(lit(teleport) + lit(Damping) * sum(col("c")).cast("double"), 6)
+          .as("rank"))
+    }
+    ranks.orderBy("node")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> qPagerank
+  )
+
+  def oracleSql: Map[String, String] = {
+    // every scalar is forced to DOUBLE: DuckDB evaluates bare `1.0 - 0.85`
+    // in DECIMAL arithmetic, which would diverge from Spark's doubles
+    val step = (i: Int) =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    round((SELECT tp FROM consts) + CAST($Damping AS DOUBLE) *
+         |      CAST(SUM(CAST(round(r.rank / d.deg, 6) AS DECIMAL(38,6))) AS DOUBLE), 6) AS rank
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    Map(
+      "q_pagerank" ->
+        s"""WITH p AS (
+           |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cust,
+           |         's' || CAST(l_suppkey AS VARCHAR) AS supp
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e AS (SELECT cust AS src, supp AS dst FROM p
+           |      UNION ALL SELECT supp, cust FROM p),
+           |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+           |consts AS (SELECT CAST($TeleportNum AS DOUBLE) / COUNT(*) AS tp,
+           |                  COUNT(*) AS n FROM deg),
+           |r0 AS (SELECT src AS node,
+           |       round(CAST(1.0 AS DOUBLE) / (SELECT n FROM consts), 6) AS rank FROM deg),
+           |${(1 to PrRounds).map(step).mkString(",\n")}
+           |SELECT node, rank FROM r$PrRounds ORDER BY node""".stripMargin
+    )
+  }
+}

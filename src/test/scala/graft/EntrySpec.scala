@@ -27,7 +27,8 @@ class EntrySpec extends SparkSpec {
       operators.Similarity.queries, operators.PipelineOps.queries,
       operators.TrainPrep.queries, operators.QualityOps.queries,
       operators.Relational4.queries, operators.Layout.queries,
-      multimodal.Multimodal.queries, CorpusPipeline.queries)
+      operators.Graph.queries, multimodal.Multimodal.queries,
+      CorpusPipeline.queries)
     val total = mods.map(_.size).sum
     assert(SparkEntry.queries.size == total, "duplicate query name across modules")
   }
