@@ -142,11 +142,67 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
+  /** Round-robin interleave batch size (docs per training batch). */
+  private val BatchSize = 8
+
+  /** Deterministic source-interleaved training order: sources take turns
+    * doc-by-doc (round 1 = one doc from each source, round 2 the next, …),
+    * so every training batch sees a balanced domain mix — the data-order
+    * contract an LLM run wants, computed WITHOUT a global total-order
+    * sort: `pos` is a per-source window (NShards-style bounded
+    * partitions), the source index is a tiny broadcast rank table, and
+    * `global_pos = (pos-1)·S + src_idx` is pure arithmetic — batch id
+    * falls out map-only. A doc's md5 key gives rerun-stable within-source
+    * order. */
+  def qInterleaveOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+    // source dimension is tiny (a handful of domains): rank it driver-side
+    // like any folded dimension constant — no single-partition window
+    val srcs = d.select(col("source")).distinct().collect()
+      .map(_.getString(0)).sorted
+    val srcRank = srcs.zipWithIndex.toSeq.toDF("source", "src_idx")
+    val nSrc = srcs.length
+    val key = md5(concat(lit("ord|"), col("doc_id").cast("string")))
+    val wPos = Window.partitionBy("source").orderBy("k", "doc_id")
+    d.select(col("doc_id"), col("source"), key.as("k"))
+      .withColumn("pos", row_number().over(wPos))
+      .join(broadcast(srcRank), "source")
+      .select(col("doc_id"), col("source"), col("pos"),
+        ((col("pos") - 1) * nSrc + col("src_idx")).cast("long").as("global_pos"))
+      .withColumn("batch_id", floor(col("global_pos") / BatchSize).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Truncation budget, in words — deliberately BELOW the fixture's typical
+    * doc length (~40-60 words) so the policy actually fires; the 512-token
+    * [[PackBudget]] never would at this scale. */
+  private val TruncBudget = 30
+
+  /** Context-budget head truncation: keep the first TruncBudget words of
+    * each doc, report kept/dropped token counts and the overflow flag —
+    * the simplest context-window policy (the chunking and packing
+    * operators are the smarter alternatives; a curation pipeline ships
+    * all three). Map-only. */
+  def qTruncateBudget(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(w).as("n_tok"),
+        least(size(w), lit(TruncBudget)).as("kept_tok"),
+        greatest(size(w) - TruncBudget, lit(0)).as("dropped_tok"),
+        (size(w) > TruncBudget).as("overflow"),
+        concat_ws(" ", slice(w, 1, TruncBudget)).as("truncated"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> qDecontaminate,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_pack_sequences" -> qPackSequences,
-    "q_shard_assign" -> qShardAssign
+    "q_shard_assign" -> qShardAssign,
+    "q_interleave_order" -> qInterleaveOrder,
+    "q_truncate_budget" -> qTruncateBudget
   )
 
   private val shinglesSql =
@@ -186,6 +242,29 @@ object TrainPrep {
          |SELECT source, CAST(FLOOR(start / $PackBudget) AS INTEGER) AS pack_id,
          |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
          |FROM s GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+    "q_interleave_order" ->
+      s"""WITH s AS (SELECT source,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS INTEGER) AS src_idx
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM s),
+         |h AS (SELECT doc_id, source,
+         |    md5('ord|' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+         |p AS (SELECT doc_id, source, k,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id) AS INTEGER) AS pos
+         |  FROM h)
+         |SELECT doc_id, p.source, pos,
+         |  CAST((pos - 1) * (SELECT ns FROM n) + src_idx AS BIGINT) AS global_pos,
+         |  CAST(FLOOR(((pos - 1) * (SELECT ns FROM n) + src_idx) / 8) AS INTEGER) AS batch_id
+         |FROM p JOIN s ON p.source = s.source
+         |ORDER BY doc_id""".stripMargin,
+    "q_truncate_budget" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_tok,
+         |  CAST(least(len(ws), 30) AS INTEGER) AS kept_tok,
+         |  CAST(greatest(len(ws) - 30, 0) AS INTEGER) AS dropped_tok,
+         |  len(ws) > 30 AS overflow,
+         |  array_to_string(ws[1:30], ' ') AS truncated
+         |FROM w ORDER BY doc_id""".stripMargin,
     "q_shard_assign" -> {
       // first md5 hex byte as an integer, DuckDB-side (no 0x parse)
       val byte0 =

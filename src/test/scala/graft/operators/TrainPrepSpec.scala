@@ -63,6 +63,38 @@ class TrainPrepSpec extends SparkSpec {
     assert(probed < 500, s"~1% FPP expected, got $probed/10000 false positives")
   }
 
+  test("interleave order: each full round takes exactly one doc per source") {
+    val out = TrainPrep.qInterleaveOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(out.map(_._4).distinct.length == out.length, "global_pos unique")
+    val bySource = out.groupBy(_._2)
+    val minRounds = bySource.values.map(_.length).min
+    // while every source still has docs, round k (pos == k) holds one doc
+    // from each source
+    (1 to minRounds).foreach { k =>
+      val round = out.filter(_._3 == k)
+      assert(round.map(_._2).toSet == bySource.keySet,
+        s"round $k must cover every source once")
+    }
+    assert(out.map(_._1).toSet == bySource.values.flatten.map(_._1).toSet)
+  }
+
+  test("truncation: counts consistent, overflow iff past budget, head kept") {
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TrainPrep.qTruncateBudget(spark, sf).collect()
+    assert(out.length == texts.size)
+    out.foreach { r =>
+      val (id, n, kept, dropped, over, trunc) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4), r.getString(5))
+      assert(kept + dropped == n, s"count conservation: $r")
+      assert(over == (n > 30), s"overflow flag: $r")
+      val expect = texts(id).split(" ", -1).take(30).mkString(" ")
+      assert(trunc == expect, s"head words kept verbatim for doc $id")
+    }
+  }
+
   test("sequence packing conserves docs and tokens, budget bounds pack starts") {
     val d = graft.Tables.documents(spark, sf)
     val totalDocs = d.count()
