@@ -119,7 +119,13 @@ object EventOps {
     * (event_type, time_bucket) so no partition outgrows an executor); the
     * frame bound keeps per-row state constant regardless of partition
     * length. */
-  def qRollingQuantile(spark: SparkSession, dir: String): DataFrame = {
+  def qRollingQuantile(spark: SparkSession, dir: String): DataFrame =
+    rollingQuantile(Tables.events(spark, dir)).orderBy("event_id")
+
+  /** The rolling-quantile transformation over any (event_id, ts,
+    * event_type, value) frame (shared with the streaming twin's
+    * equivalence spec). */
+  private[graft] def rollingQuantile(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
       .rowsBetween(-(RollRows - 1), Window.currentRow)
     def interp(arr: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
@@ -130,13 +136,12 @@ object EventOps {
       round(element_at(arr, lo + 1) * (lit(1.0) - frac) +
         element_at(arr, least(lo + lit(2), n)) * frac, 6)
     }
-    Tables.events(spark, dir)
+    events
       .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
       .withColumn("roll_n", size(col("arr")))
       .select(col("event_id"), col("event_type"), col("roll_n"),
         interp(col("arr"), col("roll_n"), 0.5).as("roll_median"),
         interp(col("arr"), col("roll_n"), 0.9).as("roll_p90"))
-      .orderBy("event_id")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -738,7 +738,7 @@ object Tokenize {
     * l_discount, 11 distinct values) interpolated quantile boundaries land
     * exactly ON data values, and engine-level ulp differences in the
     * interpolation formula would otherwise flip strict `b < v` counts. */
-  private[operators] def round6d(x: Double): Double =
+  private[graft] def round6d(x: Double): Double =
     if (x.isNaN || x.isInfinite) x
     else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 

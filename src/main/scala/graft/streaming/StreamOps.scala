@@ -146,6 +146,49 @@ object StreamOps {
       }
   }
 
+  case class RollEvent(event_id: Long, ts: java.sql.Timestamp,
+                       event_type: String, value: Double)
+  case class RollQuantiles(event_id: Long, event_type: String, roll_n: Int,
+                           roll_median: Double, roll_p90: Double)
+
+  /** Streaming twin of `EventOps.qRollingQuantile`: exact trailing-20-row
+    * median/p90 per event_type, maintained ACROSS micro-batches with a
+    * bounded ring of the last 19 (ts, event_id, value) rows per key — the
+    * custom per-key state Spark's built-in windows can't express (windowed
+    * aggs are event-time buckets, not row-count frames). State is O(20)
+    * per event_type forever; each incoming event emits one output row, so
+    * the stream is append-shaped. Events are processed in (ts, event_id)
+    * order within each batch; with in-order arrival across batches the
+    * output equals the batch window exactly (StreamingSpec proves it on a
+    * 3-trigger split). Interpolation is the same rank-p(n-1) linear rule,
+    * rounded to the shared 6-decimal grid. */
+  def rollingQuantileStream(events: Dataset[RollEvent]): Dataset[RollQuantiles] = {
+    import events.sparkSession.implicits._
+    def interp(sorted: IndexedSeq[Double], p: Double): Double = {
+      val idx = (sorted.length - 1) * p
+      val lo = math.floor(idx).toInt
+      val frac = idx - lo
+      graft.operators.Tokenize.round6d(
+        sorted(lo) * (1.0 - frac) + sorted(math.min(lo + 1, sorted.length - 1)) * frac)
+    }
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Vector[(Long, Long, Double)], RollQuantiles](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[RollEvent], state: GroupState[Vector[(Long, Long, Double)]]) =>
+          var ring = state.getOption.getOrElse(Vector.empty)
+          val out = Vector.newBuilder[RollQuantiles]
+          batch.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            ring = (ring :+ ((e.ts.getTime, e.event_id, e.value))).takeRight(20)
+            val sorted = ring.map(_._3).sorted
+            out += RollQuantiles(e.event_id, key, ring.length,
+              interp(sorted, 0.5), interp(sorted, 0.9))
+          }
+          state.update(ring.takeRight(19))
+          out.result().iterator
+      }
+  }
+
   case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                        event_type: String, value: Double)
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)

@@ -268,6 +268,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming rolling quantiles equal the batch window across 3 triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamOps.RollEvent
+    // 30 in-order events per type: the 20-row ring wraps mid-stream
+    val evs = (1 to 30).flatMap { i =>
+      Seq(RollEvent(i, ts(f"2024-01-01 00:$i%02d:00"), "click", i * 1.7 % 13),
+        RollEvent(100 + i, ts(f"2024-01-01 00:$i%02d:30"), "view", i * 2.3 % 7))
+    }
+    val mem = MemoryStream[RollEvent]
+    val q = StreamOps.rollingQuantileStream(mem.toDS())
+      .writeStream.format("memory").queryName("roll_q").outputMode("append").start()
+    try {
+      evs.grouped(20).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("roll_q").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val batch = graft.operators.EventOps.rollingQuantile(evs.toDF())
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(streamed.size == 60)
+    assert(streamed == batch, "stream ring state must equal the batch window frame")
+  }
+
   test("stateful dedup-with-counts converges to the batch truth across triggers") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
