@@ -56,17 +56,23 @@ object Graph {
       .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
   }
 
-  /** PageRank after [[PrRounds]] quantized power iterations. */
+  /** PageRank after [[PrRounds]] quantized power iterations. The edge list
+    * is eagerly checkpointed: every iteration's plan references it, and
+    * without truncation each round re-derives the lineitem-orders join
+    * (measured 7.5 s -> ~2 s at sf0.1). Same pattern as
+    * [[Dedup.distributedClusters]]; ContextCleaner reclaims the blocks. */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
+    val e = edges(spark, dir).localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // degree folded into the cached edge list ONCE: each iteration then
+    // needs a single join (the |V|-row rank frame) instead of two
+    val eDeg = e.join(deg, "src").localCheckpoint(true)
     // every node has an edge (graph built from edges), so src covers V
     val n = deg.count()
     val teleport = TeleportNum / n
     var ranks = deg.select(col("src").as("node"), round(lit(1.0 / n), 6).as("rank"))
     for (_ <- 1 to PrRounds) {
-      val contrib = e.join(ranks, e("src") === ranks("node"))
-        .join(deg, "src")
+      val contrib = eDeg.join(ranks, col("src") === col("node"))
         .select(col("dst"),
           round(col("rank") / col("deg"), 6).cast(DecimalType(38, 6)).as("c"))
       ranks = contrib.groupBy(col("dst").as("node"))
