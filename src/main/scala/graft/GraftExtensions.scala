@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[graft.functions.DotProductExpr].getName, "graft_dot"),
       (exprs: Seq[Expression]) => GraftExtensions.buildDot(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bpe_merge"),
+      new ExpressionInfo(classOf[graft.functions.BpeMergeExpr].getName, "graft_bpe_merge"),
+      (exprs: Seq[Expression]) => GraftExtensions.buildBpeMerge(exprs)))
   }
 }
 
@@ -36,6 +40,18 @@ object GraftExtensions {
   private[graft] def buildDot(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "graft_dot(arrayA, arrayB) expects 2 arguments")
     graft.functions.DotProductExpr(exprs.head, exprs(1))
+  }
+
+  private[graft] def buildBpeMerge(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      "graft_bpe_merge(symbolsArray, leftLiteral, rightLiteral) expects 3 arguments")
+    def strLit(e: Expression, name: String): String = e match {
+      case f if f.foldable && f.dataType == org.apache.spark.sql.types.StringType =>
+        f.eval().toString
+      case other => throw new IllegalArgumentException(
+        s"graft_bpe_merge $name must be a foldable string (the merge pair is a per-round constant), got $other")
+    }
+    graft.functions.BpeMergeExpr(exprs.head, strLit(exprs(1), "left"), strLit(exprs(2), "right"))
   }
 
   private[graft] def buildBucketize(exprs: Seq[Expression]): Expression = {

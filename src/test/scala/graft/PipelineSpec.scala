@@ -59,6 +59,15 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq(0, 1, 3))
   }
 
+  test("graft_bpe_merge is callable from SQL via extensions") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_merge", exprs => GraftExtensions.buildBpeMerge(exprs), "built-in")
+    val out = spark.sql(
+      "SELECT graft_bpe_merge(array('a', 'a', 'a', 'b'), 'a', 'a') AS m")
+      .collect().head.getSeq[String](0)
+    assert(out == Seq("aa", "a", "b"))
+  }
+
   test("graft_dot is callable from SQL via extensions") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => GraftExtensions.buildDot(exprs), "built-in")
