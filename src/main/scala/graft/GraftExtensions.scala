@@ -47,7 +47,10 @@ object GraftExtensions {
       "graft_bpe_merge(symbolsArray, leftLiteral, rightLiteral) expects 3 arguments")
     def strLit(e: Expression, name: String): String = e match {
       case f if f.foldable && f.dataType == org.apache.spark.sql.types.StringType =>
-        f.eval().toString
+        val v = f.eval()
+        if (v == null) throw new IllegalArgumentException(
+          s"graft_bpe_merge $name must not be null")
+        v.toString
       case other => throw new IllegalArgumentException(
         s"graft_bpe_merge $name must be a foldable string (the merge pair is a per-round constant), got $other")
     }

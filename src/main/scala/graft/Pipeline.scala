@@ -55,9 +55,10 @@ object Pipeline {
     stage("generate") {
       writeIgnore(syntheticTable(spark, rows, cols), dataPath)
     }
+    var scanned = 0L
     val df = stage("scan") {
       val d = spark.read.parquet(dataPath)
-      d.count() // materialize the scan for honest stage timing
+      scanned = d.count() // materialize the scan for honest stage timing
       d
     }
     val tokenCols = df.columns.toSeq
@@ -78,7 +79,9 @@ object Pipeline {
         spark.read.parquet(tokenPath).count()
       } else {
         df.select(tokens: _*).write.format("noop").mode("overwrite").save()
-        rows
+        // the MEASURED scan count, not the `rows` request: SaveMode.Ignore
+        // reuses a pre-existing data parquet of any size
+        scanned
       }
     }
     (n, timings.toMap)

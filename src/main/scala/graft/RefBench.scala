@@ -16,8 +16,8 @@ object RefBench {
     // the noop sink, not a parquet write the reference never pays
     // (etl_benchmark.py computes tokenized_data in memory only)
     val raw = args.headOption.getOrElse("select")
-    val sink = !raw.endsWith("-nosink")
-    val mode = raw.stripSuffix("-nosink") match {
+    val sink = !(raw.endsWith("-nosink") || raw == "nosink")
+    val mode = raw.stripSuffix("-nosink").stripSuffix("nosink") match {
       case "approx" | "gk" => "gk"
       case "sample" => "sample"
       case "sample25" => "sample25"

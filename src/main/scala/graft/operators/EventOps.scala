@@ -104,16 +104,24 @@ object EventOps {
       .orderBy("user_id")
   }
 
-  /** Rolling-window row count for [[qRollingQuantile]]. */
-  private val RollRows = 20
+  /** Rolling-window row count for [[qRollingQuantile]] (shared with the
+    * streaming twin, StreamOps.rollingQuantileStream). */
+  private[graft] val RollRows = 20
 
   /** Rolling exact quantiles (median + p90 of `value` over the trailing 20
     * events per event_type) — the p95-latency / anomaly-band staple of an
     * event pipeline. Spark has no exact-percentile window function, so the
     * window collects its frame (bounded: ROWS BETWEEN 19 PRECEDING makes
     * state O(RollRows), never the partition), sorts the 20-element array,
-    * and interpolates at rank p·(n-1) — the same `quantile_cont` linear
-    * interpolation DuckDB applies, with round-6 absorbing ulp differences.
+    * and selects the Type-1 discrete quantile `arr[ceil(p·n)]`.
+    *
+    * The selection formula is written EXPLICITLY on both engines (no
+    * `quantile_cont`): a library interpolator computing the algebraically
+    * equal `lo + frac·(hi-lo)` instead of `lo·(1-frac) + hi·frac` can land
+    * one ulp across a round-6 half boundary — an intermittent,
+    * data-dependent hash flake. `ceil(p·n)` is two identical IEEE ops on
+    * both engines; whatever side of an integer `p·n` lands on, both
+    * engines agree, and the selected value is an exact element.
     *
     * 100 TB shape: one shuffle by event_type (at cluster scale the key is
     * (event_type, time_bucket) so no partition outgrows an executor); the
@@ -128,20 +136,15 @@ object EventOps {
   private[graft] def rollingQuantile(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
       .rowsBetween(-(RollRows - 1), Window.currentRow)
-    def interp(arr: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
-               p: Double): org.apache.spark.sql.Column = {
-      val idx = (n - 1).cast("double") * p
-      val lo = floor(idx).cast("int")
-      val frac = idx - lo
-      round(element_at(arr, lo + 1) * (lit(1.0) - frac) +
-        element_at(arr, least(lo + lit(2), n)) * frac, 6)
-    }
+    def sel(arr: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
+            p: Double): org.apache.spark.sql.Column =
+      element_at(arr, ceil(lit(p) * n.cast("double")).cast("int"))
     events
       .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
       .withColumn("roll_n", size(col("arr")))
       .select(col("event_id"), col("event_type"), col("roll_n"),
-        interp(col("arr"), col("roll_n"), 0.5).as("roll_median"),
-        interp(col("arr"), col("roll_n"), 0.9).as("roll_p90"))
+        sel(col("arr"), col("roll_n"), 0.5).as("roll_median"),
+        sel(col("arr"), col("roll_n"), 0.9).as("roll_p90"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -158,8 +161,8 @@ object EventOps {
     "q_rolling_quantile" ->
       s"""SELECT event_id, event_type,
          |  CAST(COUNT(*) OVER w AS INTEGER) AS roll_n,
-         |  round(CAST(quantile_cont(value, 0.5) OVER w AS DOUBLE), 6) AS roll_median,
-         |  round(CAST(quantile_cont(value, 0.9) OVER w AS DOUBLE), 6) AS roll_p90
+         |  list_sort(list(value) OVER w)[CAST(CEIL(0.5 * CAST(COUNT(*) OVER w AS DOUBLE)) AS INT)] AS roll_median,
+         |  list_sort(list(value) OVER w)[CAST(CEIL(0.9 * CAST(COUNT(*) OVER w AS DOUBLE)) AS INT)] AS roll_p90
          |FROM events
          |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
          |  ROWS BETWEEN ${RollRows - 1} PRECEDING AND CURRENT ROW)

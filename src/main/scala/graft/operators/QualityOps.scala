@@ -241,12 +241,17 @@ object QualityOps {
   private[operators] def piiScrub(d: DataFrame): DataFrame = {
     val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val digits = "[0-9]{6,}"
+    // digit runs are counted AFTER the email mask so every count maps to a
+    // <NUM> actually present in the output (a digit run inside an email is
+    // consumed by <EMAIL>) — counts reconcile 1:1 against the masks
     d.select(
       col("doc_id"),
       regexp_count(col("text"), lit(email)).cast("int").as("n_emails"),
-      regexp_count(col("text"), lit(digits)).cast("int").as("n_digit_runs"),
-      regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), digits, "<NUM>")
-        .as("scrubbed"))
+      regexp_replace(col("text"), email, "<EMAIL>").as("demailed"))
+      .select(
+        col("doc_id"), col("n_emails"),
+        regexp_count(col("demailed"), lit(digits)).cast("int").as("n_digit_runs"),
+        regexp_replace(col("demailed"), digits, "<NUM>").as("scrubbed"))
       .withColumn("pii_total", col("n_emails") + col("n_digit_runs"))
   }
 
@@ -416,12 +421,15 @@ object QualityOps {
     "q_pii_scrub" -> {
       val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
       val digits = "[0-9]{6,}"
-      s"""SELECT doc_id,
-         |  CAST(length(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
-         |  CAST(length(regexp_extract_all(text, '$digits')) AS INTEGER) AS n_digit_runs,
-         |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$digits', '<NUM>', 'g') AS scrubbed,
-         |  CAST(length(regexp_extract_all(text, '$email')) + length(regexp_extract_all(text, '$digits')) AS INTEGER) AS pii_total
-         |FROM documents ORDER BY doc_id""".stripMargin
+      s"""WITH de AS (SELECT doc_id,
+         |    CAST(length(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+         |    regexp_replace(text, '$email', '<EMAIL>', 'g') AS demailed
+         |  FROM documents)
+         |SELECT doc_id, n_emails,
+         |  CAST(length(regexp_extract_all(demailed, '$digits')) AS INTEGER) AS n_digit_runs,
+         |  regexp_replace(demailed, '$digits', '<NUM>', 'g') AS scrubbed,
+         |  CAST(n_emails + length(regexp_extract_all(demailed, '$digits')) AS INTEGER) AS pii_total
+         |FROM de ORDER BY doc_id""".stripMargin
     },
     "q_emb_hamming" -> {
       val sig = (0 until 64).map { bit =>

@@ -308,9 +308,11 @@ object Similarity {
 
   // ------------------------------------------------- product quantization
 
-  /** PQ geometry: Dim=64 split into M=8 subspaces of 8 dims, K=16 centroids
-    * per subspace -> an 8-byte code per vector (64 floats -> 8 bytes, 32x
-    * compression). Codebooks train on the first PqTrainN vectors (a SAMPLE
+  /** PQ geometry: Dim=64 split into M=16 subspaces of 4 dims, K=64
+    * centroids per subspace -> 16 six-bit indices per vector (64 float32s
+    * -> 12 bytes packed, ~21x compression; the coarser 8x16 geometry
+    * measured recall@5 of only 0.08 on the i.i.d. fixture vs 0.48 for
+    * this one). Codebooks train on the first PqTrainN vectors (a SAMPLE
     * is the production norm — codebooks are model state, like quantile
     * boundaries), K-means with PqIters Lloyd steps per subspace, all
     * driver-side doubles in fixed iteration order (deterministic; the
@@ -365,11 +367,12 @@ object Similarity {
   private def pqCodeExpr(cb: Array[Array[Array[Double]]])(emb: Column): Column =
     graft.functions.PqEncodeExpr.encodeCol(emb, cb)
 
-  /** PQ ANN with asymmetric distance (ADC): encode the corpus to 8-byte
-    * codes map-only, then score each query against the CODES via per-query
-    * lookup tables (LUT[m][j] = ||q_sub_m - c_mj||², folded as constants) —
-    * distance = sum of 8 array lookups per candidate instead of 64 float
-    * multiplies, over 32x less data. The scale path when even one float
+  /** PQ ANN with asymmetric distance (ADC): encode the corpus to PqM
+    * subspace indices map-only, then score each query against the CODES via
+    * per-query lookup tables (LUT[m][j] = ||q_sub_m - c_mj||², folded as
+    * constants) — distance = sum of PqM (16) array lookups per candidate
+    * instead of 64 float multiplies, over ~20x less data. The scale path
+    * when even one float
     * embedding column is too much memory traffic: IVF prunes candidates,
     * PQ compresses what remains (IVF-PQ = this plan composed with
     * [[qAnnIvf]]'s cell filter).

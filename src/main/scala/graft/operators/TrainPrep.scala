@@ -254,16 +254,16 @@ object TrainPrep {
          |  FROM h)
          |SELECT doc_id, p.source, pos,
          |  CAST((pos - 1) * (SELECT ns FROM n) + src_idx AS BIGINT) AS global_pos,
-         |  CAST(FLOOR(((pos - 1) * (SELECT ns FROM n) + src_idx) / 8) AS INTEGER) AS batch_id
+         |  CAST(FLOOR(((pos - 1) * (SELECT ns FROM n) + src_idx) / $BatchSize) AS INTEGER) AS batch_id
          |FROM p JOIN s ON p.source = s.source
          |ORDER BY doc_id""".stripMargin,
     "q_truncate_budget" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
          |SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_tok,
-         |  CAST(least(len(ws), 30) AS INTEGER) AS kept_tok,
-         |  CAST(greatest(len(ws) - 30, 0) AS INTEGER) AS dropped_tok,
-         |  len(ws) > 30 AS overflow,
-         |  array_to_string(ws[1:30], ' ') AS truncated
+         |  CAST(least(len(ws), $TruncBudget) AS INTEGER) AS kept_tok,
+         |  CAST(greatest(len(ws) - $TruncBudget, 0) AS INTEGER) AS dropped_tok,
+         |  len(ws) > $TruncBudget AS overflow,
+         |  array_to_string(ws[1:$TruncBudget], ' ') AS truncated
          |FROM w ORDER BY doc_id""".stripMargin,
     "q_shard_assign" -> {
       // first md5 hex byte as an integer, DuckDB-side (no 0x parse)

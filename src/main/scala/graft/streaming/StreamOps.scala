@@ -164,13 +164,11 @@ object StreamOps {
     * rounded to the shared 6-decimal grid. */
   def rollingQuantileStream(events: Dataset[RollEvent]): Dataset[RollQuantiles] = {
     import events.sparkSession.implicits._
-    def interp(sorted: IndexedSeq[Double], p: Double): Double = {
-      val idx = (sorted.length - 1) * p
-      val lo = math.floor(idx).toInt
-      val frac = idx - lo
-      graft.operators.Tokenize.round6d(
-        sorted(lo) * (1.0 - frac) + sorted(math.min(lo + 1, sorted.length - 1)) * frac)
-    }
+    val rollRows = graft.operators.EventOps.RollRows
+    // Type-1 discrete selection, the same explicit ceil(p*n) as the batch
+    // twin and its oracle (see qRollingQuantile's scaladoc)
+    def sel(sorted: IndexedSeq[Double], p: Double): Double =
+      sorted(math.ceil(p * sorted.length.toDouble).toInt - 1)
     events
       .groupByKey(_.event_type)
       .flatMapGroupsWithState[Vector[(Long, Long, Double)], RollQuantiles](
@@ -179,12 +177,12 @@ object StreamOps {
           var ring = state.getOption.getOrElse(Vector.empty)
           val out = Vector.newBuilder[RollQuantiles]
           batch.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            ring = (ring :+ ((e.ts.getTime, e.event_id, e.value))).takeRight(20)
+            ring = (ring :+ ((e.ts.getTime, e.event_id, e.value))).takeRight(rollRows)
             val sorted = ring.map(_._3).sorted
             out += RollQuantiles(e.event_id, key, ring.length,
-              interp(sorted, 0.5), interp(sorted, 0.9))
+              sel(sorted, 0.5), sel(sorted, 0.9))
           }
-          state.update(ring.takeRight(19))
+          state.update(ring.takeRight(rollRows - 1))
           out.result().iterator
       }
   }

@@ -144,16 +144,26 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_decontaminate_bloom probes the filter map-side BEFORE the confirm join") {
-    val plan = formatted(operators.TrainPrep.qDecontaminateBloom(spark, sf))
-    assert(plan.contains("might_contain"),
-      "bloom probe must appear as a filter predicate:\n" + plan)
-    assert(plan.contains("BroadcastHashJoin"),
-      "the exact-confirm join must broadcast the bench grams:\n" + plan)
-    // the probe must be below (before) the join: in the formatted tree the
-    // Filter carrying might_contain sits on the corpus-scan side
-    val filterIdx = plan.indexOf("might_contain")
-    val joinIdx = plan.indexOf("BroadcastHashJoin")
-    assert(filterIdx >= 0 && joinIdx >= 0)
+    val exec = operators.TrainPrep.qDecontaminateBloom(spark, sf)
+      .queryExecution.executedPlan match {
+      // AQE wraps the physical plan; traverse the inner plan
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the Filter carrying might_contain must be a DESCENDANT of the
+    // broadcast confirm join (i.e. it runs on the scan side, before the
+    // join), not a post-join filter
+    val joins = exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, "the exact-confirm join must broadcast the bench grams:\n" + exec)
+    val probeBelowJoin = joins.exists(_.children.exists(c =>
+      c.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("might_contain") => f
+      }.nonEmpty))
+    assert(probeBelowJoin,
+      "bloom might_contain filter must sit BELOW the confirm join:\n" + exec)
   }
 
   test("q_mixture_sample: tiny rate table broadcasts back onto the doc scan") {
