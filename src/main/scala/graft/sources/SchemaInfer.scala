@@ -55,6 +55,17 @@ object SchemaInfer {
 
   /** Apply inferred types: returns df with string columns cast to their
     * tightest parseable type. */
+  /** Schema-evolution read: union parquet directories written at different
+    * schema versions into one frame with the merged (superset) schema —
+    * rows from older files carry null in the columns they predate. This is
+    * the ingest posture a long-lived 100 TB corpus needs: writers add
+    * columns over time and readers must keep consuming every vintage
+    * without a rewrite (`mergeSchema` pays a footer read per file, so at
+    * scale the merged schema would be pinned in a catalog; semantics are
+    * identical). */
+  def readEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   def applyInferred(df: DataFrame, inferred: Map[String, DataType]): DataFrame =
     df.select(df.columns.map { c =>
       inferred.get(c).filter(_ != StringType)

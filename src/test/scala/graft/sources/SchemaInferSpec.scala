@@ -55,6 +55,23 @@ class SchemaInferSpec extends SparkSpec {
     assert(inferred("mixed") == StringType) // "xyz" defeats numeric
   }
 
+  test("schema evolution: vintages union under the merged superset schema") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("evolve").toString
+    // v1 writer: (doc_id, text); v2 writer adds a lang column
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$base/v1")
+    Seq((3L, "gamma", "en"), (4L, "delta", "fr")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$base/v2")
+    val merged = SchemaInfer.readEvolved(spark, s"$base/v1", s"$base/v2")
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "lang", "text"))
+    val rows = merged.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("lang"))).toMap
+    assert(rows.size == 4, "every vintage's rows present")
+    assert(rows(1L).isEmpty && rows(2L).isEmpty, "pre-evolution rows carry null lang")
+    assert(rows(3L).contains("en") && rows(4L).contains("fr"))
+  }
+
   test("applyInferred casts in place") {
     import spark.implicits._
     val df = Seq(("1", "x"), ("2", "y")).toDF("n", "s")
