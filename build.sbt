@@ -15,6 +15,13 @@ run / fork := true
 // bench JSON line from stdout, and sbt's default LoggedOutput would prefix
 // it with "[info] " making it unparseable.
 run / outputStrategy := Some(StdoutOutput)
+// The driver parses the LAST stdout line as the bench result. sbt's
+// "[success] Total time: …" epilogue prints AFTER the forked run's JSON
+// line, so it must be suppressed everywhere (the setting is global).
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — silence the
+// false-positive unused-setting lint so warnings stay meaningful.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -127,8 +127,18 @@ object Bench {
     emit()
 
     // Pass 2: decorrelated second samples, budget permitting per query.
+    // Order is ROTATED by half and reversed relative to pass 1: a single
+    // multi-minute host-degradation window occupies the same wall-clock
+    // region of every pass, so identical ordering would poison the SAME
+    // queries' min in both passes (the round-4 artifact: a contiguous
+    // alphabetical block inflated 10-100x in the final minima). Rotating
+    // guarantees the window lands on different queries each pass.
+    val pass2Order = {
+      val (a, b) = names.splitAt(names.size / 2)
+      (b ++ a).reverse
+    }
     val pass2 = scala.collection.mutable.HashMap.empty[String, Double]
-    for (n <- names if elapsed < budgetS) once(2, n).foreach(pass2(n) = _)
+    for (n <- pass2Order if elapsed < budgetS) once(2, n).foreach(pass2(n) = _)
     passesDone = 2
     emit()
 
