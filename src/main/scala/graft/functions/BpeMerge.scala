@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -25,12 +26,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * count, collected driver-side like quantile boundaries), so the merge is a
   * map-only projection; codegen emits one static call per row and the
   * expression stays inside whole-stage codegen. Null array -> null; null
-  * elements cannot occur (children of split()).
+  * ELEMENTS pass through unchanged (a null symbol can never match either
+  * side of the pair), and the output's containsNull mirrors the input's —
+  * split() children stay tight (containsNull=false) while arbitrary SQL
+  * callers keep a type-honest array. A non-array<string> first argument is
+  * rejected at ANALYSIS time, not with a runtime ClassCastException.
   */
 case class BpeMergeExpr(child: Expression, l: String, r: String)
     extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bpe_merge requires array<string> as its first argument, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
   override def prettyName: String = "graft_bpe_merge"
 
   @transient private lazy val lU = UTF8String.fromString(l)
@@ -52,15 +66,17 @@ case class BpeMergeExpr(child: Expression, l: String, r: String)
 
 object BpeMergeExpr {
 
-  /** Greedy non-overlapping pair fusion; called from generated code. */
+  /** Greedy non-overlapping pair fusion; called from generated code. Null
+    * elements are copied through untouched — getUTF8String on a null slot is
+    * undefined for unsafe arrays, so the slot is checked first. */
   def merge(in: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
     val n = in.numElements()
     val out = new Array[AnyRef](n)
     var m = 0
     var i = 0
     while (i < n) {
-      val s = in.getUTF8String(i)
-      if (m > 0 && out(m - 1) == l && s == r) {
+      val s = if (in.isNullAt(i)) null else in.getUTF8String(i)
+      if (s != null && m > 0 && out(m - 1) == l && s == r) {
         out(m - 1) = UTF8String.concat(l, r)
       } else {
         out(m) = s

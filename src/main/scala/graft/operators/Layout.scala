@@ -39,9 +39,37 @@ object Layout {
   }
 
   /** 32-bit Morton code of (a, b): a's bits on even positions, b's on odd.
-    * Inputs are masked to 16 bits; longs throughout (no sign issues). */
+    * Inputs are masked to 16 bits; longs throughout (no sign issues). The
+    * CONTRACT-query code (16-bit domain documented + oracle-matched); the
+    * generic write path uses [[zvalue64]] so real key spaces don't alias. */
   def zvalue(a: Column, b: Column): Column =
     spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
+
+  /** Spread the low 32 bits of `x` to the even bit positions of a 64-bit
+    * word — the 5-step ladder one rung wider than [[spread]]. */
+  private def spread64(x: Column): Column = {
+    val m = Seq(0x0000FFFF0000FFFFL, 0x00FF00FF00FF00FFL,
+      0x0F0F0F0F0F0F0F0FL, 0x3333333333333333L, 0x5555555555555555L)
+    val shifts = Seq(16, 8, 4, 2, 1)
+    shifts.zip(m).foldLeft(x.bitwiseAND(lit(0xFFFFFFFFL))) { case (acc, (s, mask)) =>
+      acc.bitwiseOR(shiftleft(acc, s)).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** 62-bit Morton code for the generic write path: 31 bits PER DIMENSION
+    * (~2.1 B distinct keys each — enough for any single-table surrogate key
+    * at 100 TB), result always non-negative so long ordering == z ordering.
+    * Keys outside [0, 2^31) RAISE at runtime instead of silently aliasing
+    * into a 16-bit torus the way the old masked path did. */
+  def zvalue64(a: Column, b: Column): Column = {
+    val lim = 1L << 31
+    def checked(c: Column): Column = {
+      val l = c.cast("long")
+      when(l >= 0 && l < lim, l).otherwise(
+        raise_error(concat(lit("zorder key out of [0, 2^31): "), c.cast("string"))))
+    }
+    spread64(checked(a)).bitwiseOR(shiftleft(spread64(checked(b)), 1))
+  }
 
   /** Z-order clustering manifest over lineitem's (l_partkey, l_suppkey) —
     * the two join/filter dimensions a part-supplier workload prunes on.
@@ -62,7 +90,7 @@ object Layout {
     * on BOTH dims are tight per row group. Used by LayoutSpec; at scale this
     * is the compaction job's output layout. */
   def zorderWrite(df: DataFrame, dimA: String, dimB: String, path: String): Unit =
-    df.withColumn("__z", zvalue(col(dimA), col(dimB)))
+    df.withColumn("__z", zvalue64(col(dimA), col(dimB)))
       .repartitionByRange(1 << (2 * ZPartBits), col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -137,10 +137,18 @@ object StreamOps {
       .flatMapGroupsWithState[(Long, Long), DedupRecord](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (fp: String, batch: Iterator[DocSeen], state: GroupState[(Long, Long)]) =>
-          val (first0, dups0) = state.getOption.getOrElse((-1L, -1L))
-          val (first, dups) = batch.foldLeft((first0, dups0)) {
-            case ((f, d), doc) => if (f < 0) (doc.doc_id, d + 1) else (f, d + 1)
+          // "No state yet" is state.getOption itself — not a magic doc_id
+          // value — so negative doc_ids keep the first-wins contract.
+          val init = state.getOption match {
+            case Some((f, d)) => (Some(f), d)
+            case None         => (Option.empty[Long], -1L)
           }
+          val (firstOpt, dups) = batch.foldLeft(init) {
+            case ((f, d), doc) => (f.orElse(Some(doc.doc_id)), d + 1)
+          }
+          // The group function only runs when the key has state or rows, so
+          // firstOpt is always defined here.
+          val first = firstOpt.get
           state.update((first, dups))
           Iterator.single(DedupRecord(fp, first, dups))
       }
@@ -160,8 +168,8 @@ object StreamOps {
     * the stream is append-shaped. Events are processed in (ts, event_id)
     * order within each batch; with in-order arrival across batches the
     * output equals the batch window exactly (StreamingSpec proves it on a
-    * 3-trigger split). Interpolation is the same rank-p(n-1) linear rule,
-    * rounded to the shared 6-decimal grid. */
+    * 3-trigger split). Quantiles are Type-1 discrete selection ceil(p·n) —
+    * identical to the batch twin and its oracle, no interpolation. */
   def rollingQuantileStream(events: Dataset[RollEvent]): Dataset[RollQuantiles] = {
     import events.sparkSession.implicits._
     val rollRows = graft.operators.EventOps.RollRows
