@@ -56,21 +56,36 @@ object Graph {
       .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
   }
 
-  /** PageRank after [[PrRounds]] quantized power iterations. The edge list
-    * is eagerly checkpointed: every iteration's plan references it, and
-    * without truncation each round re-derives the lineitem-orders join
-    * (measured 7.5 s -> ~2 s at sf0.1). Same pattern as
+  /** PageRank after [[PrRounds]] quantized power iterations. The
+    * degree-annotated edge list is eagerly checkpointed ONCE: every
+    * iteration's plan references it, and without truncation each round
+    * re-derives the lineitem-orders join (measured 7.5 s -> ~2 s at sf0.1).
+    * Degree is folded in by a window count over src — one shuffle and a
+    * SINGLE materialization, where the round-4 shape paid two back-to-back
+    * eager checkpoints (edges, then edges⋈degrees). Same pattern as
     * [[Dedup.distributedClusters]]; ContextCleaner reclaims the blocks. */
+  /** Degree-annotated edge list, LAZY (pre-checkpoint): degree is folded in
+    * by a window count over src — no self-join, so no per-branch join-key
+    * null filters, and the union's two branches stay byte-identical plans
+    * whose distinct-exchange is REUSED (PlanSpec asserts it). A
+    * groupBy+self-join shape here computes the lineitem⋈orders source join
+    * four times: each union branch gets a different isnotnull(concat(...))
+    * pushed down, which defeats exchange reuse. */
+  private[graft] def degAnnotatedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    edges(spark, dir).withColumn("deg", count(lit(1)).over(bySrc))
+  }
+
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // degree folded into the cached edge list ONCE: each iteration then
-    // needs a single join (the |V|-row rank frame) instead of two
-    val eDeg = e.join(deg, "src").localCheckpoint(true)
-    // every node has an edge (graph built from edges), so src covers V
-    val n = deg.count()
+    // One job, ONE eager materialization (round 4 paid two back-to-back
+    // checkpoints: edges, then edges⋈degrees).
+    val eDeg = degAnnotatedEdges(spark, dir).localCheckpoint(true)
+    // every node has an edge (graph built from edges), so src covers V;
+    // both jobs below read the checkpointed blocks, not the source join
+    val nodes = eDeg.select("src").distinct()
+    val n = nodes.count()
     val teleport = TeleportNum / n
-    var ranks = deg.select(col("src").as("node"), round(lit(1.0 / n), 6).as("rank"))
+    var ranks = nodes.select(col("src").as("node"), round(lit(1.0 / n), 6).as("rank"))
     for (_ <- 1 to PrRounds) {
       val contrib = eDeg.join(ranks, col("src") === col("node"))
         .select(col("dst"),

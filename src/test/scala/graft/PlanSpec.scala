@@ -182,6 +182,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), "no join anywhere in zorder clustering")
   }
 
+  test("pagerank edge+degree materialization computes the source join once") {
+    // qPagerank checkpoints degAnnotatedEdges in ONE job. The undirected
+    // union's two branches hang off the same distinct-pairs subplan; with
+    // the window-count degree fold they stay identical and the distinct
+    // exchange is reused — the fact join must appear ONCE in the physical
+    // plan, not once per branch. If reuse is lost, a 100 TB run pays the
+    // lineitem⋈orders join (and its shuffle) twice per materialization.
+    // Reuse fires during ADAPTIVE execution (the static explain still shows
+    // both branches), so drive this queryExecution and read the final plan.
+    val df = operators.Graph.degAnnotatedEdges(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), "expected the AQE final plan:\n" + plan)
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"expected the distinct-pairs stage to be reused across union branches:\n$plan")
+  }
+
   test("q_ann_pq encodes map-only; the only exchanges are rank windows + sort") {
     val plan = formatted(operators.Similarity.qAnnPq(spark, sf))
     assert(plan.contains("graft_pq_encode") || plan.contains("pq_encode"),
