@@ -36,7 +36,8 @@ object SparkEntry {
       (Layout.queries, Layout.oracleSql),
       (Graph.queries, Graph.oracleSql),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracleSql),
-      (CorpusPipeline.queries, CorpusPipeline.oracleSql)
+      (CorpusPipeline.queries, CorpusPipeline.oracleSql),
+      (graft.sources.SchemaInfer.queries, graft.sources.SchemaInfer.oracleSql)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,8 +1,7 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.Tables
 
@@ -11,18 +10,18 @@ import graft.Tables
   * frame-sample stages.
   *
   * The actual image/audio codecs are NOT in this container (builder
-  * contract), so the decode step is a clearly-marked deterministic STUB —
-  * but everything Spark-side is real and tested: the schema (binary payload
-  * + StructType metadata), the partition-preserving `mapPartitions` batch
-  * shape (the Scala analog of a `mapInPandas` batched Pandas-UDF decode:
-  * rows stream per partition, the codec would be initialized once per
-  * partition, output is a fixed-width feature vector), and the downstream
-  * columnar ops over the extracted features.
+  * contract), so the "decode" is a deterministic byte-lane feature
+  * extractor — but it is a REAL Catalyst plan: a codegen
+  * [[graft.functions.ByteFeaturesExpr]] inside whole-stage codegen, binary
+  * column in, fixed-width vector out, map-only (the round-4 RDD
+  * mapPartitions stage with boxed Rows is gone). A real codec with native
+  * library state would instead ride `mapInPandas`/`mapPartitions` batches —
+  * that shape stays documented here as the integration point — but
+  * byte-level feature extraction itself belongs in an expression.
   *
   * Scale: payload bytes never shuffle — metadata/features are projected out
   * and the binary column is pruned from any aggregation. Feature extraction
-  * is map-only; per-partition codec init amortizes like a real decoder
-  * would.
+  * is map-only.
   */
 object Multimodal {
 
@@ -39,36 +38,13 @@ object Multimodal {
         col("n_chars").cast("long").as("size_bytes"),
         col("lang").as("tag")).as("meta"))
 
-  /** STUB codec: a real implementation would decode image/audio bytes here
-    * (per-partition codec init + batched decode). This deterministic fake
-    * derives FeatureDim floats from payload byte statistics so the full
-    * pipeline is testable without codec libraries. */
-  private def stubDecodeFeatures(payload: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](FeatureDim)
-    var i = 0
-    while (i < payload.length) {
-      out(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
-      i += 1
-    }
-    out
-  }
-
-  private val featureSchema = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
-
-  /** Batched per-partition feature extraction — the mapInPandas-shaped
-    * stage: one "codec" per partition, rows streamed through it. */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select("media_id", "payload").rdd.mapPartitions { rows =>
-      // per-partition "codec init" would happen here
-      rows.map { r =>
-        Row(r.getLong(0), stubDecodeFeatures(r.getAs[Array[Byte]](1)).toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, featureSchema)
-  }
+  /** Feature extraction as a map-only projection: the codegen byte-lane
+    * expression (exact long lane sums, one divide — engine-deterministic
+    * doubles). */
+  def extractFeatures(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.ByteFeaturesExpr.byteFeatures(col("payload"), FeatureDim)
+        .as("features"))
 
   /** Frame sampling: every k-th fixed-size chunk of the payload (the video
     * frame-sample shape: offset arithmetic only, no decode). */
@@ -82,15 +58,22 @@ object Multimodal {
         .as(Seq("frame_idx", "frame_bytes")))
   }
 
-  /** Rows-only driver query (no SQL oracle — binary/stub stage; covered by
-    * MultimodalSpec instead): media features + metadata summary. */
+  /** Media features + metadata summary, fully hash-checkable: one map-only
+    * select (no join — features come from the same projection), feature_sum
+    * added lane 0 -> dim-1 LEFT-ASSOCIATIVELY so the double adds happen in
+    * the same order on both engines, then round-4. */
   def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = asMedia(Tables.documents(spark, dir))
-    val feats = extractFeatures(media)
-    media.select(col("media_id"), col("meta.size_bytes").as("size_bytes"), col("meta.tag").as("tag"))
-      .join(feats, "media_id")
+    val withFeatures = media.select(
+      col("media_id"),
+      col("meta.size_bytes").as("size_bytes"),
+      col("meta.tag").as("tag"),
+      graft.functions.ByteFeaturesExpr.byteFeatures(col("payload"), FeatureDim)
+        .as("features"))
+    val laneSum = (0 until FeatureDim).map(i => col("features")(i)).reduceLeft(_ + _)
+    withFeatures
       .select(col("media_id"), col("size_bytes"), col("tag"),
-        round(aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")), 4).as("feature_sum"))
+        round(laneSum, 4).as("feature_sum"))
       .orderBy("media_id")
   }
 
@@ -98,8 +81,23 @@ object Multimodal {
     "q_multimodal_features" -> qMultimodalFeatures
   )
 
-  /** Intentionally empty: binary payload + stub decode are not
-    * SQL-expressible; the driver records a rows-only check and
-    * MultimodalSpec asserts the semantics. */
-  def oracleSql: Map[String, String] = Map.empty
+  /** DuckDB twin: hex-pair byte extraction (DuckDB has no get_byte), exact
+    * BIGINT lane sums, one divide per lane, the same left-associative lane
+    * order, round-4. Byte source is identical — UTF-8 of the same parquet
+    * text column. */
+  def oracleSql: Map[String, String] = {
+    val laneSums = (0 until FeatureDim).map { lane =>
+      s"coalesce(list_sum([('0x' || substring(h, 2*x+1, 2))::BIGINT for x in range(0, length(h)//2) if x % $FeatureDim = $lane]), 0)"
+    }
+    val sum = laneSums.map(s => s"($s / 255.0)").mkString(" + ")
+    Map(
+      "q_multimodal_features" ->
+        s"""WITH b AS (
+           |  SELECT doc_id AS media_id, CAST(n_chars AS BIGINT) AS size_bytes,
+           |         lang AS tag, hex(encode(text)) AS h
+           |  FROM documents)
+           |SELECT media_id, size_bytes, tag, round($sum, 4) AS feature_sum
+           |FROM b ORDER BY media_id""".stripMargin
+    )
+  }
 }

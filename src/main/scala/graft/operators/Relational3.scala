@@ -126,15 +126,32 @@ object Relational3 {
   }
 
   /** Approximate sketches (100 TB variants of exact distinct/quantiles):
-    * rows-only — HLL/GK internals are engine-specific; ApproxSpec bounds
-    * their error against the exact queries. */
+    * rows-only — HLL/GK internals are engine-specific, so no cross-engine
+    * hash — but the bound check is IN the result: each row carries the
+    * exact answer computed in the same aggregation and a within_bound
+    * verdict the driver (and ApproxSpec) can see is all-true.
+    *  - HLL: default rsd 0.05 is one standard deviation; the gate is 3σ
+    *    (15% relative), loose enough to never flake, tight enough to catch
+    *    a broken sketch.
+    *  - GK percentile at accuracy 1000 guarantees rank error <= 1/1000;
+    *    the gate brackets the approx median between the EXACT percentiles
+    *    at 0.5 +- 2/1000 (double the guarantee). */
   def qApproxSketches(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+        percentile(col("l_extendedprice"), lit(0.498)).as("median_lo"),
+        percentile(col("l_extendedprice"), lit(0.502)).as("median_hi"))
+      .select(
+        col("l_returnflag"), col("approx_parts"), col("exact_parts"),
+        col("approx_median"),
+        (abs(col("approx_parts").cast("double") / col("exact_parts").cast("double") - 1.0) <= 0.15)
+          .as("distinct_within_bound"),
+        (col("approx_median") >= col("median_lo") && col("approx_median") <= col("median_hi"))
+          .as("median_within_bound"))
       .orderBy("l_returnflag")
   }
 

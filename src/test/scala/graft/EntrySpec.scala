@@ -14,8 +14,10 @@ class EntrySpec extends SparkSpec {
     // q_quantile_bounds_sample: sampled boundaries have no hash-stable
     // cross-engine oracle; correctness carried by the DKW spec (TokenizeSpec).
     // q_ann_pq: the Lloyd codebook loop is not SQL-expressible; recall and
-    // encoding invariants are spec-pinned (DedupSimilaritySpec)
-    assert(rowsOnly == Set("q_multimodal_features", "q_approx_sketches",
+    // encoding invariants are spec-pinned (DedupSimilaritySpec).
+    // q_approx_sketches: engine-specific sketches, but the result now
+    // carries its own exact-vs-approx within_bound gates (ApproxSpec).
+    assert(rowsOnly == Set("q_approx_sketches",
       "q_quantile_bounds_sample", "q_ann_pq"), s"unexpected rows-only: $rowsOnly")
   }
 
@@ -28,7 +30,7 @@ class EntrySpec extends SparkSpec {
       operators.TrainPrep.queries, operators.QualityOps.queries,
       operators.Relational4.queries, operators.Layout.queries,
       operators.Graph.queries, multimodal.Multimodal.queries,
-      CorpusPipeline.queries)
+      CorpusPipeline.queries, sources.SchemaInfer.queries)
     val total = mods.map(_.size).sum
     assert(SparkEntry.queries.size == total, "duplicate query name across modules")
   }

@@ -15,14 +15,29 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.fieldNames.toSeq == Seq("mime", "size_bytes", "tag"))
   }
 
-  test("stub feature extraction is deterministic and fixed-width") {
+  test("byte-lane feature extraction is deterministic and fixed-width") {
     val f1 = Multimodal.extractFeatures(media).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val f2 = Multimodal.extractFeatures(media).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(f1 == f2)
     assert(f1.values.forall(_.length == Multimodal.FeatureDim))
     assert(f1.nonEmpty)
+    // lane semantics: feature j = (exact long sum of bytes at p%dim==j)/255
+    val payload0 = media.filter(col("media_id") === 0).head().getAs[Array[Byte]]("payload")
+    val expect = Array.tabulate(Multimodal.FeatureDim) { j =>
+      payload0.zipWithIndex.collect { case (b, p) if p % Multimodal.FeatureDim == j => (b & 0xff).toLong }
+        .sum / 255.0
+    }
+    assert(f1(0L) == expect.toSeq, s"lane sums diverge: ${f1(0L)} vs ${expect.toSeq}")
+  }
+
+  test("feature extraction stays inside whole-stage codegen (no RDD break)") {
+    val plan = Multimodal.extractFeatures(media)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("graft_byte_features"), plan)
+    assert(!plan.contains("Scan ExistingRDD"), "features must come from a projection, not an RDD:\n" + plan)
+    assert(plan.contains("[codegen id"), "projection must be whole-stage codegen'd:\n" + plan)
   }
 
   test("frame sampling covers the payload in frame-size chunks") {

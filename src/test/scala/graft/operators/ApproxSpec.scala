@@ -13,6 +13,9 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(approx - exact) / exact < 0.1,
         s"HLL off by >10%: approx=$approx exact=$exact")
       assert(r.getDouble(3) > 0) // approx median is positive price
+      // the self-reported gates the driver reads must themselves hold
+      assert(r.getBoolean(4), s"distinct_within_bound false: $r")
+      assert(r.getBoolean(5), s"median_within_bound false: $r")
     }
   }
 }
