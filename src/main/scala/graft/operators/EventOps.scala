@@ -108,6 +108,11 @@ object EventOps {
     * streaming twin, StreamOps.rollingQuantileStream). */
   private[graft] val RollRows = 20
 
+  /** Block size (power of two) for [[rollingQuantile]]'s composite-key
+    * windows; must exceed RollRows so a frame crosses at most one block
+    * boundary. */
+  private val RollBlockShift = 10 // 1024 rows per block
+
   /** Rolling exact quantiles (median + p90 of `value` over the trailing 20
     * events per event_type) — the p95-latency / anomaly-band staple of an
     * event pipeline. Spark has no exact-percentile window function, so the
@@ -123,10 +128,22 @@ object EventOps {
     * both engines; whatever side of an integer `p·n` lands on, both
     * engines agree, and the selected value is an exact element.
     *
-    * 100 TB shape: one shuffle by event_type (at cluster scale the key is
-    * (event_type, time_bucket) so no partition outgrows an executor); the
-    * frame bound keeps per-row state constant regardless of partition
-    * length. */
+    * 100 TB shape — composite-key windows with boundary carry (the shape
+    * the round-4 scaladoc promised; an event_type-only partition funnels
+    * the whole stream onto a handful of partitions):
+    *  1. row_number within (event_type, hour-of-ts) — composite key;
+    *  2. per-hour counts → exclusive prefix per type (an hours-sized frame,
+    *     not an events-sized one) broadcast back ⇒ global per-type row
+    *     number `grn` by pure arithmetic;
+    *  3. rows land in fixed 1024-row blocks by grn; each block's last 19
+    *     rows are ALSO emitted into the next block as carry rows, so every
+    *     trailing-20 frame is complete inside one (event_type, block)
+    *     partition — bounded at 1024+19 rows at any scale;
+    *  4. the windows run per (event_type, block); carry copies are dropped
+    *     after providing frame context.
+    * Output is bit-identical to the single-window form (oracle unchanged);
+    * PlanSpec asserts the composite keys, StreamingSpec the ring-state
+    * twin's equivalence. */
   def qRollingQuantile(spark: SparkSession, dir: String): DataFrame =
     rollingQuantile(Tables.events(spark, dir)).orderBy("event_id")
 
@@ -134,14 +151,43 @@ object EventOps {
     * event_type, value) frame (shared with the streaming twin's
     * equivalence spec). */
   private[graft] def rollingQuantile(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
-      .rowsBetween(-(RollRows - 1), Window.currentRow)
+    val carryRows = RollRows - 1
+    val blockLen = 1L << RollBlockShift
+    // 1. local order within (event_type, hour)
+    val wLocal = Window.partitionBy("event_type", "pb").orderBy(col("ts"), col("event_id"))
+    val local = events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("pb", date_trunc("hour", col("ts")))
+      .withColumn("lrn", row_number().over(wLocal))
+    // 2. hour counts -> exclusive prefix offsets (hours-sized, broadcast);
+    // max(lrn) over the already-shuffled data so the scan happens once
+    val prior = Window.partitionBy("event_type").orderBy("pb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("event_type", "pb")
+      .agg(max(col("lrn")).cast("long").as("hour_n"))
+      .withColumn("off", coalesce(sum(col("hour_n")).over(prior), lit(0L)))
+      .select(col("event_type"), col("pb"), col("off"))
+    val g = local.join(broadcast(offsets), Seq("event_type", "pb"))
+      .withColumn("grn", col("off") + col("lrn"))
+    // 3. fixed blocks + carry of each block's last rows into the next
+    val pos = (col("grn") - 1)
+    val main = g
+      .withColumn("blk", shiftright(pos, RollBlockShift))
+      .withColumn("carry", lit(false))
+    val carried = g
+      .filter(pos.bitwiseAND(lit(blockLen - 1)) >= blockLen - carryRows)
+      .withColumn("blk", shiftright(pos, RollBlockShift) + 1)
+      .withColumn("carry", lit(true))
+    // 4. the bounded composite-key windows
+    val wBlk = Window.partitionBy("event_type", "blk").orderBy("grn")
+      .rowsBetween(-carryRows, Window.currentRow)
     def sel(arr: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
             p: Double): org.apache.spark.sql.Column =
       element_at(arr, ceil(lit(p) * n.cast("double")).cast("int"))
-    events
-      .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
+    main.unionByName(carried)
+      .withColumn("arr", sort_array(collect_list(col("value")).over(wBlk)))
       .withColumn("roll_n", size(col("arr")))
+      .filter(!col("carry"))
       .select(col("event_id"), col("event_type"), col("roll_n"),
         sel(col("arr"), col("roll_n"), 0.5).as("roll_median"),
         sel(col("arr"), col("roll_n"), 0.9).as("roll_p90"))

