@@ -36,13 +36,23 @@ object Dedup {
 
   private def words(c: Column): Column = split(c, " ")
 
-  /** Distinct word-3-gram shingles of `text`. */
-  private def shingles(c: Column): Column = {
-    val w = words(c)
+  /** Distinct word-3-gram shingles from a PRE-SPLIT words array column.
+    * `w` must be a projected attribute, never an inline `split(...)`:
+    * higher-order `transform` is interpreted (no codegen, no subexpression
+    * elimination), so any expression the lambda captures is re-evaluated
+    * per element — an inline split makes shingling O(words²) per document
+    * (measured: a 10x corpus probe pinned one core for 4 minutes on
+    * exactly this). An attribute capture is a row-field read. */
+  private def shinglesOf(w: Column): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(w) - 2, lit(1))),
       i => concat_ws("|", slice(w, i, lit(3)))))
-  }
+
+  /** Projects (doc_id, sh = shingles) via an explicit two-step select so
+    * the split is evaluated once per row (see [[shinglesOf]]). */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), shinglesOf(col("ws")).as("sh"))
 
   /** Exact dedup: group identical texts, keep the smallest doc_id. */
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -59,7 +69,8 @@ object Dedup {
     * would otherwise emit Bands*k²/2 candidate rows before dedup. */
   private def shingleHashes(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(shinglesOf(col("ws"))).as("s"))
       .withColumn("m", md5(col("s")))
       .withColumn("v1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
       .withColumn("v2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
@@ -113,7 +124,7 @@ object Dedup {
     * verify pipeline). */
   private[graft] def verifiedNearDupPairs(docs: DataFrame): DataFrame = {
     val cand = lshCandidates(docs).select("doc_a", "doc_b")
-    val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sets = shingleSets(docs)
     val j = (size(array_intersect(col("sa"), col("sb"))).cast("double") /
       size(array_union(col("sa"), col("sb"))))
     cand
@@ -136,7 +147,7 @@ object Dedup {
   def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val cand = lshCandidates(docs).select("doc_a", "doc_b")
-    val sets = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sets = shingleSets(docs)
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")

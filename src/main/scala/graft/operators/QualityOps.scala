@@ -62,14 +62,18 @@ object QualityOps {
     * then an inner join back on doc_id.
     */
   def qRepNgramFilters(spark: SparkSession, dir: String): DataFrame = {
+    // Split once into an attribute before the HOF lambdas (interpreted,
+    // re-evaluate captures per element — an inline split is O(words²)).
     val d = Tables.documents(spark, dir)
-    val g3 = ngrams(words(col("text")), 3)
-    val dup3 = d.select(
-      col("doc_id"),
-      round((size(g3) - size(array_distinct(g3))).cast("double") / size(g3), 6)
-        .as("dup_3gram_frac"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    val g3 = ngrams(col("ws"), 3)
+    val dup3 = d.select(col("doc_id"), g3.as("g3"))
+      .select(
+        col("doc_id"),
+        round((size(col("g3")) - size(array_distinct(col("g3")))).cast("double") /
+          size(col("g3")), 6).as("dup_3gram_frac"))
     val top2 = d
-      .select(col("doc_id"), explode(ngrams(words(col("text")), 2)).as("g"))
+      .select(col("doc_id"), explode(ngrams(col("ws"), 2)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
       .groupBy("doc_id")
       .agg(round(max(col("n")).cast("double") / sum(col("n")), 6).as("top_2gram_frac"))
@@ -96,11 +100,15 @@ object QualityOps {
     * doc_id. No collects, no single-partition exchange.
     */
   def qSegmentDedup(spark: SparkSession, dir: String): DataFrame = {
-    val w = words(col("text"))
-    val segs = Tables.documents(spark, dir).select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(1), greatest(size(w), lit(1)), lit(SegWords)),
-        i => concat_ws(" ", slice(w, i, lit(SegWords))))).as(Seq("seg_pos", "seg")))
+    // `w` must be an attribute: the transform lambda is interpreted and
+    // re-evaluates captured expressions per element (inline split = O(n²)).
+    val w = col("ws")
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(1), greatest(size(w), lit(1)), lit(SegWords)),
+          i => concat_ws(" ", slice(w, i, lit(SegWords))))).as(Seq("seg_pos", "seg")))
     val first = row_number().over(Window.partitionBy("seg").orderBy("doc_id", "seg_pos")) === 1
     segs.withColumn("kept", first)
       .groupBy("doc_id")

@@ -108,11 +108,15 @@ object TextOps {
     * Explode + min aggregate: codegen'd, map-side combine, tiny shuffle
     * (the per-row HOF formulation is CodegenFallback and ~5x slower). */
   def qDocFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val w = words(col("text"))
+    // Split once into an attribute before the HOF: the transform lambda is
+    // interpreted and re-evaluates captured expressions per element, so an
+    // inline split would cost O(words²) per document.
+    val w = col("ws")
     val shingles = transform(
       sequence(lit(1), greatest(size(w) - 4, lit(1))),
       i => concat_ws(" ", slice(w, i, lit(5))))
     Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), explode(shingles).as("s"))
       .groupBy("doc_id")
       .agg(min(md5(col("s"))).as("fingerprint"))

@@ -33,12 +33,14 @@ object TrainPrep {
   /** Distinct word-3-gram shingles — same convention as [[Dedup.shingles]]
     * (kept local: both modules treat the shingle shape as part of the
     * query's public contract, not shared mutable design). */
-  private def shingles(c: Column): Column = {
-    val w = words(c)
+  /** Distinct word-3-gram shingles from a PRE-SPLIT words attribute — the
+    * `transform` lambda is interpreted and re-evaluates captured
+    * expressions per element, so passing an inline `split` here would make
+    * shingling O(words²) per document (see Dedup.shinglesOf). */
+  private def shinglesOf(w: Column): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(w) - 2, lit(1))),
       i => concat_ws("|", slice(w, i, lit(3)))))
-  }
 
   /** Benchmark decontamination: for every corpus (non-benchmark) document,
     * how many of its distinct word-3-grams appear anywhere in the benchmark
@@ -52,7 +54,8 @@ object TrainPrep {
     * contamination 0.0) so the output is also the scrub-list input. */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(shinglesOf(col("ws"))).as("g"))
     val bench = grams.filter(col("doc_id") % BenchMod === 0)
       .select("g").distinct()
     val corpus = grams.filter(col("doc_id") % BenchMod =!= 0)
@@ -155,7 +158,8 @@ object TrainPrep {
     * unfiltered plan (the oracle below is plain exact SQL). */
   def qDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(shinglesOf(col("ws"))).as("g"))
     val bench = grams.filter(col("doc_id") % BenchMod === 0).select("g").distinct()
     val bloom = graft.functions.Bloom.build(bench, col("g"), BloomCapacity)
     grams.filter(col("doc_id") % BenchMod =!= 0)

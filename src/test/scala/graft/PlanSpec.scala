@@ -222,6 +222,36 @@ class PlanSpec extends SparkSpec {
       s"expected the distinct-pairs stage to be reused across union branches:\n$plan")
   }
 
+  test("no HOF lambda captures a split() independent of its lambda variable (round 5)") {
+    // Higher-order functions (transform/filter/aggregate) are interpreted —
+    // no codegen, no subexpression elimination — and re-evaluate every
+    // captured expression PER ELEMENT. A lambda that captures split(text)
+    // therefore re-splits the document once per output element: O(words²)
+    // per doc. Measured on a 10x corpus probe: one such capture pinned a
+    // core for 4 minutes in StringSplit before the fix (shingles/ngrams now
+    // split into a projected attribute first). This walks every contract
+    // query's optimized plan and fails on any lambda-independent split
+    // inside a HOF body, so the bug class cannot come back.
+    import org.apache.spark.sql.catalyst.expressions.{HigherOrderFunction, LambdaFunction, NamedLambdaVariable, StringSplit}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, mk) =>
+      val plan = mk(spark, sf).queryExecution.optimizedPlan
+      plan.flatMap(_.expressions).flatMap(_.collect { case h: HigherOrderFunction => h }).flatMap {
+        hof =>
+          hof.functions.collect { case lf: LambdaFunction =>
+            val argIds = lf.arguments.map(_.exprId).toSet
+            lf.function.collect {
+              case s: StringSplit if !s.exists {
+                case v: NamedLambdaVariable => argIds(v.exprId)
+                case _ => false
+              } => s"$name: $s"
+            }
+          }.flatten
+      }
+    }
+    assert(offenders.isEmpty,
+      s"lambda-independent split() captured inside a HOF body (re-evaluated per element):\n${offenders.mkString("\n")}")
+  }
+
   test("q_ann_pq encodes map-only; the only exchanges are rank windows + sort") {
     val plan = formatted(operators.Similarity.qAnnPq(spark, sf))
     assert(plan.contains("graft_pq_encode") || plan.contains("pq_encode"),
