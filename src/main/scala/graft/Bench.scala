@@ -51,6 +51,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // A multi-hundred-query run in one JVM accumulates broadcast/shuffle
+      // blocks that ContextCleaner only reaps when the DRIVER GCs — and a
+      // large heap may not GC for the whole run (default periodicGC is
+      // 30 min). Unreaped blocks fill block-manager memory and inflate
+      // later queries (measured: the same query 3 s clean vs 39-150 s in an
+      // accumulated session). Reap every minute instead.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -137,6 +144,7 @@ object Bench {
       val (a, b) = names.splitAt(names.size / 2)
       (b ++ a).reverse
     }
+    System.gc() // untimed: let ContextCleaner reap pass-1 broadcast/shuffle blocks
     val pass2 = scala.collection.mutable.HashMap.empty[String, Double]
     for (n <- pass2Order if elapsed < budgetS) once(2, n).foreach(pass2(n) = _)
     passesDone = 2
@@ -151,6 +159,7 @@ object Bench {
         case _ => false
       }
     }
+    System.gc() // untimed: reap pass-2 blocks before the retry samples
     for (n <- noisy if elapsed < budgetS) once(3, n)
     passesDone = 3
     emit()
