@@ -39,11 +39,23 @@ object ScaleProbe {
   private val Replicas = 10
 
   private val Family = Seq(
+    // dedup / ANN — the family the probe was built for
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
     "q_dedup_jaccard", "q_dedup_containment", "q_dedup_clusters",
     "q_corpus_funnel", "q_ann_lsh_buckets", "q_ann_lsh_probe",
     "q_ann_ivf", "q_ann_pq", "q_emb_hamming", "q_dedup_embedding",
-    "q_cosine_topk")
+    "q_cosine_topk",
+    // text / quality / training-prep — every other documents-only
+    // contract query, so the whole LLM-pipeline surface has measured
+    // 10x ratios
+    "q_text_stats", "q_text_normalize", "q_lang_id", "q_quality_score",
+    "q_char_entropy", "q_token_count_regex", "q_tfidf",
+    "q_doc_fingerprint", "q_doc_chunks", "q_rep_ngram_filters",
+    "q_segment_dedup", "q_vocab_coverage", "q_pii_scrub",
+    "q_decontaminate", "q_decontaminate_bloom", "q_bpe_train",
+    "q_sample_reservoir", "q_mixture_sample", "q_pack_sequences",
+    "q_truncate_budget", "q_shard_assign", "q_interleave_order",
+    "q_multimodal_features", "q_frame_sample")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -77,8 +77,27 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Contract view of [[sampleFrames]] — the video-style every-k-th-frame
+    * sample as (frame_idx, byte length, content md5) rows. Map-only: one
+    * generator over offset arithmetic; payload bytes never shuffle (the
+    * final ORDER BY carries only the md5). frame_idx is the position in the
+    * SAMPLED sequence (offset / everyK). The DuckDB twin slices the text
+    * column at character offsets: the fixture corpus is pure ASCII
+    * (byte == char offsets; asserted in MultimodalSpec), so both engines
+    * hash identical frame bytes. */
+  def qFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val media = asMedia(Tables.documents(spark, dir))
+    sampleFrames(media, frameBytes = 64, everyK = 4)
+      .select(
+        col("media_id"), col("frame_idx"),
+        length(col("frame_bytes")).as("n_bytes"),
+        md5(col("frame_bytes")).as("frame_md5"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_features" -> qMultimodalFeatures
+    "q_multimodal_features" -> qMultimodalFeatures,
+    "q_frame_sample" -> qFrameSample
   )
 
   /** DuckDB twin: hex-pair byte extraction (DuckDB has no get_byte), exact
@@ -97,7 +116,21 @@ object Multimodal {
            |         lang AS tag, hex(encode(text)) AS h
            |  FROM documents)
            |SELECT media_id, size_bytes, tag, round($sum, 4) AS feature_sum
-           |FROM b ORDER BY media_id""".stripMargin
+           |FROM b ORDER BY media_id""".stripMargin,
+      // Char-offset twin of the byte-offset Spark plan — equivalent because
+      // the corpus is pure ASCII (spec-asserted).
+      "q_frame_sample" ->
+        """WITH d AS (
+          |  SELECT doc_id AS media_id, text,
+          |         greatest(len(text) // 64 - 1, 0) AS hi
+          |  FROM documents),
+          |f AS (
+          |  SELECT media_id, text, unnest(range(0, hi + 1, 4)) AS i FROM d)
+          |SELECT media_id,
+          |       CAST(i // 4 AS INTEGER) AS frame_idx,
+          |       CAST(len(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS INTEGER) AS n_bytes,
+          |       md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+          |FROM f ORDER BY media_id, frame_idx""".stripMargin
     )
   }
 }

@@ -232,7 +232,12 @@ class PlanSpec extends SparkSpec {
     // split into a projected attribute first). This walks every contract
     // query's optimized plan and fails on any lambda-independent split
     // inside a HOF body, so the bug class cannot come back.
-    import org.apache.spark.sql.catalyst.expressions.{HigherOrderFunction, LambdaFunction, NamedLambdaVariable, StringSplit}
+    import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArraySort, Expression, HigherOrderFunction, LambdaFunction, Md5, NamedLambdaVariable, RegExpReplace, Sha2, StringSplit}
+    def expensive(e: Expression): Boolean = e match {
+      case _: StringSplit | _: RegExpReplace | _: Md5 | _: Sha2 |
+           _: ArrayDistinct | _: ArraySort => true
+      case _ => false
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, mk) =>
       val plan = mk(spark, sf).queryExecution.optimizedPlan
       plan.flatMap(_.expressions).flatMap(_.collect { case h: HigherOrderFunction => h }).flatMap {
@@ -240,7 +245,7 @@ class PlanSpec extends SparkSpec {
           hof.functions.collect { case lf: LambdaFunction =>
             val argIds = lf.arguments.map(_.exprId).toSet
             lf.function.collect {
-              case s: StringSplit if !s.exists {
+              case s if expensive(s) && !s.exists {
                 case v: NamedLambdaVariable => argIds(v.exprId)
                 case _ => false
               } => s"$name: $s"
@@ -249,7 +254,7 @@ class PlanSpec extends SparkSpec {
       }
     }
     assert(offenders.isEmpty,
-      s"lambda-independent split() captured inside a HOF body (re-evaluated per element):\n${offenders.mkString("\n")}")
+      s"lambda-independent expensive expression captured inside a HOF body (re-evaluated per element):\n${offenders.mkString("\n")}")
   }
 
   test("q_ann_pq encodes map-only; the only exchanges are rank windows + sort") {

@@ -55,4 +55,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length == media.count())
     assert(out.forall(r => r.getDouble(3) > 0)) // byte sums are positive
   }
+
+  test("fixture corpus is pure ASCII (q_frame_sample byte==char contract)") {
+    // The q_frame_sample oracle slices TEXT at char offsets while the Spark
+    // plan slices the utf-8 PAYLOAD at byte offsets; equivalence requires
+    // every doc to be ASCII. If this ever fails, the oracle must move to
+    // hex-pair arithmetic like q_multimodal_features.
+    import org.apache.spark.sql.functions.{length => slen, octet_length}
+    val nonAscii = graft.Tables.documents(spark, sf)
+      .filter(octet_length(col("text")) =!= slen(col("text"))).count()
+    assert(nonAscii == 0L, s"$nonAscii non-ASCII docs break byte==char offsets")
+  }
+
+  test("q_frame_sample emits every-4th 64-byte frame with stable indices") {
+    val out = Multimodal.qFrameSample(spark, sf)
+    val r = out.filter(col("media_id") === 0).orderBy("frame_idx").collect()
+    assert(r.nonEmpty)
+    assert(r.map(_.getInt(1)).toSeq == r.indices.toSeq, "frame_idx must be dense 0..n-1")
+    // every frame except possibly the last is exactly 64 bytes
+    assert(r.dropRight(1).forall(_.getInt(2) == 64))
+    // md5 matches a directly-computed slice for the first frame
+    val payload0 = media.filter(col("media_id") === 0).head().getAs[Array[Byte]]("payload")
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(payload0.take(64)).map("%02x".format(_)).mkString
+    assert(r(0).getString(3) == expect)
+  }
 }
