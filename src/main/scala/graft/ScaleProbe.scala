@@ -55,7 +55,15 @@ object ScaleProbe {
     "q_decontaminate", "q_decontaminate_bloom", "q_bpe_train",
     "q_sample_reservoir", "q_mixture_sample", "q_pack_sequences",
     "q_truncate_budget", "q_shard_assign", "q_interleave_order",
-    "q_multimodal_features", "q_frame_sample")
+    "q_multimodal_features", "q_frame_sample",
+    // events — the time-series/window surface, incl. the three former
+    // low-cardinality-window queries rewritten onto composite keys in
+    // round 5 (q_rolling_quantile here; reservoir/pack above). Replicas
+    // suffix user_id/event_id so per-user session structure and the
+    // duplicate rate are preserved and scaling is honestly linear.
+    "q_events_hourly", "q_events_sliding", "q_event_gaps", "q_gap_fill",
+    "q_events_json", "q_sessionize", "q_session_window",
+    "q_rolling_quantile", "q_stream_dedup_batch")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -75,7 +83,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$probe/x10/documents.parquet").exists()) generate(spark, src, probe)
+    if (!new java.io.File(s"$probe/x10/events.parquet").exists()) generate(spark, src, probe)
 
     def timeOnce(name: String, dir: String): Double = {
       val s0 = System.nanoTime()
@@ -111,16 +119,31 @@ object ScaleProbe {
     spark.stop()
   }
 
-  /** Derive both corpora (documents + embeddings only — the tables this
-    * family reads). x1 is a plain 32-file copy of src; x10 is the salted
-    * 10x replica set. 32 files each: a single part-file reads back as ONE
-    * input partition, which would serialize the probe onto one core — real
-    * corpora at either scale are always multi-file. */
+  /** Derive both corpora (documents + embeddings + events — the tables
+    * these families read). x1 is a plain 32-file copy of src; x10 is the
+    * salted 10x replica set. 32 files each: a single part-file reads back
+    * as ONE input partition, which would serialize the probe onto one
+    * core — real corpora at either scale are always multi-file. */
   private def generate(spark: SparkSession, src: String, probe: String): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     docs.repartition(32).write.mode("overwrite").parquet(s"$probe/x1/documents.parquet")
     emb.repartition(32).write.mode("overwrite").parquet(s"$probe/x1/embeddings.parquet")
+    // events: replica-shift the entity keys, keep timestamps — 10x the
+    // rows into the same time range (what ingest growth looks like),
+    // per-user event sequences replicated intact.
+    val ev = Tables.events(spark, src)
+    val evReps = explode(sequence(lit(0), lit(Replicas - 1))).as("r")
+    ev.repartition(32).write.mode("overwrite").parquet(s"$probe/x1/events.parquet")
+    ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"), evReps)
+      .select(
+        (col("event_id") * Replicas + col("r")).as("event_id"),
+        col("ts"),
+        (col("user_id") * Replicas + col("r")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$probe/x10/events.parquet")
     val reps = explode(sequence(lit(0), lit(Replicas - 1))).as("r")
     docs.select(col("doc_id"), col("text"), col("lang"), col("source"), reps)
       .select(
