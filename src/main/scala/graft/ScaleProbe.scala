@@ -127,24 +127,11 @@ object ScaleProbe {
   private def generate(spark: SparkSession, src: String, probe: String): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val ev = Tables.events(spark, src)
+    val reps = explode(sequence(lit(0), lit(Replicas - 1))).as("r")
     docs.repartition(32).write.mode("overwrite").parquet(s"$probe/x1/documents.parquet")
     emb.repartition(32).write.mode("overwrite").parquet(s"$probe/x1/embeddings.parquet")
-    // events: replica-shift the entity keys, keep timestamps — 10x the
-    // rows into the same time range (what ingest growth looks like),
-    // per-user event sequences replicated intact.
-    val ev = Tables.events(spark, src)
-    val evReps = explode(sequence(lit(0), lit(Replicas - 1))).as("r")
     ev.repartition(32).write.mode("overwrite").parquet(s"$probe/x1/events.parquet")
-    ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"), col("props"), evReps)
-      .select(
-        (col("event_id") * Replicas + col("r")).as("event_id"),
-        col("ts"),
-        (col("user_id") * Replicas + col("r")).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$probe/x10/events.parquet")
-    val reps = explode(sequence(lit(0), lit(Replicas - 1))).as("r")
     docs.select(col("doc_id"), col("text"), col("lang"), col("source"), reps)
       .select(
         (col("doc_id") * Replicas + col("r")).as("doc_id"),
@@ -155,14 +142,34 @@ object ScaleProbe {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$probe/x10/documents.parquet")
+    // replica 0 is the x1 corpus verbatim (same contract as documents);
+    // replicas > 0 get a per-(row, dim) perturbation so exact equality
+    // decorrelates while the vector distribution is preserved.
     emb.select(col("vec_id"), col("embedding"), col("label"), reps)
       .select(
         (col("vec_id") * Replicas + col("r")).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          (x + (col("r") * lit(31) + i).cast("float") % lit(7.0f) * lit(0.01f)
-            - lit(0.03f) * col("r").cast("float")).cast("float")).as("embedding"),
+        when(col("r") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            (x + ((col("vec_id") * lit(97) + col("r") * lit(31) + i) % lit(7))
+              .cast("float") * lit(0.01f)
+              - lit(0.03f) * col("r").cast("float")).cast("float")))
+          .as("embedding"),
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$probe/x10/embeddings.parquet")
+    // events: replica-shift the entity keys, keep timestamps — 10x the
+    // rows into the same time range (what ingest growth looks like),
+    // per-user event sequences replicated intact. Written LAST because it
+    // is the generation sentinel in main(): a partially-failed generation
+    // must not look complete on rerun.
+    ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"), reps)
+      .select(
+        (col("event_id") * Replicas + col("r")).as("event_id"),
+        col("ts"),
+        (col("user_id") * Replicas + col("r")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$probe/x10/events.parquet")
   }
 }

@@ -32,7 +32,11 @@ object TimeQueries {
       df.write.format("noop").mode("overwrite").save()
       println(f"[timeq] pass=$p $n%-24s ${(System.nanoTime() - s0) / 1e9}%8.2fs")
       if (explain && p == passes) {
-        println(s"=== $n executed plan ===")
+        // write() ran a SEPARATE QueryExecution; drive THIS df's execution
+        // so the printed plan is the AQE-final one (isFinalPlan=true, with
+        // any ReusedExchange decisions), not a freshly-planned static tree.
+        df.collect()
+        println(s"=== $n executed plan (AQE final) ===")
         println(df.queryExecution.executedPlan.toString)
       }
     }

@@ -59,14 +59,20 @@ object Layout {
   /** 62-bit Morton code for the generic write path: 31 bits PER DIMENSION
     * (~2.1 B distinct keys each — enough for any single-table surrogate key
     * at 100 TB), result always non-negative so long ordering == z ordering.
-    * Keys outside [0, 2^31) RAISE at runtime instead of silently aliasing
-    * into a 16-bit torus the way the old masked path did. */
+    * NON-NULL keys outside [0, 2^31) RAISE at runtime instead of silently
+    * aliasing into a 16-bit torus the way the old masked path did; a NULL
+    * key yields a NULL z-value (the row lands in the null range partition —
+    * one dirty row must not kill a whole compaction job, and the
+    * raise_error branch would otherwise null-propagate into a contentless
+    * exception). */
   def zvalue64(a: Column, b: Column): Column = {
     val lim = 1L << 31
     def checked(c: Column): Column = {
       val l = c.cast("long")
-      when(l >= 0 && l < lim, l).otherwise(
-        raise_error(concat(lit("zorder key out of [0, 2^31): "), c.cast("string"))))
+      when(l.isNull, lit(null).cast("long"))
+        .when(l >= 0 && l < lim, l)
+        .otherwise(
+          raise_error(concat(lit("zorder key out of [0, 2^31): "), l.cast("string"))))
     }
     spread64(checked(a)).bitwiseOR(shiftleft(spread64(checked(b)), 1))
   }

@@ -48,8 +48,27 @@ object SchemaInfer {
     * into a 30-second query; the predicate form is ~20x cheaper and, as a
     * bonus, byte-for-byte reproducible in the DuckDB oracle (whose TRY_CAST
     * rounds '1.5' to BIGINT 2 where Spark rejects it). */
+  /** abs(Long.MinValue) / Long.MaxValue as digit strings, for the
+    * overflow guard below. */
+  private val MaxNegDigits = "9223372036854775808"
+  private val MaxPosDigits = "9223372036854775807"
+
+  /** In-range check for a string already known to match [[LongPattern]]:
+    * strip sign and leading zeros, then length/lexicographic compare
+    * against Long.MaxValue's digits (pure string ops — non-throwing,
+    * cheap, and written identically in the DuckDB oracle). Without this,
+    * a 20-digit ID column would "parse" as bigint and applyInferred's
+    * non-ANSI cast would null every value — silent data loss. */
+  private def longInRange(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val digits = regexp_replace(c, "^[+-]?0*", "")
+    length(digits) < 19 ||
+      (length(digits) === 19 &&
+        when(c.startsWith("-"), digits <= MaxNegDigits)
+          .otherwise(digits <= MaxPosDigits))
+  }
+
   private def parses(c: org.apache.spark.sql.Column, t: DataType): org.apache.spark.sql.Column = t match {
-    case LongType         => regexp_like(trim(c), lit(LongPattern))
+    case LongType         => regexp_like(trim(c), lit(LongPattern)) && longInRange(trim(c))
     case DoubleType       => regexp_like(trim(c), lit(DoublePattern))
     case BooleanType      => lower(trim(c)).isin(BoolStrings: _*)
     case TimestampNTZType => try_cast(c, TimestampNTZType).isNotNull
@@ -156,9 +175,16 @@ object SchemaInfer {
   def oracleSql: Map[String, String] = {
     val cols = Seq("c_orderkey", "c_linenumber", "c_quantity", "c_returnflag", "c_shipdate")
     val boolList = BoolStrings.map(s => s"'$s'").mkString(",")
+    // Same overflow guard as the Spark rung (longInRange), same string ops.
+    def longOk(c: String): String = {
+      val d = s"regexp_replace(trim($c), '^[+-]?0*', '')"
+      s"""(len($d) < 19 OR (len($d) = 19 AND
+         |     CASE WHEN starts_with(trim($c), '-') THEN $d <= '$MaxNegDigits'
+         |          ELSE $d <= '$MaxPosDigits' END))""".stripMargin
+    }
     def perCol(c: String): String =
       s"""COUNT($c) AS ${c}_n,
-         |  COUNT(CASE WHEN regexp_matches(trim($c), '$LongPattern') THEN 1 END) AS ${c}_long,
+         |  COUNT(CASE WHEN regexp_matches(trim($c), '$LongPattern') AND ${longOk(c)} THEN 1 END) AS ${c}_long,
          |  COUNT(CASE WHEN regexp_matches(trim($c), '$DoublePattern') THEN 1 END) AS ${c}_dbl,
          |  COUNT(CASE WHEN lower(trim($c)) IN ($boolList) THEN 1 END) AS ${c}_bool,
          |  COUNT(TRY_CAST($c AS TIMESTAMP)) AS ${c}_ts,

@@ -106,10 +106,21 @@ class PlanSpec extends SparkSpec {
     val plan = formatted(operators.QualityOps.qSampleReservoir(spark, sf))
     assert("hashpartitioning\\(source#\\d+, shard#\\d+".r.findFirstIn(plan).isDefined,
       s"phase-1 rank must shuffle by (source, shard):\n$plan")
-    // the source-only window exists but consumes only the <= shards*K
-    // local survivors — assert it sits ABOVE the lpick filter
-    val ix = plan.indexOf("hashpartitioning(source#")
-    assert(ix >= 0, s"phase-2 rank must exist:\n$plan")
+    // phase 2 re-shuffles by source ALONE (keys = exactly [source]; the
+    // next token after source# is the partition count, not shard#) and
+    // consumes only the lpick-filtered local survivors. Formatted-explain
+    // details are listed leaf-first, so the inner (source, shard) exchange
+    // must appear BEFORE the lpick window, which must appear BEFORE the
+    // source-only exchange.
+    val srcOnly = "hashpartitioning\\(source#\\d+, \\d+\\)".r.findFirstIn(plan)
+    assert(srcOnly.isDefined, s"phase-2 rank must shuffle by source alone:\n$plan")
+    val compositeExch = "hashpartitioning\\(source#\\d+, shard#\\d+".r
+      .findFirstMatchIn(plan).get.start
+    val lpickWindow = plan.indexOf("lpick")
+    val srcOnlyExch = plan.indexOf(srcOnly.get)
+    assert(lpickWindow >= 0, plan)
+    assert(compositeExch < lpickWindow && lpickWindow < srcOnlyExch,
+      s"lpick rank+filter must sit between the (source, shard) (inner) and source-only (outer) exchanges:\n$plan")
   }
 
   test("q_shard_assign sorts within shards, never globally before ranking") {

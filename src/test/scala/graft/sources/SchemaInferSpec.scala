@@ -55,6 +55,29 @@ class SchemaInferSpec extends SparkSpec {
     assert(inferred("mixed") == StringType) // "xyz" defeats numeric
   }
 
+  test("long rung rejects out-of-range digit strings (overflow falls to double)") {
+    import spark.implicits._
+    val df = Seq(
+      // 26-digit ID: syntactically integer, numerically > Long.MaxValue
+      ("99999999999999999999999999", "9223372036854775807", "-9223372036854775808"),
+      ("12345678901234567890", "42", "-1"),
+      // leading zeros must not defeat the length check (value fits)
+      ("00000000000000000000000001", "0000123", "-000009223372036854775808"))
+      .toDF("overflow", "max_ok", "min_ok")
+    val inferred = SchemaInfer.inferFromStrings(df, df.columns.toSeq)
+    // overflow column: regex matches but range check fails -> DoublePattern
+    // catches plain digits, so it lands on double (the old try_cast
+    // behavior), NOT a bigint whose cast would null every row
+    assert(inferred("overflow") == DoubleType)
+    assert(inferred("max_ok") == LongType)   // boundary values inclusive
+    assert(inferred("min_ok") == LongType)
+    // one past the boundary is rejected
+    val edge = Seq(("9223372036854775808", "-9223372036854775809")).toDF("pos", "neg")
+    val e = SchemaInfer.inferFromStrings(edge, edge.columns.toSeq)
+    assert(e("pos") == DoubleType)
+    assert(e("neg") == DoubleType)
+  }
+
   test("schema evolution: vintages union under the merged superset schema") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("evolve").toString
