@@ -324,6 +324,13 @@ object Similarity {
   val PqTrainN = 512
   val PqQueryLo = 20L
 
+  /** within_bound floor for q_ann_pq's in-query recall@5 gate. i.i.d.
+    * random embeddings are the hard case for any quantizer (distance
+    * concentration); measured recall_avg with the 16x64 geometry:
+    * 0.48 at sf0.001, see DedupSimilaritySpec — the floor pins well above
+    * the ~0.01 random-pick baseline, below measurement noise. */
+  val PqRecallFloor = 0.3
+
   /** [m][j][d]: codebook centroid j of subspace m. Init = subvectors of the
     * first PqK training vectors (vec_id order); empty clusters keep their
     * previous centroid; assignment ties break to the lower j. */
@@ -377,10 +384,11 @@ object Similarity {
     * PQ compresses what remains (IVF-PQ = this plan composed with
     * [[qAnnIvf]]'s cell filter).
     *
-    * One corpus scan: the 5 per-query distances ride one posexplode. No
-    * SQL oracle (the Lloyd loop is not SQL-expressible) — recall and
+    * One corpus scan: the 5 per-query distances ride one posexplode —
+    * map-only before the rank window, join-free (plan-pinned in PlanSpec).
+    * [[qAnnPq]] wraps this with the exact-recall self-gate; recall and
     * encoding invariants are spec-pinned (DedupSimilaritySpec). */
-  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def pqAdcTop(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cb = pqCodebooks(e)
     val queries = e.filter(col("vec_id") >= PqQueryLo && col("vec_id") < PqQueryLo + NQueries)
@@ -410,6 +418,40 @@ object Similarity {
     stacked.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= TopK)
       .select("query_id", "vec_id", "adc_dist", "rn")
+  }
+
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val pqTop = pqAdcTop(spark, dir)
+    // Self-gate (the q_approx_sketches pattern, verdict r4 #7): exact float
+    // L2 top-k over the same corpus in the same plan, then per-row
+    // membership + the average recall@k against its spec-pinned floor — the
+    // rows-only CORRECTNESS entry carries its own evidence instead of pure
+    // trust. ADC approximates squared L2, so the ground truth metric is L2
+    // (not cosine); expanded as |e|² + |q|² − 2·q·e over the codegen dot.
+    // The brute pass is one more broadcast-5-queries scan of the corpus —
+    // same shape as [[qAnnRecall]]'s ground truth, linear at any scale.
+    val qdf = e.filter(col("vec_id") >= PqQueryLo && col("vec_id") < PqQueryLo + NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val l2 = round(
+      dot(col("embedding"), col("embedding")) + dot(col("q_emb"), col("q_emb"))
+        - lit(2.0) * dot(col("q_emb"), col("embedding")), 6)
+    val wB = Window.partitionBy("query_id").orderBy(col("l2"), col("vec_id"))
+    val brute = e.crossJoin(broadcast(qdf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), l2.as("l2"))
+      .withColumn("bn", row_number().over(wB))
+      .filter(col("bn") <= TopK)
+      .select(col("query_id"), col("vec_id"), lit(true).as("in_exact_topk"))
+    val flagged = pqTop.join(broadcast(brute), Seq("query_id", "vec_id"), "left")
+      .na.fill(false, Seq("in_exact_topk"))
+    val recall = flagged.agg(
+      round(sum(when(col("in_exact_topk"), 1.0).otherwise(0.0)) / (NQueries * TopK), 6)
+        .as("recall_avg"))
+    flagged.crossJoin(broadcast(recall))
+      .withColumn("within_bound", col("recall_avg") >= PqRecallFloor)
+      .select("query_id", "vec_id", "adc_dist", "rn",
+        "in_exact_topk", "recall_avg", "within_bound")
       .orderBy("query_id", "rn")
   }
 

@@ -815,12 +815,16 @@ object Tokenize {
         .orderBy("col_name", "p_idx")
     },
     "q_quantile_bounds_sample" -> { (spark, dir) =>
-      // Rows-only contract entry for the engine's FASTEST bounds path
+      // Contract entry for the engine's FASTEST bounds path
       // ([[quantileBoundsSample]]: one map-only scan, DKW-bounded — 3.3-4 s
-      // vs 12.5 s exact on 10 M×20). Sampled boundaries have no hash-stable
-      // cross-engine oracle (the sample depends on partition layout), so
-      // the driver records a rows-only check; the DKW rank-error property
-      // and exact-path agreement are spec-enforced in TokenizeSpec.
+      // vs 12.5 s exact on 10 M×20). Hash-checkable against DuckDB
+      // `quantile_cont` because at n <= sampleSize (every driver verify /
+      // bench scale) the Bernoulli keep short-circuits (`rowFrac >= 1.0`
+      // keeps EVERY row, no RNG draw), so the "sample" is deterministically
+      // the full column and the driver-side interpolation — rank p·(n-1),
+      // linear — is exactly quantile_cont. Above 1 M rows the path becomes
+      // genuinely sampled and partition-layout-dependent; that regime is
+      // covered by the DKW rank-error property spec in TokenizeSpec.
       import spark.implicits._
       val li = graft.Tables.lineitem(spark, dir)
       val probs = (0 to DefaultBins).map(_.toDouble / DefaultBins)
@@ -891,15 +895,20 @@ object Tokenize {
     val boundsUnion = LineitemCols
       .map(c => s"SELECT '$c' AS col_name, quantile_cont($c, ${probsSql(DefaultBins, inner = false)}) AS bs FROM lineitem")
       .mkString(" UNION ALL ")
+    // Shared by the exact-selection and full-keep-sample entries: both
+    // reduce to rank-p(n-1) linear interpolation == quantile_cont at
+    // verify/bench scale (see the q_quantile_bounds_sample query comment).
+    val boundsSql =
+      s"""WITH b AS ($boundsUnion)
+         |SELECT col_name, CAST(gs - 1 AS INTEGER) AS p_idx, round(bs[gs], 6) AS boundary
+         |FROM b, generate_series(1, ${DefaultBins + 1}) t(gs)
+         |ORDER BY col_name, p_idx""".stripMargin
     Map(
       "q_tokenize_rank" ->
         s"""SELECT l_orderkey, l_linenumber, $tokenCols
            |FROM lineitem ORDER BY $tokenOrder""".stripMargin,
-      "q_quantile_bounds" ->
-        s"""WITH b AS ($boundsUnion)
-           |SELECT col_name, CAST(gs - 1 AS INTEGER) AS p_idx, round(bs[gs], 6) AS boundary
-           |FROM b, generate_series(1, ${DefaultBins + 1}) t(gs)
-           |ORDER BY col_name, p_idx""".stripMargin,
+      "q_quantile_bounds" -> boundsSql,
+      "q_quantile_bounds_sample" -> boundsSql,
       "q_tokenize_bucketize" ->
         s"""WITH b AS (SELECT $boundsCtes FROM lineitem)
            |SELECT l.l_orderkey, l.l_linenumber, $bucketizeCols

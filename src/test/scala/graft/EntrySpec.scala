@@ -11,14 +11,13 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
-    // q_quantile_bounds_sample: sampled boundaries have no hash-stable
-    // cross-engine oracle; correctness carried by the DKW spec (TokenizeSpec).
-    // q_ann_pq: the Lloyd codebook loop is not SQL-expressible; recall and
-    // encoding invariants are spec-pinned (DedupSimilaritySpec).
+    // q_ann_pq: the Lloyd codebook loop is not SQL-expressible; the result
+    // carries its own exact-L2 recall within_bound gate and encoding
+    // invariants are spec-pinned (DedupSimilaritySpec).
     // q_approx_sketches: engine-specific sketches, but the result now
     // carries its own exact-vs-approx within_bound gates (ApproxSpec).
-    assert(rowsOnly == Set("q_approx_sketches",
-      "q_quantile_bounds_sample", "q_ann_pq"), s"unexpected rows-only: $rowsOnly")
+    assert(rowsOnly == Set("q_approx_sketches", "q_ann_pq"),
+      s"unexpected rows-only: $rowsOnly")
   }
 
   test("query names are unique across modules (no silent map overwrites)") {

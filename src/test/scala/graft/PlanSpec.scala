@@ -269,12 +269,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_ann_pq encodes map-only; the only exchanges are rank windows + sort") {
-    val plan = formatted(operators.Similarity.qAnnPq(spark, sf))
-    assert(plan.contains("graft_pq_encode") || plan.contains("pq_encode"),
-      "encode must be the custom codegen expression:\n" + plan)
-    assert(!plan.contains("Join"), "ADC scoring must not join — LUTs are folded constants")
-    // exchanges: the per-query rank window shuffle + final sort
-    val exchanges = plan.linesIterator.count(_.contains(") Exchange"))
-    assert(exchanges <= 2, s"PQ path must stay map-only before ranking, got $exchanges:\n$plan")
+    // The ADC scoring core: join-free (LUTs are folded constants), map-only
+    // before the per-query rank window.
+    val core = formatted(operators.Similarity.pqAdcTop(spark, sf))
+    assert(core.contains("graft_pq_encode") || core.contains("pq_encode"),
+      "encode must be the custom codegen expression:\n" + core)
+    assert(!core.contains("Join"), "ADC scoring must not join — LUTs are folded constants")
+    val exchanges = core.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 2, s"PQ path must stay map-only before ranking, got $exchanges:\n$core")
+    // The full contract query adds the exact-recall self-gate: every join it
+    // introduces must be broadcast (tiny gate frames), never a shuffle join
+    // of the corpus.
+    val full = formatted(operators.Similarity.qAnnPq(spark, sf))
+    assert(!full.contains("SortMergeJoin") && !full.contains("ShuffledHashJoin"),
+      s"self-gate joins must all be broadcast:\n$full")
   }
 }

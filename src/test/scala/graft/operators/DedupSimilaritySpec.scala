@@ -198,6 +198,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(avg >= 0.3, s"recall collapsed: $recalls")
   }
 
+  test("pq self-gate: recall_avg matches the hand-computed recall, within_bound true") {
+    val out = Similarity.qAnnPq(spark, sf).collect()
+    // the in-query gate's recall_avg is the fraction of PQ top-k rows whose
+    // (query_id, vec_id) lands in the exact L2 top-k — recompute it from
+    // the per-row flags and require self-consistency + the pinned floor
+    val flagged = out.count(_.getBoolean(4))
+    val expect = flagged.toDouble / out.length
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(5) - expect) < 1e-6,
+        s"recall_avg ${r.getDouble(5)} != flag fraction $expect")
+      assert(r.getBoolean(6), s"within_bound false: recall_avg=${r.getDouble(5)}")
+    }
+    assert(expect >= Similarity.PqRecallFloor)
+  }
+
   test("identical embeddings share an LSH bucket at every plane count") {
     import spark.implicits._
     // near-identical cluster: base vector and +-1e-6 perturbations keep all

@@ -172,6 +172,17 @@ class TokenizeSpec extends SparkSpec {
     assert(exact == Seq(249.5, 499.0))
   }
 
+  test("q_quantile_bounds_sample == q_quantile_bounds below the sample size") {
+    // The oracle contract for the sample entry: at n <= sampleSize the
+    // full-keep path is deterministic (no RNG draw) and its rank-p(n-1)
+    // interpolation is the same formula the exact-selection entry (and
+    // DuckDB quantile_cont) computes — the two contract queries must be
+    // bit-identical at any verify/bench scale.
+    val a = Tokenize.queries("q_quantile_bounds")(spark, sf).collect().map(_.toSeq)
+    val b = Tokenize.queries("q_quantile_bounds_sample")(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("exact sort-based quantiles match builtin percentile") {
     val probs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
     val mine = quantileBoundsExact(randDf, Seq("col_0"), probs)("col_0")
