@@ -3,10 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One-off 10x scale probe for the dedup/ANN family (round-5 verdict task
-  * 6): the sf0.1 bench cannot see the quadratic candidate-blowup terms this
-  * family is DESIGNED to avoid, so this tool derives a 10x corpus from
-  * sf0.1 and times the family at both scales.
+/** One-off 10x scale probe, now covering the FULL contract surface: the
+  * sf0.1 bench cannot see the quadratic candidate-blowup terms the
+  * dedup/ANN family is DESIGNED to avoid (round-5 verdict task 6), nor a
+  * relational plan that silently degrades when fact AND dimension tables
+  * grow together (broadcast thresholds, window partition widths), so this
+  * tool derives a 10x corpus from sf0.1 and times every contract query at
+  * both scales.
   *
   * Derivation keeps the similarity structure realistic instead of creating
   * degenerate duplicate clusters:
@@ -65,6 +68,37 @@ object ScaleProbe {
     "q_events_json", "q_sessionize", "q_session_window",
     "q_rolling_quantile", "q_stream_dedup_batch")
 
+  /** The relational/tokenize remainder of the contract surface (probed
+    * late round 5): every query reading the TPC-H-ish tables, plus the
+    * documents/embeddings queries the first family list missed. The TPC-H
+    * derivation shifts ALL foreign keys by the same k*10+r formula on both
+    * fact and dimension sides, so join fan-out and selectivity are
+    * preserved while dimensions grow 10x WITH the facts — at 10x a
+    * formerly-broadcast dimension may legitimately cross the broadcast
+    * threshold, which is exactly the plan transition the probe should
+    * exercise (AQE decides at runtime). nation/region stay verbatim: real
+    * enum-like dims do not grow with the corpus. */
+  private val RelFamily = Seq(
+    "q1_pricing_summary", "q_filter_project", "q_case_math",
+    "q_string_funcs", "q_date_funcs", "q_array_funcs",
+    "q_having", "q_distinct_agg", "q_stats_agg", "q_conditional_agg",
+    "q_collect_list", "q_mode_agg", "q_argmax", "q_typed_agg",
+    "q_group_median", "q_percentile_disc", "q_approx_sketches",
+    "q_grouping_sets", "q_rollup", "q_cube", "q_pivot", "q_unpivot",
+    "q_join_star", "q_semi_join", "q_anti_join", "q_outer_join",
+    "q_cross_join", "q_lateral_join", "q_asof_join", "q_range_join",
+    "q_skew_join", "q_exists_subquery", "q_scalar_subquery",
+    "q_set_ops", "q_topk_orders", "q_sample_hash", "q_sample_stratified",
+    "q_sample_weighted",
+    "q_window_rank", "q_window_nav", "q_window_running",
+    "q_window_range_frame", "q_window_dist",
+    "q_tokenize_rank", "q_tokenize_bucketize", "q_tokenize_rightopen",
+    "q_tokenize_qcut", "q_token_histogram",
+    "q_quantile_bounds", "q_quantile_bounds_sample",
+    "q_schema_infer", "q_zorder_cluster", "q_pagerank",
+    "q_word_freq", "q_lang_breakdown", "q_bpe_pairs", "q_fuzzy_pairs",
+    "q_ann_recall", "q_kmeans_step")
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val probe = if (args.length > 1) args(1) else "/root/repo/tmp/sfprobe"
@@ -83,7 +117,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$probe/x10/events.parquet").exists()) generate(spark, src, probe)
+    // optional extra args: probe only these queries (dev loop / family split)
+    val only: Set[String] = args.drop(2).toSet
+    val family = (Family ++ RelFamily).filter(n => only.isEmpty || only(n))
+    // lineitem is written LAST overall — the generation sentinel; a probe
+    // dir from before the TPC-H extension regenerates in full.
+    if (!new java.io.File(s"$probe/x10/lineitem.parquet").exists()) generate(spark, src, probe)
 
     def timeOnce(name: String, dir: String): Double = {
       val s0 = System.nanoTime()
@@ -97,7 +136,7 @@ object ScaleProbe {
     val scales = Seq("x1" -> s"$probe/x1", "x10" -> s"$probe/x10")
     val best = scala.collection.mutable.Map.empty[(String, String), Double]
     for (p <- 1 to 3) {
-      for (name <- Family; (scale, dir) <- scales) {
+      for (name <- family; (scale, dir) <- scales) {
         val t = timeOnce(name, dir)
         System.err.println(f"[probe] pass=$p $scale%-3s $name%-22s $t%7.2fs")
         val k = (name, scale)
@@ -105,7 +144,7 @@ object ScaleProbe {
       }
       System.gc() // untimed: reap the pass's broadcast/shuffle blocks
     }
-    val rows = Family.map { name =>
+    val rows = family.map { name =>
       val base = best((name, "x1"))
       val big = best((name, "x10"))
       val ratio = big / base
@@ -115,7 +154,7 @@ object ScaleProbe {
     val json = rows.map { case (n, b, g, r) =>
       f""""$n":{"base_s":$b%.3f,"x10_s":$g%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"probe":"dedup-ann-10x","replicas":$Replicas,"queries":$json}""")
+    println(s"""{"probe":"contract-10x","replicas":$Replicas,"queries":$json}""")
     spark.stop()
   }
 
@@ -159,9 +198,7 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$probe/x10/embeddings.parquet")
     // events: replica-shift the entity keys, keep timestamps — 10x the
     // rows into the same time range (what ingest growth looks like),
-    // per-user event sequences replicated intact. Written LAST because it
-    // is the generation sentinel in main(): a partially-failed generation
-    // must not look complete on rerun.
+    // per-user event sequences replicated intact.
     ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"), reps)
       .select(
@@ -171,5 +208,39 @@ object ScaleProbe {
         col("event_type"), col("value"), col("props"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$probe/x10/events.parquet")
+
+    // TPC-H-ish relational tables. Every foreign/primary key is shifted by
+    // the SAME k*Replicas+r formula on both sides, so each fact row still
+    // joins exactly its own dimension replica: join fan-out, selectivity,
+    // and group cardinalities per key are preserved while facts AND
+    // dimensions grow 10x together. nation/region are copied verbatim —
+    // enum-like dims don't grow with the corpus (and their crossJoin
+    // queries stay the intentional 25-row case). Non-key attributes repeat
+    // across replicas, which none of the timed plans key on for candidate
+    // generation. lineitem is written LAST: it is main()'s generation
+    // sentinel, so a partially-failed generation regenerates in full.
+    def shifted(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val withR = df.select(col("*"), reps)
+      withR.select(df.columns.toSeq.map { c =>
+        if (keys.contains(c)) (col(c) * Replicas + col("r")).as(c) else col(c)
+      }: _*)
+    }
+    val rel: Seq[(String, Seq[String], Int)] = Seq(
+      ("orders", Seq("o_orderkey", "o_custkey"), 32),
+      ("customer", Seq("c_custkey"), 8),
+      ("supplier", Seq("s_suppkey"), 8),
+      ("part", Seq("p_partkey"), 8),
+      ("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 32))
+    for (t <- Seq("nation", "region")) {
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      df.repartition(1).write.mode("overwrite").parquet(s"$probe/x1/$t.parquet")
+      df.repartition(1).write.mode("overwrite").parquet(s"$probe/x10/$t.parquet")
+    }
+    for ((t, keys, files) <- rel) {
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      df.repartition(files).write.mode("overwrite").parquet(s"$probe/x1/$t.parquet")
+      shifted(df, keys).repartition(files)
+        .write.mode("overwrite").parquet(s"$probe/x10/$t.parquet")
+    }
   }
 }
