@@ -92,7 +92,20 @@ object Relational4 {
   }
 
   /** Edit-distance near-duplicate part names, blocked by (brand, size):
-    * candidate pairs only within a block, verified by levenshtein <= 5. */
+    * candidate pairs only within a block, verified by levenshtein <= 5.
+    *
+    * Scale posture (measured, 10x probe): this query is OUTPUT-bound, not
+    * plan-bound. tau=5 against 7-12-char names is a loose predicate — ~25%
+    * of in-block candidates are answers (sf0.1: 160k candidates -> 39k
+    * pairs; 10x: 16.9M -> 4.8M), so when blocks grow 10x the ANSWER grows
+    * ~100x and Theta(output) is the floor for any algorithm. Signature
+    * prefilters (length banding, q-gram count filtering) are all vacuous
+    * here — |len(a)-len(b)| <= 5 and the q-gram count bound pass every
+    * pair at these string lengths. For corpora where near-duplicates are
+    * RARE (tight tau relative to string length), the scale path is the
+    * banded MinHash/SimHash dedup family (Dedup.scala), whose candidate
+    * sets stay linear; this query is the exact-verify counterpart for
+    * bounded blocks. */
   def qFuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand", "p_size")
     val a = p.as("a")
