@@ -216,9 +216,17 @@ object ScaleProbe {
     // dimensions grow 10x together. nation/region are copied verbatim —
     // enum-like dims don't grow with the corpus (and their crossJoin
     // queries stay the intentional 25-row case). Non-key attributes repeat
-    // across replicas, which none of the timed plans key on for candidate
-    // generation. lineitem is written LAST: it is main()'s generation
-    // sentinel, so a partially-failed generation regenerates in full.
+    // verbatim across replicas; one timed plan DOES block on them:
+    // q_fuzzy_pairs blocks on (p_brand, p_size) over p_name, so its
+    // 10x blocks hold 10 identical copies of every name — cross-replica
+    // levenshtein-0 pairs amplify both candidates and output beyond what
+    // an organically-grown catalog would show. That query's measured
+    // ratio is therefore an upper bound driven by derivation-created true
+    // duplicates on top of its inherently output-bound semantics (τ=5 on
+    // 7-12-char names passes ~25% of in-block candidates even at 1x) —
+    // see the SURVEY probe notes. lineitem is written LAST: it is
+    // main()'s generation sentinel, so a partially-failed generation
+    // regenerates in full.
     def shifted(df: DataFrame, keys: Seq[String]): DataFrame = {
       val withR = df.select(col("*"), reps)
       withR.select(df.columns.toSeq.map { c =>

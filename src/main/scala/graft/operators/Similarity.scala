@@ -240,19 +240,31 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
-  /** Brute-force cosine top-k for an arbitrary query id range (broadcast
-    * query side, map-only fact side) — the ground truth for recall. */
+  /** Round-6 cosine similarity (higher = closer). */
+  private def cosSim(q: Column, e0: Column): Column =
+    round(dot(q, e0) / (norm(q) * norm(e0)), 6)
+
+  /** Round-6 squared L2 distance expanded as |e|² + |q|² − 2·q·e over the
+    * codegen dot (lower = closer) — the metric ADC approximates. */
+  private def l2Sq(q: Column, e0: Column): Column =
+    round(dot(e0, e0) + dot(q, q) - lit(2.0) * dot(q, e0), 6)
+
+  /** Brute-force exact top-k for an arbitrary query id range (broadcast
+    * query side, map-only fact side) — the ground truth for recall.
+    * `score(q_emb, embedding)` picks the metric; `asc` its closeness
+    * direction (cosine descending by default, L2 ascending). */
   private def bruteTopK(spark: SparkSession, dir: String, lo: Long, hi: Long,
-                        k: Int): DataFrame = {
+                        k: Int, score: (Column, Column) => Column = cosSim,
+                        asc: Boolean = false): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") >= lo && col("vec_id") < hi)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val sim = round(
-      dot(col("q_emb"), col("embedding")) / (norm(col("q_emb")) * norm(col("embedding"))), 6)
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    val ordered = if (asc) col("sim").asc else col("sim").desc
+    val w = Window.partitionBy("query_id").orderBy(ordered, col("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), sim.as("sim"))
+      .select(col("query_id"), col("vec_id"),
+        score(col("q_emb"), col("embedding")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("query_id", "vec_id")
@@ -421,28 +433,18 @@ object Similarity {
   }
 
   def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
     val pqTop = pqAdcTop(spark, dir)
     // Self-gate (the q_approx_sketches pattern, verdict r4 #7): exact float
     // L2 top-k over the same corpus in the same plan, then per-row
     // membership + the average recall@k against its spec-pinned floor — the
     // rows-only CORRECTNESS entry carries its own evidence instead of pure
-    // trust. ADC approximates squared L2, so the ground truth metric is L2
-    // (not cosine); expanded as |e|² + |q|² − 2·q·e over the codegen dot.
-    // The brute pass is one more broadcast-5-queries scan of the corpus —
-    // same shape as [[qAnnRecall]]'s ground truth, linear at any scale.
-    val qdf = e.filter(col("vec_id") >= PqQueryLo && col("vec_id") < PqQueryLo + NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val l2 = round(
-      dot(col("embedding"), col("embedding")) + dot(col("q_emb"), col("q_emb"))
-        - lit(2.0) * dot(col("q_emb"), col("embedding")), 6)
-    val wB = Window.partitionBy("query_id").orderBy(col("l2"), col("vec_id"))
-    val brute = e.crossJoin(broadcast(qdf))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), l2.as("l2"))
-      .withColumn("bn", row_number().over(wB))
-      .filter(col("bn") <= TopK)
-      .select(col("query_id"), col("vec_id"), lit(true).as("in_exact_topk"))
+    // trust. ADC approximates squared L2, so the ground truth metric is
+    // [[l2Sq]], not cosine. The brute pass is one more broadcast-5-queries
+    // scan of the corpus — the [[bruteTopK]] ground-truth shape
+    // [[qAnnRecall]] uses, linear at any scale.
+    val brute = bruteTopK(spark, dir, PqQueryLo, PqQueryLo + NQueries, TopK,
+        score = l2Sq, asc = true)
+      .withColumn("in_exact_topk", lit(true))
     val flagged = pqTop.join(broadcast(brute), Seq("query_id", "vec_id"), "left")
       .na.fill(false, Seq("in_exact_topk"))
     val recall = flagged.agg(

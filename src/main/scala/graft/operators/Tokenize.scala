@@ -827,6 +827,17 @@ object Tokenize {
       // covered by the DKW rank-error property spec in TokenizeSpec.
       import spark.implicits._
       val li = graft.Tables.lineitem(spark, dir)
+      // Fail crisply if a larger fixture ever pushes this entry into the
+      // genuinely-sampled regime: past 1M rows the boundaries become
+      // partition-layout-dependent and the quantile_cont oracle would
+      // flake as a silent hash mismatch. (The count is metadata-speed on
+      // parquet; the library path quantileBoundsSample itself stays total
+      // at every scale — only this hash-checked contract entry pins the
+      // deterministic regime.)
+      val n = li.count()
+      require(n <= 1000000L,
+        s"q_quantile_bounds_sample's oracle is only deterministic at n <= sampleSize (1M); " +
+          s"got n=$n — raise sampleSize in the entry or use the rows-only DKW-checked path")
       val probs = (0 to DefaultBins).map(_.toDouble / DefaultBins)
       val bounds = quantileBoundsSample(li, LineitemCols, probs)
       LineitemCols.flatMap { c =>

@@ -281,7 +281,8 @@ class PlanSpec extends SparkSpec {
     // introduces must be broadcast (tiny gate frames), never a shuffle join
     // of the corpus.
     val full = formatted(operators.Similarity.qAnnPq(spark, sf))
-    assert(!full.contains("SortMergeJoin") && !full.contains("ShuffledHashJoin"),
+    assert(!full.contains("SortMergeJoin") && !full.contains("ShuffledHashJoin")
+        && !full.contains("CartesianProduct"),
       s"self-gate joins must all be broadcast:\n$full")
   }
 }
