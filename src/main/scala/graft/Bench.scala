@@ -77,15 +77,27 @@ object Bench {
         case c => c.toString
       } + "\""
 
-    /** Full provisional result line — the driver parses the LAST stdout
-      * line, so every emission makes the run kill-safe up to that point. */
+    /** Provisional result emission — the driver parses the LAST stdout line
+      * from a 2000-char tail capture, so the FINAL line must be compact: a
+      * 106-query map at full double precision is ~4 KB and the tail capture
+      * would start mid-JSON (round-5 failure mode: three rounds of rc-0
+      * benches, parsed=null every time). Each emission therefore prints TWO
+      * lines: the full per-query map (penultimate — for humans and for any
+      * consumer reading whole stdout) and then a compact total-only line
+      * (~150 bytes) that is always the last stdout line, at any kill point. */
     def emit(): Unit = {
+      def r3(d: Double): Double = math.rint(d * 1000) / 1000
       val qs = best.toSeq.sortBy(_._1)
-        .map { case (n, s) => s"${jsonStr(n)}:$s" }.mkString("{", ",", "}")
+        .map { case (n, s) => s"${jsonStr(n)}:${r3(s)}" }.mkString("{", ",", "}")
       val es = errors.toSeq.sortBy(_._1)
         .map { case (n, m) => s"${jsonStr(n)}:${jsonStr(m)}" }.mkString("{", ",", "}")
-      val total = best.values.sum
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":$elapsed,"sf":${jsonStr(sfDir)}}""")
+      val total = r3(best.values.sum)
+      println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}""")
+      // "queries" on the compact line carries only the 5 slowest (contract
+      // shape preserved, line stays ~400 bytes); the full map is one line up.
+      val top5 = best.toSeq.sortBy(-_._2).take(5)
+        .map { case (n, s) => s"${jsonStr(n)}:${r3(s)}" }.mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top5,"passes":$passesDone,"measured":${best.size},"errors":${errors.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}""")
       Console.out.flush()
     }
 

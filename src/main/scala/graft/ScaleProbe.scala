@@ -124,11 +124,23 @@ object ScaleProbe {
     // dir from before the TPC-H extension regenerates in full.
     if (!new java.io.File(s"$probe/x10/lineitem.parquet").exists()) generate(spark, src, probe)
 
-    def timeOnce(name: String, dir: String): Double = {
-      val s0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - s0) / 1e9
-    }
+    // A query may legitimately refuse a scale (e.g. q_quantile_bounds_sample
+    // `require`s n <= 1M — its hash-oracle regime — and x10 lineitem is 6M):
+    // record the failure per (query, scale) instead of letting one throw
+    // abort the whole multi-hour probe run.
+    val failed = scala.collection.mutable.Map.empty[(String, String), String]
+    def timeOnce(name: String, dir: String): Option[Double] =
+      try {
+        val s0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - s0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          failed((name, if (dir.endsWith("x10")) "x10" else "x1")) =
+            s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
+          None
+      }
     // ROUND-ROBIN passes with min per (query, scale), same rationale as
     // Bench: this host's hypervisor-steal windows outlast back-to-back
     // samples (measured here: the same query 3.5 s in one pass, 83 s in
@@ -136,25 +148,37 @@ object ScaleProbe {
     val scales = Seq("x1" -> s"$probe/x1", "x10" -> s"$probe/x10")
     val best = scala.collection.mutable.Map.empty[(String, String), Double]
     for (p <- 1 to 3) {
-      for (name <- family; (scale, dir) <- scales) {
-        val t = timeOnce(name, dir)
-        System.err.println(f"[probe] pass=$p $scale%-3s $name%-22s $t%7.2fs")
-        val k = (name, scale)
-        if (t < best.getOrElse(k, Double.MaxValue)) best(k) = t
+      for (name <- family; (scale, dir) <- scales; k = (name, scale)
+           if !failed.contains(k)) {
+        timeOnce(name, dir) match {
+          case Some(t) =>
+            System.err.println(f"[probe] pass=$p $scale%-3s $name%-22s $t%7.2fs")
+            if (t < best.getOrElse(k, Double.MaxValue)) best(k) = t
+          case None =>
+            System.err.println(s"[probe] FAIL pass=$p $scale $name ${failed(k)}")
+        }
       }
       System.gc() // untimed: reap the pass's broadcast/shuffle blocks
     }
-    val rows = family.map { name =>
-      val base = best((name, "x1"))
-      val big = best((name, "x10"))
-      val ratio = big / base
-      System.err.println(f"[probe] min $name%-22s base=$base%7.2fs 10x=$big%7.2fs ratio=$ratio%6.1f")
-      (name, base, big, ratio)
+    val rows = family.flatMap { name =>
+      (best.get((name, "x1")), best.get((name, "x10"))) match {
+        case (Some(base), Some(big)) =>
+          val ratio = big / base
+          System.err.println(f"[probe] min $name%-22s base=$base%7.2fs 10x=$big%7.2fs ratio=$ratio%6.1f")
+          Some((name, base, big, ratio))
+        case _ =>
+          System.err.println(s"[probe] min $name SKIPPED: " +
+            Seq("x1", "x10").flatMap(s => failed.get((name, s)).map(m => s"$s $m")).mkString("; "))
+          None
+      }
     }
     val json = rows.map { case (n, b, g, r) =>
       f""""$n":{"base_s":$b%.3f,"x10_s":$g%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"probe":"contract-10x","replicas":$Replicas,"queries":$json}""")
+    val failJson = failed.toSeq.sortBy(_._1).map { case ((n, s), m) =>
+      s""""$n@$s":${"\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"probe":"contract-10x","replicas":$Replicas,"queries":$json,"failed":$failJson}""")
     spark.stop()
   }
 

@@ -37,7 +37,8 @@ object SparkEntry {
       (Graph.queries, Graph.oracleSql),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracleSql),
       (CorpusPipeline.queries, CorpusPipeline.oracleSql),
-      (graft.sources.SchemaInfer.queries, graft.sources.SchemaInfer.oracleSql)
+      (graft.sources.SchemaInfer.queries, graft.sources.SchemaInfer.oracleSql),
+      (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracleSql)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

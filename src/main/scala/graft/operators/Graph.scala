@@ -56,14 +56,6 @@ object Graph {
       .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
   }
 
-  /** PageRank after [[PrRounds]] quantized power iterations. The
-    * degree-annotated edge list is eagerly checkpointed ONCE: every
-    * iteration's plan references it, and without truncation each round
-    * re-derives the lineitem-orders join (measured 7.5 s -> ~2 s at sf0.1).
-    * Degree is folded in by a window count over src — one shuffle and a
-    * SINGLE materialization, where the round-4 shape paid two back-to-back
-    * eager checkpoints (edges, then edges⋈degrees). Same pattern as
-    * [[Dedup.distributedClusters]]; ContextCleaner reclaims the blocks. */
   /** Degree-annotated edge list, LAZY (pre-checkpoint): degree is folded in
     * by a window count over src — no self-join, so no per-branch join-key
     * null filters, and the union's two branches stay byte-identical plans
@@ -76,6 +68,14 @@ object Graph {
     edges(spark, dir).withColumn("deg", count(lit(1)).over(bySrc))
   }
 
+  /** PageRank after [[PrRounds]] quantized power iterations. The
+    * degree-annotated edge list is eagerly checkpointed ONCE: every
+    * iteration's plan references it, and without truncation each round
+    * re-derives the lineitem-orders join (measured 7.5 s -> ~2 s at sf0.1).
+    * Degree is folded in by a window count over src — one shuffle and a
+    * SINGLE materialization, where the round-4 shape paid two back-to-back
+    * eager checkpoints (edges, then edges⋈degrees). Same pattern as
+    * [[Dedup.distributedClusters]]; ContextCleaner reclaims the blocks. */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
     // One job, ONE eager materialization (round 4 paid two back-to-back
     // checkpoints: edges, then edges⋈degrees).

@@ -91,6 +91,9 @@ object Relational4 {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Salt fan-out for the fuzzy-pairs block self-join. */
+  private[operators] val FuzzySalt = 8
+
   /** Edit-distance near-duplicate part names, blocked by (brand, size):
     * candidate pairs only within a block, verified by levenshtein <= 5.
     *
@@ -105,18 +108,37 @@ object Relational4 {
     * RARE (tight tau relative to string length), the scale path is the
     * banded MinHash/SimHash dedup family (Dedup.scala), whose candidate
     * sets stay linear; this query is the exact-verify counterpart for
-    * bounded blocks. */
+    * bounded blocks.
+    *
+    * Two scale guards (round-6):
+    *  - the block key is SALTED (same trick [[SkewJoin.saltedInnerJoin]]
+    *    proves semantics-preserving through its oracle): side a takes one
+    *    deterministic salt in [0, FuzzySalt), side b is replicated to every
+    *    salt, so each (a, b) pair still matches exactly once but a hot
+    *    (brand, size) block spans FuzzySalt tasks instead of serializing on
+    *    one. Output-identical; only the shuffle distribution changes.
+    *  - every output row carries its block's size and candidate-pair count
+    *    (block_n, block_pairs) — computed by a map-side-combining groupBy
+    *    broadcast back onto the probe side, NOT a window (a window over the
+    *    block key would re-create the one-task hot block the salt just
+    *    split) — so a pathological corpus is visible in the result itself. */
   def qFuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand", "p_size")
-    val a = p.as("a")
-    val b = p.as("b")
+    // distinct-block cardinality is dimension-sized: broadcast the counts
+    val counts = p.groupBy("p_brand", "p_size").agg(count(lit(1)).as("block_n"))
+    val a = p.join(broadcast(counts), Seq("p_brand", "p_size"))
+      .withColumn("__salt", pmod(col("p_partkey"), lit(FuzzySalt)).cast("int"))
+      .as("a")
+    val b = p.withColumn("__salt", explode(typedlit((0 until FuzzySalt).toList))).as("b")
     a.join(b,
         col("a.p_brand") === col("b.p_brand") && col("a.p_size") === col("b.p_size") &&
+          col("a.__salt") === col("b.__salt") &&
           col("a.p_partkey") < col("b.p_partkey"))
       .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
       .filter(col("dist") <= 5)
       .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
-        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("dist"))
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("dist"),
+        col("a.block_n"), expr("block_n * (block_n - 1) DIV 2").as("block_pairs"))
       .orderBy("key_a", "key_b")
   }
 
@@ -274,11 +296,16 @@ object Relational4 {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_fuzzy_pairs" ->
-      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      """WITH n AS (SELECT p_brand, p_size, CAST(COUNT(*) AS BIGINT) AS block_n
+        |           FROM part GROUP BY p_brand, p_size)
+        |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
         |  a.p_name AS name_a, b.p_name AS name_b,
-        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-        |FROM part a JOIN part b
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+        |  n.block_n, CAST(n.block_n * (n.block_n - 1) // 2 AS BIGINT) AS block_pairs
+        |FROM part a
+        |JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |JOIN n ON a.p_brand = n.p_brand AND a.p_size = n.p_size
         |WHERE levenshtein(a.p_name, b.p_name) <= 5
         |ORDER BY key_a, key_b""".stripMargin
   )

@@ -447,8 +447,12 @@ object Similarity {
       .withColumn("in_exact_topk", lit(true))
     val flagged = pqTop.join(broadcast(brute), Seq("query_id", "vec_id"), "left")
       .na.fill(false, Seq("in_exact_topk"))
+    // Denominator = the ACTUAL PQ top-k row count, not NQueries*TopK: on a
+    // corpus with fewer than TopK+1 vectors per query the constant would
+    // under-report recall and flip within_bound spuriously (and disagree
+    // with DedupSimilaritySpec's flagged/out.length recomputation).
     val recall = flagged.agg(
-      round(sum(when(col("in_exact_topk"), 1.0).otherwise(0.0)) / (NQueries * TopK), 6)
+      round(sum(when(col("in_exact_topk"), 1.0).otherwise(0.0)) / count(lit(1)), 6)
         .as("recall_avg"))
     flagged.crossJoin(broadcast(recall))
       .withColumn("within_bound", col("recall_avg") >= PqRecallFloor)

@@ -29,7 +29,8 @@ class EntrySpec extends SparkSpec {
       operators.TrainPrep.queries, operators.QualityOps.queries,
       operators.Relational4.queries, operators.Layout.queries,
       operators.Graph.queries, multimodal.Multimodal.queries,
-      CorpusPipeline.queries, sources.SchemaInfer.queries)
+      CorpusPipeline.queries, sources.SchemaInfer.queries,
+      streaming.StreamOps.queries)
     val total = mods.map(_.size).sum
     assert(SparkEntry.queries.size == total, "duplicate query name across modules")
   }

@@ -285,4 +285,20 @@ class PlanSpec extends SparkSpec {
         && !full.contains("CartesianProduct"),
       s"self-gate joins must all be broadcast:\n$full")
   }
+
+  test("q_fuzzy_pairs salts the block self-join; block counts broadcast back (round 6)") {
+    val df = operators.Relational4.qFuzzyPairs(spark, sf)
+    val plan = formatted(df)
+    // the self-join key must include the salt, so one hot (brand, size)
+    // block spans FuzzySalt tasks instead of serializing on one
+    assert(plan.contains("__salt"), s"block key must be salted:\n$plan")
+    // side b's salt replication is an explode (Generate), not a shuffle
+    assert(plan.linesIterator.exists(l => l.contains("Generate") && l.contains("explode")),
+      s"salt fan-out must be an explode of the small range:\n$plan")
+    // block_n comes back via broadcast, never a window over the hot block
+    assert(plan.contains("BroadcastHashJoin"),
+      s"block counts must broadcast onto the probe side:\n$plan")
+    assert(!plan.contains("Window"),
+      s"a window over the block key would re-create the one-task hot block:\n$plan")
+  }
 }
