@@ -39,7 +39,16 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private val Replicas = 10
+  /** Replica factor for the derived corpus. 10 by default; the round-6
+    * verdict's 100x probe of the heaviest queries sets
+    * SPARK_GRAFT_PROBE_REPLICAS=100 with its own probe dir — broadcast→
+    * shuffle flips and AQE decisions move at the next decade, and the 10x
+    * ratios cannot see them. */
+  private val Replicas: Int =
+    sys.env.getOrElse("SPARK_GRAFT_PROBE_REPLICAS", "10").toInt
+
+  /** Directory label / JSON key suffix for the scaled side. */
+  private val XN = s"x$Replicas"
 
   private val Family = Seq(
     // dedup / ANN — the family the probe was built for
@@ -122,7 +131,7 @@ object ScaleProbe {
     val family = (Family ++ RelFamily).filter(n => only.isEmpty || only(n))
     // lineitem is written LAST overall — the generation sentinel; a probe
     // dir from before the TPC-H extension regenerates in full.
-    if (!new java.io.File(s"$probe/x10/lineitem.parquet").exists()) generate(spark, src, probe)
+    if (!new java.io.File(s"$probe/$XN/lineitem.parquet").exists()) generate(spark, src, probe)
 
     // A query may legitimately refuse a scale (e.g. q_quantile_bounds_sample
     // `require`s n <= 1M — its hash-oracle regime — and x10 lineitem is 6M):
@@ -136,7 +145,7 @@ object ScaleProbe {
         Some((System.nanoTime() - s0) / 1e9)
       } catch {
         case e: Throwable =>
-          failed((name, if (dir.endsWith("x10")) "x10" else "x1")) =
+          failed((name, if (dir.endsWith(XN)) XN else "x1")) =
             s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
           None
@@ -145,7 +154,7 @@ object ScaleProbe {
     // Bench: this host's hypervisor-steal windows outlast back-to-back
     // samples (measured here: the same query 3.5 s in one pass, 83 s in
     // the next), so a query's samples must be minutes apart.
-    val scales = Seq("x1" -> s"$probe/x1", "x10" -> s"$probe/x10")
+    val scales = Seq("x1" -> s"$probe/x1", XN -> s"$probe/$XN")
     val best = scala.collection.mutable.Map.empty[(String, String), Double]
     for (p <- 1 to 3) {
       for (name <- family; (scale, dir) <- scales; k = (name, scale)
@@ -161,19 +170,19 @@ object ScaleProbe {
       System.gc() // untimed: reap the pass's broadcast/shuffle blocks
     }
     val rows = family.flatMap { name =>
-      (best.get((name, "x1")), best.get((name, "x10"))) match {
+      (best.get((name, "x1")), best.get((name, XN))) match {
         case (Some(base), Some(big)) =>
           val ratio = big / base
           System.err.println(f"[probe] min $name%-22s base=$base%7.2fs 10x=$big%7.2fs ratio=$ratio%6.1f")
           Some((name, base, big, ratio))
         case _ =>
           System.err.println(s"[probe] min $name SKIPPED: " +
-            Seq("x1", "x10").flatMap(s => failed.get((name, s)).map(m => s"$s $m")).mkString("; "))
+            Seq("x1", XN).flatMap(s => failed.get((name, s)).map(m => s"$s $m")).mkString("; "))
           None
       }
     }
     val json = rows.map { case (n, b, g, r) =>
-      f""""$n":{"base_s":$b%.3f,"x10_s":$g%.3f,"ratio":$r%.2f}"""
+      f""""$n":{"base_s":$b%.3f,"${XN}_s":$g%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
     val failJson = failed.toSeq.sortBy(_._1).map { case ((n, s), m) =>
       s""""$n@$s":${"\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}"""
@@ -204,7 +213,7 @@ object ScaleProbe {
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32)
-      .write.mode("overwrite").parquet(s"$probe/x10/documents.parquet")
+      .write.mode("overwrite").parquet(s"$probe/$XN/documents.parquet")
     // replica 0 is the x1 corpus verbatim (same contract as documents);
     // replicas > 0 get a per-(row, dim) perturbation so exact equality
     // decorrelates while the vector distribution is preserved.
@@ -219,7 +228,7 @@ object ScaleProbe {
           .as("embedding"),
         col("label"))
       .repartition(32)
-      .write.mode("overwrite").parquet(s"$probe/x10/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$probe/$XN/embeddings.parquet")
     // events: replica-shift the entity keys, keep timestamps — 10x the
     // rows into the same time range (what ingest growth looks like),
     // per-user event sequences replicated intact.
@@ -231,7 +240,7 @@ object ScaleProbe {
         (col("user_id") * Replicas + col("r")).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .repartition(32)
-      .write.mode("overwrite").parquet(s"$probe/x10/events.parquet")
+      .write.mode("overwrite").parquet(s"$probe/$XN/events.parquet")
 
     // TPC-H-ish relational tables. Every foreign/primary key is shifted by
     // the SAME k*Replicas+r formula on both sides, so each fact row still
@@ -266,13 +275,13 @@ object ScaleProbe {
     for (t <- Seq("nation", "region")) {
       val df = spark.read.parquet(s"$src/$t.parquet")
       df.repartition(1).write.mode("overwrite").parquet(s"$probe/x1/$t.parquet")
-      df.repartition(1).write.mode("overwrite").parquet(s"$probe/x10/$t.parquet")
+      df.repartition(1).write.mode("overwrite").parquet(s"$probe/$XN/$t.parquet")
     }
     for ((t, keys, files) <- rel) {
       val df = spark.read.parquet(s"$src/$t.parquet")
       df.repartition(files).write.mode("overwrite").parquet(s"$probe/x1/$t.parquet")
       shifted(df, keys).repartition(files)
-        .write.mode("overwrite").parquet(s"$probe/x10/$t.parquet")
+        .write.mode("overwrite").parquet(s"$probe/$XN/$t.parquet")
     }
   }
 }

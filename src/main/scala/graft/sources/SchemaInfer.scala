@@ -2,7 +2,10 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
+
+import graft.functions.TypeProbeExpr
 
 /** Schema inference — the generalized form of the reference repo's title
   * capability. The reference's "schema inference" is parquet
@@ -50,6 +53,23 @@ object SchemaInfer {
   /** Default sample cap (rows) for the ladder pass. */
   val DefaultSampleCap = 1000000L
 
+  /** The sampled path only engages above `SingleScanFactor × cap` rows.
+    * Sample-then-confirm pays ≥2 full passes over the stringified columns
+    * (the Bernoulli sample sits ABOVE the projection, so the casts run for
+    * every row, and the confirm scan stringifies everything again), while
+    * the single-scan path pays one. The per-value saving (1 confirmed rung
+    * vs the 6-rung ladder) is small next to the cast-to-string cost, so the
+    * crossover is well past the cap — measured at sf0.1 the sampled path
+    * was 2.0× SLOWER than one full-ladder scan (round-6 verdict). */
+  val SingleScanFactor = 10L
+
+  /** The rung-shape grammar, stated as regexes. These are the SEMANTIC
+    * ground truth — the DuckDB oracle runs them verbatim, and
+    * TypeProbeSpec proves the codegen byte-walk
+    * ([[graft.functions.TypeProbeExpr]], which the Spark side actually
+    * executes) agrees with them bit for bit; the Spark plan itself no
+    * longer evaluates regexes on this path. */
+
   /** Spark-ANSI-compatible integer strings (optional sign, digits, outer
     * whitespace trimmed). Shared verbatim with the DuckDB oracle. */
   val LongPattern = "^[+-]?[0-9]+$"
@@ -76,65 +96,73 @@ object SchemaInfer {
   private val MaxNegDigits = "9223372036854775808"
   private val MaxPosDigits = "9223372036854775807"
 
-  /** In-range check for a string already known to match [[LongPattern]]:
-    * strip sign and leading zeros, then length/lexicographic compare
-    * against Long.MaxValue's digits (pure string ops — non-throwing,
-    * cheap, and written identically in the DuckDB oracle). Without this,
-    * a 20-digit ID column would "parse" as bigint and applyInferred's
-    * non-ANSI cast would null every value — silent data loss. */
-  private def longInRange(c: Column): Column = {
-    val digits = regexp_replace(c, "^[+-]?0*", "")
-    length(digits) < 19 ||
-      (length(digits) === 19 &&
-        when(c.startsWith("-"), digits <= MaxNegDigits)
-          .otherwise(digits <= MaxPosDigits))
+  // The long in-range check (sign/zero-strip then length + lexicographic
+  // compare against Long.MaxValue's digits — without it a 20-digit ID
+  // column would "parse" as bigint and applyInferred's non-ANSI cast
+  // would null every value, silent data loss), the significant-integer-
+  // digit count ("0017.50" -> 2; "0.5" -> 0) and the fraction-digit count
+  // with trailing zeros INCLUDED ("17.50" -> 2: fixed-scale money means
+  // the rendered scale) all live inside the TypeProbeExpr byte-walk; the
+  // DuckDB oracle below emulates them with the equivalent string ops, and
+  // TypeProbeSpec holds the two formulations together.
+
+  /** Does `c` parse at ladder rung index `i`, given `p` = the packed
+    * [[graft.functions.TypeProbeExpr]] classification of `c`?
+    *
+    * All rungs are NON-THROWING. History of this hot path (it runs once
+    * per value per column over the whole table): (1) try_cast rungs
+    * unwound an exception per failing row — 30 s at sf0.1; (2) the regex
+    * formulation (LongPattern/DecimalPattern/DoublePattern/DatePattern +
+    * IN-list, kept below as spec/oracle ground truth) was ~20x cheaper —
+    * 2.3 s with 5 rungs, but 8.6 s once the round-6 DECIMAL widths and
+    * 6th column arrived, 4 regexes + 2 regex extractions per value;
+    * (3) round 7 folds every shape check into ONE codegen byte-walk
+    * ([[graft.functions.TypeProbeExpr]], bit-tested here) — 1.5 s,
+    * scan+cast floor, with a property spec proving bit-for-bit agreement
+    * with the regex semantics the DuckDB oracle still runs. Date VALIDITY
+    * (month/day ranges) stays with try_cast — both engines agree on the
+    * strict shape — and timestamp stays a bare try_cast (Spark's
+    * Option-based parser, measured at noise level). */
+  private def rungFlag(i: Int, v: Column, p: Column): Column = Ladder(i) match {
+    case LongType         => p.bitwiseAND(TypeProbeExpr.LongOk) =!= 0
+    case DecimalMarker    => p.bitwiseAND(TypeProbeExpr.DecOk) =!= 0
+    case DoubleType       => p.bitwiseAND(TypeProbeExpr.DblOk) =!= 0
+    case BooleanType      => p.bitwiseAND(TypeProbeExpr.BoolOk) =!= 0
+    case DateType         => (p.bitwiseAND(TypeProbeExpr.DateShape) =!= 0) &&
+                               try_cast(v, DateType).isNotNull
+    case _                => try_cast(v, TimestampNTZType).isNotNull
   }
 
-  /** Sign-stripped body of a decimal string (assumes [[DecimalPattern]]
-    * shape when used for digit counts). */
-  private def decBody(c: Column): Column = regexp_replace(trim(c), "^[+-]", "")
+  /** Significant-integer-digit / fraction-digit widths from the packed
+    * probe, gated (like the regex formulation) on the decimal rung. */
+  private def dipCol(p: Column): Column =
+    when(p.bitwiseAND(TypeProbeExpr.DecOk) =!= 0,
+      shiftright(p, TypeProbeExpr.DipShift).bitwiseAND(TypeProbeExpr.WidthMask).cast("int"))
+  private def dscCol(p: Column): Column =
+    when(p.bitwiseAND(TypeProbeExpr.DecOk) =!= 0,
+      shiftright(p, TypeProbeExpr.DscShift).bitwiseAND(TypeProbeExpr.WidthMask).cast("int"))
 
-  /** Significant integer digits: leading zeros stripped ("0017.50" -> 2;
-    * "0.5" -> 0). No lookaheads — DuckDB's RE2 has none, and the oracle
-    * mirrors these exact string ops. */
-  private def decIntLen(c: Column): Column =
-    length(regexp_replace(regexp_extract(decBody(c), "^([0-9]+)", 1), "^0+", ""))
+  private def probeCol(v: Column): Column =
+    Bridge.column(TypeProbeExpr(Bridge.expression(v)))
 
-  /** Fraction digits, trailing zeros INCLUDED ("17.50" -> 2): fixed-scale
-    * money data means the rendered scale, not the minimal one. */
-  private def decFracLen(c: Column): Column =
-    length(regexp_extract(decBody(c), "\\.([0-9]+)$", 1))
+  /** Projection evaluated once per row below the ladder aggregation: each
+    * value column plus its packed probe. */
+  private def probeProj(cols: Seq[String], keep: Seq[Column] = Nil): Seq[Column] =
+    keep ++ cols.flatMap(c => Seq(col(c), probeCol(col(c)).as(s"${c}__p")))
 
-  /** Does `c` parse at ladder rung `t`? All rungs are NON-THROWING: regex /
-    * IN-list / string ops for long, decimal, double, boolean; strict regex
-    * + Spark's Option-based datetime parsers (via try_cast) for date and
-    * timestamp. The first version used try_cast for the numeric rungs too —
-    * TRY-mode numeric casts unwind an exception per failing row, which at
-    * sf0.1 turned this one aggregation into a 30-second query; the
-    * predicate form is ~20x cheaper and, as a bonus, byte-for-byte
-    * reproducible in the DuckDB oracle (whose TRY_CAST rounds '1.5' to
-    * BIGINT 2 where Spark rejects it). */
-  private def parses(c: Column, t: DataType): Column = t match {
-    case LongType         => regexp_like(trim(c), lit(LongPattern)) && longInRange(trim(c))
-    case DecimalMarker    => regexp_like(trim(c), lit(DecimalPattern)) &&
-                               (decIntLen(c) + decFracLen(c)) <= 38
-    case DoubleType       => regexp_like(trim(c), lit(DoublePattern))
-    case BooleanType      => lower(trim(c)).isin(BoolStrings: _*)
-    case DateType         => regexp_like(trim(c), lit(DatePattern)) &&
-                               try_cast(c, DateType).isNotNull
-    case TimestampNTZType => try_cast(c, TimestampNTZType).isNotNull
-    case _                => lit(true)
-  }
-
-  /** Ladder aggregates for value column `v`, aliased under `name`: non-null
-    * count, one parse count per rung, and the decimal digit-width maxes. */
-  private def ladderAggs(name: String, v: Column): Seq[Column] =
+  /** Ladder aggregates for value column `name` (with its `name__p` probe
+    * alongside, see [[probeProj]]): non-null count, one parse count per
+    * rung, and the decimal digit-width maxes. */
+  private def ladderAggs(name: String): Seq[Column] = {
+    val v = col(name)
+    val p = col(s"${name}__p")
     count(v).as(s"${name}__n") +:
-      (Ladder.zipWithIndex.map { case (t, i) =>
-        count(when(parses(v, t), 1)).as(s"${name}__t$i")
+      (Ladder.indices.map { i =>
+        count(when(rungFlag(i, v, p), 1)).as(s"${name}__t$i")
       } ++ Seq(
-        max(when(parses(v, DecimalMarker), decIntLen(v))).as(s"${name}__dip"),
-        max(when(parses(v, DecimalMarker), decFracLen(v))).as(s"${name}__dsc")))
+        max(dipCol(p)).as(s"${name}__dip"),
+        max(dscCol(p)).as(s"${name}__dsc")))
+  }
 
   /** Winner from a row of [[ladderAggs]] outputs: first (tightest) rung
     * whose parse count covers every non-null value; the decimal marker is
@@ -155,17 +183,17 @@ object SchemaInfer {
 
   /** Full inference report — (inferred tightest type, nullable) per string
     * column. Runs the whole ladder in ONE aggregation when the table fits
-    * [[DefaultSampleCap]]; above the cap, the ladder runs on a bounded
-    * sample and only each column's winning rung is confirmed on the full
-    * scan (escalating to the next sample-passing rung on a confirm miss —
-    * at most one extra scan in practice). Output is identical either way;
-    * see the object scaladoc for the argument. */
+    * [[SingleScanFactor]] × `sampleCap`; above that, the ladder runs on a
+    * bounded sample and only each column's winning rung is confirmed on the
+    * full scan (escalating to the next sample-passing rung on a confirm
+    * miss — at most one extra scan in practice). Output is identical either
+    * way; see the object scaladoc for the argument. */
   def inferReport(df: DataFrame, cols: Seq[String],
                   sampleCap: Long = DefaultSampleCap): Seq[(String, DataType, Boolean)] = {
     val total = df.count()
-    if (total <= sampleCap) {
-      val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => ladderAggs(c, col(c)))
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
+    if (total <= sampleCap * SingleScanFactor) {
+      val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => ladderAggs(c))
+      val row = df.select(probeProj(cols): _*).agg(aggs.head, aggs.tail: _*).head()
       cols.map { c =>
         val n = row.getAs[Long](s"${c}__n")
         (c, winner(row, c, n), n < total)
@@ -176,8 +204,10 @@ object SchemaInfer {
   private def sampledReport(df: DataFrame, cols: Seq[String], total: Long,
                             cap: Long): Seq[(String, DataType, Boolean)] = {
     val frac = math.min(1.0, cap.toDouble / total)
-    val sAggs = count(lit(1)).as("__rows") +: cols.flatMap(c => ladderAggs(c, col(c)))
-    val srow = df.sample(frac, seed = 42).agg(sAggs.head, sAggs.tail: _*).head()
+    val sAggs = count(lit(1)).as("__rows") +: cols.flatMap(c => ladderAggs(c))
+    val srow = df.sample(frac, seed = 42)
+      .select(probeProj(cols): _*)
+      .agg(sAggs.head, sAggs.tail: _*).head()
     // Tightest-first candidate rungs per column. A rung that fails on the
     // sample has a counterexample row, so it fails on the full data too and
     // is safely dropped. A column with NO sampled values keeps the whole
@@ -193,15 +223,18 @@ object SchemaInfer {
     while (remaining.nonEmpty && guard <= Ladder.size) {
       guard += 1
       val aggs = count(lit(1)).as("__rows") +: remaining.flatMap { c =>
-        count(col(c)).as(s"${c}__n") +: candidates(c).headOption.toSeq.flatMap { i =>
-          count(when(parses(col(c), Ladder(i)), 1)).as(s"${c}__t$i") +:
+        val v = col(c)
+        val p = col(s"${c}__p")
+        count(v).as(s"${c}__n") +: candidates(c).headOption.toSeq.flatMap { i =>
+          count(when(rungFlag(i, v, p), 1)).as(s"${c}__t$i") +:
             (if (Ladder(i) == DecimalMarker)
-               Seq(max(when(parses(col(c), DecimalMarker), decIntLen(col(c)))).as(s"${c}__dip"),
-                   max(when(parses(col(c), DecimalMarker), decFracLen(col(c)))).as(s"${c}__dsc"))
+               Seq(max(dipCol(p)).as(s"${c}__dip"),
+                   max(dscCol(p)).as(s"${c}__dsc"))
              else Nil)
         }
       }
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val row = df.select(probeProj(remaining): _*)
+        .agg(aggs.head, aggs.tail: _*).head()
       val (done, retry) = remaining.partition { c =>
         candidates(c).headOption.forall { i =>
           val n = row.getAs[Long](s"${c}__n")
@@ -246,9 +279,10 @@ object SchemaInfer {
     import spark.implicits._
     val total = df.count()
     val kv = df.select(explode(from_json(col(jsonCol), MapType(StringType, StringType)))
-      .as(Seq("field", "v")))
-    val aggs = ladderAggs("f", col("v"))
-    val rows = kv.groupBy("field").agg(aggs.head, aggs.tail: _*).collect()
+      .as(Seq("field", "f")))
+    val aggs = ladderAggs("f")
+    val rows = kv.select(probeProj(Seq("f"), keep = Seq(col("field"))): _*)
+      .groupBy("field").agg(aggs.head, aggs.tail: _*).collect()
     rows.toSeq
       .map { r =>
         val n = r.getAs[Long]("f__n")
@@ -294,9 +328,12 @@ object SchemaInfer {
     * /root/reference/etl_benchmark.py:27): render six lineitem columns to
     * strings — a schemaless ingest stand-in, same shape as a headerless CSV
     * — and emit (column_name, inferred_type, nullable) from the
-    * sample-then-confirm tightest-type ladder (cap 100k: the ladder runs on
-    * ~100k rows at any corpus size; the full scan pays ONE predicate per
-    * column). The DuckDB oracle re-implements the ladder with SPARK's ANSI
+    * sample-then-confirm tightest-type ladder (cap 100k: past 10×cap the
+    * ladder runs on ~100k rows and the full scan pays ONE predicate per
+    * column; at bench scale — sf0.1 is 600k rows, under 10×cap — the whole
+    * ladder runs in ONE scan, which is cheaper there because the
+    * cast-to-string projection dominates the rung predicates). The DuckDB
+    * oracle re-implements the ladder with SPARK's ANSI
     * parse semantics (digit-regex for longs/decimals, the exact true/false
     * string set for booleans, strict-shape dates): DuckDB's native TRY_CAST
     * rounds '1.5' to BIGINT 2 where Spark ANSI rejects it, so counts are

@@ -219,7 +219,7 @@ object StreamOps {
     import spark.implicits._
     val path = s"$dir/events.parquet"
     val rawSchema = spark.read.parquet(path).schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_live")
+    val tmp = scratchFor(dir)
     val out = s"$tmp/out"
     // events.parquet is a single FILE: for a non-glob path the file-stream
     // source force-sets basePath to the path itself and then rejects it
@@ -249,6 +249,43 @@ object StreamOps {
         split(col("fingerprint"), "\\|").getItem(1).as("event_type"),
         col("n_duplicates"))
       .orderBy("user_id", "event_type")
+  }
+
+  /** Scratch roots for [[qStreamDedupLive]], one per input dir (round-6
+    * verdict item 7: `createTempDirectory` per call leaked a checkpoint +
+    * output parquet per invocation — the bench calls the query 3+ times a
+    * run). A fixed root keyed by the input dir is RECLAIMED at the start of
+    * each invocation (the previous call's returned frame has been fully
+    * consumed by then — callers run their action before re-invoking) and
+    * deleted at JVM exit, so disk use is bounded at one scratch dir per
+    * distinct sf path no matter how many times the query runs. */
+  private val scratchRoots =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private lazy val scratchShutdownHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchRoots.values.foreach(deleteRecursively)))
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.deleteIfExists(q))
+      finally walk.close()
+    }
+  }
+
+  private def scratchFor(dir: String): java.nio.file.Path = {
+    scratchShutdownHook
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_live_$key")
+    deleteRecursively(root)
+    java.nio.file.Files.createDirectories(root)
+    scratchRoots.put(dir, root)
+    root
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -292,8 +292,13 @@ class PlanSpec extends SparkSpec {
     // the self-join key must include the salt, so one hot (brand, size)
     // block spans FuzzySalt tasks instead of serializing on one
     assert(plan.contains("__salt"), s"block key must be salted:\n$plan")
-    // side b's salt replication is an explode (Generate), not a shuffle
-    assert(plan.linesIterator.exists(l => l.contains("Generate") && l.contains("explode")),
+    // side b's salt replication is an explode (Generate), not a shuffle.
+    // FormattedMode prints the node as `Generate (N)` with the
+    // `explode(...)` expression in a separate Arguments: detail line, so
+    // the two tokens are asserted independently, never on one line.
+    assert(plan.contains("Generate"),
+      s"salt fan-out must be a Generate node:\n$plan")
+    assert(plan.contains("explode"),
       s"salt fan-out must be an explode of the small range:\n$plan")
     // block_n comes back via broadcast, never a window over the hot block
     assert(plan.contains("BroadcastHashJoin"),
