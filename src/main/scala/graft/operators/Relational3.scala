@@ -128,7 +128,8 @@ object Relational3 {
   /** Approximate sketches (100 TB variants of exact distinct/quantiles):
     * rows-only — HLL/GK internals are engine-specific, so no cross-engine
     * hash — but the bound check is IN the result: each row carries the
-    * exact answer computed in the same aggregation and a within_bound
+    * exact answer (distinct count in the same aggregation; percentile
+    * brackets from a rank-selection pre-pass) and a within_bound
     * verdict the driver (and ApproxSpec) can see is all-true.
     *  - HLL: default rsd 0.05 is one standard deviation; the gate is 3σ
     *    (15% relative), loose enough to never flake, tight enough to catch
@@ -137,14 +138,45 @@ object Relational3 {
     *    the gate brackets the approx median between the EXACT percentiles
     *    at 0.5 +- 2/1000 (double the guarantee). */
   def qApproxSketches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val li = Tables.lineitem(spark, dir)
+    // The gate's EXACT percentile brackets come from the repo's own
+    // rank-selection path (histogram passes + candidate gather), not the
+    // sort-based `percentile` aggregate: two of those buffered every group
+    // value in the agg buffer and made this the #1 heaviest bench query
+    // (round-6 verdict item 6 — 6.1 s driver-side; ~4.2 s isolated
+    // builder-side, back under 2 s with selection). Interpolation below is
+    // Percentile's own formula, so the bounds are value-identical.
+    val ps = Seq(0.498, 0.502)
+    val sel = GroupedQuantiles.selectByRank(
+      li, "l_returnflag", "l_extendedprice",
+      ranksOf = n => ps.flatMap { p =>
+        val r = p * (n - 1)
+        Seq(math.floor(r).toLong, math.ceil(r).toLong)
+      }.distinct)
+    val bounds = sel.toSeq.map { case (key, (n, byRank)) =>
+      def interp(p: Double): Double = {
+        val r = p * (n - 1)
+        val lo = math.floor(r).toLong
+        val hi = math.ceil(r).toLong
+        if (lo == hi) byRank(lo)
+        else byRank(lo) * (hi - r) + byRank(hi) * (r - lo)
+      }
+      (key.asInstanceOf[String], interp(ps.head), interp(ps.last))
+    }.toDF("l_returnflag", "median_lo", "median_hi")
+    // Exact distinct via two-level aggregation, NOT countDistinct in the
+    // sketch agg: a distinct aggregate alongside non-distinct ones plans
+    // an Expand that doubles every input row (measured ~1.9 s of the
+    // query's cost); two stacked groupBys shuffle only the already-
+    // deduped (flag, partkey) partials. Same number, scalable shape.
+    val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
     li.groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
-        percentile(col("l_extendedprice"), lit(0.498)).as("median_lo"),
-        percentile(col("l_extendedprice"), lit(0.502)).as("median_hi"))
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+      .join(broadcast(exact), "l_returnflag")
+      .join(broadcast(bounds), "l_returnflag")
       .select(
         col("l_returnflag"), col("approx_parts"), col("exact_parts"),
         col("approx_median"),
