@@ -75,7 +75,12 @@ object ScaleProbe {
     // duplicate rate are preserved and scaling is honestly linear.
     "q_events_hourly", "q_events_sliding", "q_event_gaps", "q_gap_fill",
     "q_events_json", "q_sessionize", "q_session_window",
-    "q_rolling_quantile", "q_stream_dedup_batch")
+    "q_rolling_quantile", "q_stream_dedup_batch",
+    // round-6 additions (missing from the probe until round 7):
+    // semi-structured inference over events.props, and the live
+    // Structured Streaming dedup (file stream + state store + scratch
+    // sink — its ratio includes the fixed streaming-harness overhead)
+    "q_schema_infer_json", "q_stream_dedup_live")
 
   /** The relational/tokenize remainder of the contract surface (probed
     * late round 5): every query reading the TPC-H-ish tables, plus the

@@ -76,10 +76,26 @@ object Graph {
     * SINGLE materialization, where the round-4 shape paid two back-to-back
     * eager checkpoints (edges, then edges⋈degrees). Same pattern as
     * [[Dedup.distributedClusters]]; ContextCleaner reclaims the blocks. */
+  /** Previous invocation's checkpointed edge list, per (context, dir) —
+    * reclaimed eagerly at the next call. Local-checkpoint blocks are not
+    * evictable (truncated lineage), and Dataset's own localCheckpoint
+    * offers no free() handle, so back-to-back invocations (the bench runs
+    * every query 3+ times) stack whole edge lists in the block manager
+    * until ContextCleaner catches up — the 100x probe's third pagerank run
+    * died of execution-memory starvation exactly that way (round 7). Same
+    * reclaim-on-entry pattern as StreamOps' scratch dirs: callers consume
+    * the previous result before re-invoking. */
+  private val liveCkpt = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]
+
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
     // One job, ONE eager materialization (round 4 paid two back-to-back
     // checkpoints: edges, then edges⋈degrees).
-    val eDeg = degAnnotatedEdges(spark, dir).localCheckpoint(true)
+    val ckptKey = s"${System.identityHashCode(spark.sparkContext)}|$dir"
+    liveCkpt.remove(ckptKey).foreach(_.unpersist(blocking = true))
+    val (eDeg, ckptRdd) =
+      org.apache.spark.sql.graft.Bridge.localCheckpointed(degAnnotatedEdges(spark, dir))
+    liveCkpt.put(ckptKey, ckptRdd)
     // every node has an edge (graph built from edges), so src covers V;
     // both jobs below read the checkpointed blocks, not the source join
     val nodes = eDeg.select("src").distinct()
