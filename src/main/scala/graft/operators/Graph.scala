@@ -93,8 +93,21 @@ object Graph {
     // checkpoints: edges, then edges⋈degrees).
     val ckptKey = s"${System.identityHashCode(spark.sparkContext)}|$dir"
     liveCkpt.remove(ckptKey).foreach(_.unpersist(blocking = true))
+    // The checkpoint must carry a PLAIN hashpartitioning(src, P): AQE
+    // would otherwise coalesce the window's exchange into a
+    // CoalescedHashPartitioning, which no downstream exchange can be
+    // asked to match (canCreatePartitioning = false) — every round's
+    // |E|-row join side would re-shuffle. With coalescing off for this
+    // one materialization, Bridge.localCheckpointed preserves the clean
+    // partitioning + src ordering and the per-round joins (and the
+    // nodes-distinct) consume the edge list in place, zero re-shuffles.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
     val (eDeg, ckptRdd) =
-      org.apache.spark.sql.graft.Bridge.localCheckpointed(degAnnotatedEdges(spark, dir))
+      try {
+        spark.conf.set(coalesceKey, "false")
+        org.apache.spark.sql.graft.Bridge.localCheckpointed(degAnnotatedEdges(spark, dir))
+      } finally spark.conf.set(coalesceKey, prevCoalesce)
     liveCkpt.put(ckptKey, ckptRdd)
     // every node has an edge (graph built from edges), so src covers V;
     // both jobs below read the checkpointed blocks, not the source join

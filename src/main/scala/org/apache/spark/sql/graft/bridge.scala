@@ -40,6 +40,51 @@ object Bridge {
     rdd.localCheckpoint()
     rdd.count()
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    (spark.internalCreateDataFrame(rdd, df.schema), rdd)
+    // Carry the FINAL physical plan's output partitioning/ordering into
+    // the checkpointed frame, so downstream joins on the partitioning key
+    // skip re-shuffling the checkpointed data (q_pagerank joins its edge
+    // list once per iteration on exactly the key its window stage
+    // partitioned by). `LogicalRDD.fromDataset` (what
+    // Dataset.localCheckpoint builds) reads
+    // `queryExecution.executedPlan.outputPartitioning` — but under AQE
+    // that is the AdaptiveSparkPlanExec WRAPPER, a leaf node reporting
+    // UnknownPartitioning even once the final plan is materialized, so
+    // Spark's own localCheckpoint silently drops partitioning whenever
+    // AQE is on. The count() above forces the final plan; unwrap it and
+    // rewrite its attribute ids to the logical output (same zip
+    // fromDataset performs).
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, SortOrder}
+    import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection}
+    val physical = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.finalPhysicalPlan
+      case p => p
+    }
+    def firstLeaf(p: Partitioning): Partitioning = p match {
+      case c: PartitioningCollection => firstLeaf(c.partitionings.head)
+      case _ => p
+    }
+    val out = df.queryExecution.analyzed.output
+    val rewrite: Map[Attribute, Attribute] =
+      physical.output.zip(out).toMap
+    def remap[E <: org.apache.spark.sql.catalyst.expressions.Expression](e: E): E =
+      e.transform { case a: Attribute => rewrite.getOrElse(a, a) }.asInstanceOf[E]
+    val partitioning = firstLeaf(physical.outputPartitioning) match {
+      case e: org.apache.spark.sql.catalyst.expressions.Expression
+          if e.references.subsetOf(org.apache.spark.sql.catalyst.expressions.AttributeSet(physical.output)) =>
+        remap(e).asInstanceOf[Partitioning]
+      case e: org.apache.spark.sql.catalyst.expressions.Expression =>
+        // partitioning references non-output attrs — unsafe to carry
+        org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(rdd.getNumPartitions)
+      case p => p // non-expression partitionings carry no attributes
+    }
+    val ordering: Seq[SortOrder] = physical.outputOrdering.flatMap { so =>
+      if (so.references.subsetOf(org.apache.spark.sql.catalyst.expressions.AttributeSet(physical.output)))
+        Some(remap(so))
+      else None
+    }
+    val logical = org.apache.spark.sql.execution.LogicalRDD(
+      out, rdd, partitioning, ordering, isStreaming = false)(spark, None, None)
+    (org.apache.spark.sql.classic.Dataset.ofRows(spark, logical), rdd)
   }
 }
