@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -43,18 +43,31 @@ object Graph {
   val TeleportNum = 0.15
   val PrRounds = 3
 
-  /** Undirected edge list, both directions, one row per (src, dst):
-    * node ids are 'c<custkey>' / 's<suppkey>'. */
+  /** Undirected edge list, both directions, one row per (src, dst).
+    * Node ids are PACKED LONGS — custkey*2 for customers, suppkey*2+1 for
+    * suppliers (disjoint by parity) — not the user-facing 'c<custkey>' /
+    * 's<suppkey>' strings: the edge list is the table every iteration
+    * joins and the checkpoint materializes, and at 100x it is 120 M rows —
+    * two ~8-byte longs per row shuffle, sort and hash ~3x smaller/faster
+    * than two rendered strings. The string form exists only in
+    * [[qPagerank]]'s final |V|-row projection (round 7; the 100x probe
+    * showed the checkpoint materialization, not the exchanges, dominates
+    * at scale). */
   private def edges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cust"),
-        concat(lit("s"), col("l_suppkey")).as("supp"))
+      .select((col("o_custkey").cast("long") * 2).as("cust"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("supp"))
       .distinct()
     pairs.select(col("cust").as("src"), col("supp").as("dst"))
       .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
   }
+
+  /** Render a packed node id back to the user-facing string id. */
+  private def nodeLabel(id: Column): Column =
+    when(id % 2 === 0, concat(lit("c"), (id / 2).cast("long")))
+      .otherwise(concat(lit("s"), ((id - 1) / 2).cast("long")))
 
   /** Degree-annotated edge list, LAZY (pre-checkpoint): degree is folded in
     * by a window count over src — no self-join, so no per-branch join-key
@@ -123,7 +136,10 @@ object Graph {
         .agg(round(lit(teleport) + lit(Damping) * sum(col("c")).cast("double"), 6)
           .as("rank"))
     }
-    ranks.orderBy("node")
+    // |V|-row final projection: packed ids -> user-facing string ids,
+    // ordered as the oracle orders them (string sort)
+    ranks.select(nodeLabel(col("node")).as("node"), col("rank"))
+      .orderBy("node")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
