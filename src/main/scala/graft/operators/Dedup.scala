@@ -311,11 +311,16 @@ object Dedup {
     // every round ends in an EAGER localCheckpoint: the data is cached and
     // the logical plan is truncated — without it the doubling join (which
     // references the round's frame twice) doubles the lineage every round
-    // and the plan blows up exponentially (ContextCleaner reclaims the
-    // per-round checkpoint blocks on GC)
-    var labels = und.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
+    // and the plan blows up exponentially. Round 7: checkpoints go through
+    // Bridge.localCheckpointed so each round's blocks are unpersisted
+    // DETERMINISTICALLY once the next round is materialized (the eager
+    // checkpoint truncates the dependency) — waiting on GC + the async
+    // ContextCleaner let up to O(rounds) |V|-row block sets stack up,
+    // the same accumulation class that OOM'd pagerank's 100x probe.
+    val ckpt = org.apache.spark.sql.graft.Bridge.localCheckpointed _
+    var (labels, labelsHandle) = ckpt(
+      und.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
     try {
       var changed = 1L
       var rounds = 0
@@ -330,21 +335,26 @@ object Dedup {
         // pointer doubling: follow the new label one more hop (the label of
         // a doc is itself a doc in the same component)
         val hop = prop.select(col("doc_id").as("mid_cid"), col("mid_cid").as("hop_cid"))
-        val next = prop.join(maybeBroadcast(hop), Seq("mid_cid"), "left")
-          .select(col("doc_id"),
-            least(col("mid_cid"), coalesce(col("hop_cid"), col("mid_cid"))).as("cluster_id"),
-            col("old_cid"))
-          .withColumn("moved", col("cluster_id") < col("old_cid"))
-          .drop("old_cid")
-          .localCheckpoint(true)
+        val (next, nextHandle) = ckpt(
+          prop.join(maybeBroadcast(hop), Seq("mid_cid"), "left")
+            .select(col("doc_id"),
+              least(col("mid_cid"), coalesce(col("hop_cid"), col("mid_cid"))).as("cluster_id"),
+              col("old_cid"))
+            .withColumn("moved", col("cluster_id") < col("old_cid"))
+            .drop("old_cid"))
         changed = next.filter(col("moved")).count()
         labels = next.drop("moved")
+        labelsHandle.unpersist(blocking = false)
+        labelsHandle = nextHandle
         rounds += 1
       }
       // a pathological pair graph must fail loudly, never return
       // partially-propagated labels as if they were clusters
       require(changed == 0,
         s"label propagation did not converge in $rounds rounds ($changed labels still moving)")
+      // the RESULT checkpoint intentionally keeps Dataset.localCheckpoint:
+      // it outlives this call (the caller consumes the returned frame), so
+      // GC + ContextCleaner remain the right owners for its blocks
       labels
         .join(labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")), "cluster_id")
         .select("doc_id", "cluster_id", "cluster_size")
@@ -353,6 +363,7 @@ object Dedup {
     } finally {
       pairs.unpersist(blocking = false)
       und.unpersist(blocking = false)
+      labelsHandle.unpersist(blocking = false)
     }
   }
 
