@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -11,25 +10,40 @@ import graft.Tables
   * (o_custkey, l_suppkey) pair in the order history). Quality/centrality
   * propagation over a relation graph is a standard corpus-curation signal
   * (authority-weighted sampling); the operator here is the canonical
-  * distributed formulation: each iteration is one equi-join of the rank
-  * frame onto the edge list plus one aggregation — no collects, no
-  * adjacency materialization on the driver.
+  * distributed formulation: each iteration is one equi-join of a per-node
+  * contribution frame onto the edge list plus one aggregation — no
+  * collects, no adjacency materialization on the driver.
   *
   * Cross-engine determinism (the interesting part): a straight double sum
   * over neighbor contributions is shuffle-order-dependent. Every
   * contribution r(u)/deg(u) is therefore rounded to the shared 6-decimal
-  * grid and summed as DECIMAL(38,6) — exact and associative, so Spark's
-  * shuffle order and DuckDB's scan order cannot disagree — then the damping
-  * arithmetic (one multiply, one add) and the final round-6 are identical
-  * single IEEE ops on both engines. This quantized PageRank differs from
-  * the fp-exact value by < 1e-6 per edge per round, and is BIT-identical
-  * across engines (the same pattern as the money-sum DECIMAL convention).
+  * grid and summed EXACTLY — so Spark's shuffle order and DuckDB's scan
+  * order cannot disagree — then the damping arithmetic (one multiply, one
+  * add) and the final round-6 are identical single IEEE ops on both
+  * engines. The exact sum is carried as micro-unit LONGS (the round-6
+  * value times 1e6 is an integer; recovered via one correctly-rounded
+  * double op per value on each side): an 8-byte primitive sum where the
+  * DECIMAL(38,6) the oracle SQL writes is a 16-byte BigDecimal-backed
+  * aggregation — same rational number, associative on both engines,
+  * bit-identical after the cast to double (round 8). This quantized
+  * PageRank differs from the fp-exact value by < 1e-6 per edge per round,
+  * and is BIT-identical across engines (the same pattern as the money-sum
+  * DECIMAL convention).
   *
-  * 100 TB shape: the edge list shuffles once to build degrees; each
-  * iteration shuffles contribution rows by destination (map-side combined).
-  * At cluster scale both sides bucket by node id so iterations reuse the
-  * partitioning; the rank frame is |V| rows — orders of magnitude smaller
-  * than the |E|-row edge list that dominates the join.
+  * 100 TB shape (round-8 surgery; the 100x probe showed the checkpoint
+  * materialization bytes, not the exchange count, dominate): the
+  * materialized edge list carries ONLY (src, dst) — degree lives in a
+  * separate |V|-row checkpointed frame, so the per-edge row is two longs
+  * instead of three, and the per-round division+rounding runs over |V|
+  * rows, not 2|E| (r(u)/deg(u) is the same value for every edge out of u).
+  * Each iteration: a co-partitioned |V|⋈|V| shuffle-hash join builds the
+  * contribution frame, a co-partitioned shuffle-hash fan-out join streams
+  * the edge list (probe side — never sorted, never re-shuffled; the
+  * checkpoint carries hashpartitioning(src)), and the dst-aggregation is
+  * the round's ONE exchange, map-side combined down to ≤ |V| long rows per
+  * task. At cluster scale both checkpoints bucket by node id; the rank
+  * frame is |V| rows — orders of magnitude smaller than the |E|-row edge
+  * list that dominates the join.
   */
 object Graph {
 
@@ -69,71 +83,89 @@ object Graph {
     when(id % 2 === 0, concat(lit("c"), (id / 2).cast("long")))
       .otherwise(concat(lit("s"), ((id - 1) / 2).cast("long")))
 
-  /** Degree-annotated edge list, LAZY (pre-checkpoint): degree is folded in
-    * by a window count over src — no self-join, so no per-branch join-key
-    * null filters, and the union's two branches stay byte-identical plans
-    * whose distinct-exchange is REUSED (PlanSpec asserts it). A
-    * groupBy+self-join shape here computes the lineitem⋈orders source join
-    * four times: each union branch gets a different isnotnull(concat(...))
-    * pushed down, which defeats exchange reuse. */
-  private[graft] def degAnnotatedEdges(spark: SparkSession, dir: String): DataFrame = {
-    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
-    edges(spark, dir).withColumn("deg", count(lit(1)).over(bySrc))
-  }
+  /** The edge list hash-clustered on src, LAZY (pre-checkpoint). The
+    * union's two branches hang off the same distinct-pairs subplan, so the
+    * distinct exchange is REUSED across branches (PlanSpec asserts it) and
+    * the lineitem⋈orders source join runs once. No degree fold here
+    * (round 8): degree is a property of the NODE, so materializing it per
+    * edge row paid 8 bytes × 2|E| and a window sort for a value the
+    * |V|-row degree frame carries for free. */
+  private[graft] def partitionedEdges(spark: SparkSession, dir: String): DataFrame =
+    edges(spark, dir).repartition(col("src"))
 
-  /** PageRank after [[PrRounds]] quantized power iterations. The
-    * degree-annotated edge list is eagerly checkpointed ONCE: every
-    * iteration's plan references it, and without truncation each round
-    * re-derives the lineitem-orders join (measured 7.5 s -> ~2 s at sf0.1).
-    * Degree is folded in by a window count over src — one shuffle and a
-    * SINGLE materialization, where the round-4 shape paid two back-to-back
-    * eager checkpoints (edges, then edges⋈degrees). Same pattern as
-    * [[Dedup.distributedClusters]]; ContextCleaner reclaims the blocks. */
-  /** Previous invocation's checkpointed edge list, per (context, dir) —
-    * reclaimed eagerly at the next call. Local-checkpoint blocks are not
+  /** Live checkpointed RDDs (edge list + degree frame) per (context, dir)
+    * — reclaimed eagerly at the next call. Local-checkpoint blocks are not
     * evictable (truncated lineage), and Dataset's own localCheckpoint
     * offers no free() handle, so back-to-back invocations (the bench runs
     * every query 3+ times) stack whole edge lists in the block manager
     * until ContextCleaner catches up — the 100x probe's third pagerank run
     * died of execution-memory starvation exactly that way (round 7). Same
-    * reclaim-on-entry pattern as StreamOps' scratch dirs: callers consume
-    * the previous result before re-invoking. */
+    * reclaim-on-entry pattern as StreamOps' scratch dirs. */
   private val liveCkpt = scala.collection.concurrent.TrieMap
-    .empty[String, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]
+    .empty[String, Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]]
 
+  /** PageRank after [[PrRounds]] quantized power iterations.
+    *
+    * ==Invalidation contract==
+    * Re-invoking with the same (SparkContext, dir) UNPERSISTS the previous
+    * invocation's checkpointed edge/degree blocks — a DataFrame returned
+    * by an earlier call is INVALID once qPagerank is called again (its
+    * truncated lineage cannot recompute). Consume each result before
+    * re-invoking (the bench/Verify convention). The swap itself is
+    * serialized on [[liveCkpt]], so concurrent calls cannot interleave
+    * remove/put and leak a live checkpoint (round-8 advisor item).
+    */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    // One job, ONE eager materialization (round 4 paid two back-to-back
-    // checkpoints: edges, then edges⋈degrees).
     val ckptKey = s"${System.identityHashCode(spark.sparkContext)}|$dir"
-    liveCkpt.remove(ckptKey).foreach(_.unpersist(blocking = true))
-    // The checkpoint must carry a PLAIN hashpartitioning(src, P): AQE
-    // would otherwise coalesce the window's exchange into a
-    // CoalescedHashPartitioning, which no downstream exchange can be
-    // asked to match (canCreatePartitioning = false) — every round's
-    // |E|-row join side would re-shuffle. With coalescing off for this
-    // one materialization, Bridge.localCheckpointed preserves the clean
-    // partitioning + src ordering and the per-round joins (and the
-    // nodes-distinct) consume the edge list in place, zero re-shuffles.
+    // Two eager materializations, but the second is the |V|-row degree
+    // frame — negligible next to the 2|E|-row edge list, and it buys every
+    // iteration a degree lookup with NO re-scan of the edge checkpoint
+    // (deriving degrees lazily would re-aggregate all 2|E| rows per round).
+    // Both checkpoints must carry a PLAIN hashpartitioning(src, P): AQE
+    // would otherwise coalesce the repartition exchange into a
+    // CoalescedHashPartitioning, which no downstream exchange can be asked
+    // to match (canCreatePartitioning = false) — every round's |E|-row
+    // join side would re-shuffle. With coalescing off for these two
+    // materializations, Bridge.localCheckpointed preserves the clean
+    // partitioning and the per-round joins consume both frames in place.
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val prevCoalesce = spark.conf.get(coalesceKey)
-    val (eDeg, ckptRdd) =
+    val (eCkpt, degD, n) = liveCkpt.synchronized {
+      liveCkpt.remove(ckptKey).foreach(_.foreach(_.unpersist(blocking = true)))
+      val prevCoalesce = spark.conf.get(coalesceKey)
       try {
         spark.conf.set(coalesceKey, "false")
-        org.apache.spark.sql.graft.Bridge.localCheckpointed(degAnnotatedEdges(spark, dir))
+        val (e, eRdd) = org.apache.spark.sql.graft.Bridge
+          .localCheckpointed(partitionedEdges(spark, dir))
+        // degrees read the checkpointed blocks (no exchange: the groupBy
+        // key IS the carried partitioning key), never the source join
+        val (d, dRdd) = org.apache.spark.sql.graft.Bridge
+          .localCheckpointed(e.groupBy("src").agg(count(lit(1)).as("deg")))
+        liveCkpt.put(ckptKey, Seq(eRdd, dRdd))
+        (e, d, dRdd.count()) // |V|: one row per distinct src
       } finally spark.conf.set(coalesceKey, prevCoalesce)
-    liveCkpt.put(ckptKey, ckptRdd)
-    // every node has an edge (graph built from edges), so src covers V;
-    // both jobs below read the checkpointed blocks, not the source join
-    val nodes = eDeg.select("src").distinct()
-    val n = nodes.count()
+    }
     val teleport = TeleportNum / n
-    var ranks = nodes.select(col("src").as("node"), round(lit(1.0 / n), 6).as("rank"))
+    var ranks = degD.select(col("src").as("node"), round(lit(1.0 / n), 6).as("rank"))
     for (_ <- 1 to PrRounds) {
-      val contrib = eDeg.join(ranks, col("src") === col("node"))
-        .select(col("dst"),
-          round(col("rank") / col("deg"), 6).cast(DecimalType(38, 6)).as("c"))
-      ranks = contrib.groupBy(col("dst").as("node"))
-        .agg(round(lit(teleport) + lit(Damping) * sum(col("c")).cast("double"), 6)
+      // Per-NODE contribution: round(rank/deg, 6) is identical for every
+      // edge out of src, so divide+round once per node, not per edge. The
+      // round-6 double times 1e6 is an integer; round(·, 0) recovers it
+      // exactly (the product sits within ~1e-10 of the integer, never near
+      // a .5 knife edge), so the fan-out carries an 8-byte long and the
+      // aggregation is an exact primitive sum — associative, shuffle-order
+      // independent, equal to the oracle's DECIMAL(38,6) sum as a rational.
+      val contrib = ranks.join(degD.hint("shuffle_hash"), col("node") === col("src"))
+        .select(col("node"),
+          round(round(col("rank") / col("deg"), 6) * 1e6, 0).cast("long").as("c"))
+      // Fan-out: the edge checkpoint is the PROBE side of a co-partitioned
+      // shuffle-hash join — streamed in place, never sorted (an SMJ would
+      // re-sort 2|E| rows every round), never re-shuffled.
+      ranks = eCkpt.join(contrib.hint("shuffle_hash"), col("src") === col("node"))
+        .groupBy(col("dst").as("node"))
+        // k.toDouble / 1e6 is one correctly-rounded IEEE divide — the same
+        // double DuckDB's CAST(DECIMAL(38,6) AS DOUBLE) produces for the
+        // same exact sum k/1e6.
+        .agg(round(lit(teleport) + lit(Damping) * (sum(col("c")).cast("double") / 1e6), 6)
           .as("rank"))
     }
     // |V|-row final projection: packed ids -> user-facing string ids,

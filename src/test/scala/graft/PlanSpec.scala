@@ -216,21 +216,42 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), "no join anywhere in zorder clustering")
   }
 
-  test("pagerank edge+degree materialization computes the source join once") {
-    // qPagerank checkpoints degAnnotatedEdges in ONE job. The undirected
-    // union's two branches hang off the same distinct-pairs subplan; with
-    // the window-count degree fold they stay identical and the distinct
-    // exchange is reused — the fact join must appear ONCE in the physical
-    // plan, not once per branch. If reuse is lost, a 100 TB run pays the
-    // lineitem⋈orders join (and its shuffle) twice per materialization.
+  test("pagerank edge materialization computes the source join once") {
+    // qPagerank checkpoints partitionedEdges in ONE job. The undirected
+    // union's two branches hang off the same distinct-pairs subplan; they
+    // stay byte-identical plans and the distinct exchange is reused — the
+    // fact join must appear ONCE in the physical plan, not once per
+    // branch. If reuse is lost, a 100 TB run pays the lineitem⋈orders
+    // join (and its shuffle) twice per materialization.
     // Reuse fires during ADAPTIVE execution (the static explain still shows
     // both branches), so drive this queryExecution and read the final plan.
-    val df = operators.Graph.degAnnotatedEdges(spark, sf)
+    val df = operators.Graph.partitionedEdges(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("isFinalPlan=true"), "expected the AQE final plan:\n" + plan)
     assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
       s"expected the distinct-pairs stage to be reused across union branches:\n$plan")
+  }
+
+  test("pagerank iterations: edge checkpoint streams in place — no sort, no re-shuffle (round 8)") {
+    // The returned frame's plan is everything AFTER the two checkpoints:
+    // PrRounds iterations + the final projection. Per round the ONLY
+    // exchange is the dst-aggregation (plus tiny |V|-row shuffles AQE may
+    // introduce on the contribution side) and the final ORDER BY is one
+    // range exchange; the 2|E|-row edge scan must appear as a shuffle-hash
+    // join PROBE side — never sorted (an SMJ would re-sort the edge list
+    // every round), never exchanged (the checkpoint carries
+    // hashpartitioning(src)).
+    val df = operators.Graph.qPagerank(spark, sf)
+    val plan = formatted(df)
+    assert(plan.contains("ShuffledHashJoin"),
+      s"per-round joins must be shuffle-hash (edge side streamed, not sorted):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"an SMJ would re-sort the edge checkpoint every round:\n$plan")
+    // LogicalRDD scan of the edge checkpoint must not feed an Exchange:
+    // every "Scan ExistingRDD" occurrence is consumed by a join directly.
+    val sorts = plan.linesIterator.count(l => l.contains(") Sort") && !l.contains("SortAggregate"))
+    assert(sorts <= 1, s"only the final ORDER BY may sort, got $sorts:\n$plan")
   }
 
   test("no HOF lambda captures a split() independent of its lambda variable (round 5)") {
