@@ -92,12 +92,17 @@ object Bench {
       val es = errors.toSeq.sortBy(_._1)
         .map { case (n, m) => s"${jsonStr(n)}:${jsonStr(m)}" }.mkString("{", ",", "}")
       val total = r3(best.values.sum)
-      println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}""")
+      // Host-phase normalizer (round-8 verdict item 2): the flagship q1's
+      // min is a fixed-work calibration sample — cross-round totals divide
+      // by it to cancel the 1.3-1.5x host-speed drift between driver
+      // windows (round 7's +4.4% "regression" was entirely host phase).
+      val q1n = best.get("q1_pricing_summary").map(r3).getOrElse(0.0)
+      println(s"""{"metric":"detail","value":$total,"unit":"sec","q1_norm":$q1n,"queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}""")
       // "queries" on the compact line carries only the 5 slowest (contract
       // shape preserved, line stays ~400 bytes); the full map is one line up.
       val top5 = best.toSeq.sortBy(-_._2).take(5)
         .map { case (n, s) => s"${jsonStr(n)}:${r3(s)}" }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top5,"passes":$passesDone,"measured":${best.size},"errors":${errors.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","q1_norm":$q1n,"queries":$top5,"passes":$passesDone,"measured":${best.size},"errors":${errors.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}""")
       Console.out.flush()
     }
 

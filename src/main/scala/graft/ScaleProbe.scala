@@ -44,8 +44,13 @@ object ScaleProbe {
     * SPARK_GRAFT_PROBE_REPLICAS=100 with its own probe dir — broadcast→
     * shuffle flips and AQE decisions move at the next decade, and the 10x
     * ratios cannot see them. */
-  private val Replicas: Int =
-    sys.env.getOrElse("SPARK_GRAFT_PROBE_REPLICAS", "10").toInt
+  private val Replicas: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPLICAS", "10")
+    val n = raw.toIntOption.getOrElse(
+      sys.error(s"SPARK_GRAFT_PROBE_REPLICAS must be a positive integer, got '$raw'"))
+    require(n > 0, s"SPARK_GRAFT_PROBE_REPLICAS must be positive, got $n")
+    n
+  }
 
   /** Directory label / JSON key suffix for the scaled side. */
   private val XN = s"x$Replicas"
@@ -178,7 +183,7 @@ object ScaleProbe {
       (best.get((name, "x1")), best.get((name, XN))) match {
         case (Some(base), Some(big)) =>
           val ratio = big / base
-          System.err.println(f"[probe] min $name%-22s base=$base%7.2fs 10x=$big%7.2fs ratio=$ratio%6.1f")
+          System.err.println(f"[probe] min $name%-22s base=$base%7.2fs $XN%s=$big%7.2fs ratio=$ratio%6.1f")
           Some((name, base, big, ratio))
         case _ =>
           System.err.println(s"[probe] min $name SKIPPED: " +

@@ -169,7 +169,15 @@ object Relational3 {
     // an Expand that doubles every input row (measured ~1.9 s of the
     // query's cost); two stacked groupBys shuffle only the already-
     // deduped (flag, partkey) partials. Same number, scalable shape.
-    val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+    // NULL semantics (round-8 advisor item): distinct()+count(1) counts a
+    // NULL l_partkey where countDistinct would exclude it — filter nulls
+    // explicitly so the two-level shape stays equivalent under any input
+    // (a no-op scan predicate on TPC-H lineitem, where both columns are
+    // non-null; groups with a NULL l_returnflag would also be dropped by
+    // the inner gate joins below, so they are excluded here for symmetry).
+    val exact = li.select(col("l_returnflag"), col("l_partkey"))
+      .filter(col("l_partkey").isNotNull && col("l_returnflag").isNotNull)
+      .distinct()
       .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
     li.groupBy("l_returnflag")
       .agg(
