@@ -222,7 +222,7 @@ object StreamOps {
     import spark.implicits._
     val path = s"$dir/events.parquet"
     val rawSchema = spark.read.parquet(path).schema
-    val tmp = scratchFor(dir)
+    val tmp = scratchFor("live", dir)
     val out = s"$tmp/out"
     // events.parquet is a single FILE: for a non-glob path the file-stream
     // source force-sets basePath to the path itself and then rejects it
@@ -262,10 +262,123 @@ object StreamOps {
     // is deleted as soon as the blocks are live, so disk is reclaimed at
     // the earliest safe point rather than held until the next call.
     val (frame, rdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(agg)
-    liveResult.remove(dir).foreach(_.unpersist(blocking = true))
-    liveResult.put(dir, rdd)
+    liveResult.remove(s"live|$dir").foreach(_.unpersist(blocking = true))
+    liveResult.put(s"live|$dir", rdd)
     deleteRecursively(tmp)
-    scratchRoots.remove(dir)
+    scratchRoots.remove(s"live|$dir")
+    frame
+  }
+
+  /** Live watermarked SESSION-WINDOW aggregation (round-8 verdict item 5 —
+    * the second driver-visible Structured Streaming query, closing the gap
+    * between the spec-only watermark coverage and the contract surface):
+    * the events parquet is consumed as a file stream, aggregated with the
+    * native `session_window` (30-min gap) under an event-time watermark,
+    * and APPEND mode emits each session exactly once — when the watermark
+    * passes its end, i.e. genuine late-data state EVICTION, the mechanism
+    * StreamingSpec proves under controlled arrival order.
+    *
+    * Determinism: append mode only flushes sessions the watermark has
+    * passed, and the final watermark normally stops at max(ts) − delay, so
+    * every user's trailing session would be withheld in the state store and
+    * the result would be arrival-dependent. The input is therefore STAGED:
+    * the real event files (symlinked, never copied) plus one SENTINEL row
+    * (user_id = −1) whose timestamp sits 10 gaps past the corpus maximum.
+    * The watermark is global, so the single sentinel pushes it past every
+    * real session's end; the terminal no-data micro-batch (Spark's
+    * watermark-finalization batch) evicts and emits ALL real sessions, and
+    * the output — minus the sentinel's own session — is exactly the batch
+    * gap-and-island result, hash-checked against [[graft.operators
+    * .PipelineOps.qSessionWindow]]'s oracle SQL.
+    *
+    * Scale: session state per live (user, session) is the agg buffer (two
+    * longs + a decimal); the watermark bounds it — state for a user is
+    * evicted as soon as the stream is a gap past their last event. The
+    * sentinel trick is the standard stream-drain pattern for bounded
+    * replays; a true unbounded deployment simply has no drain step. */
+  def qSessionWindowLive(spark: SparkSession, dir: String): DataFrame = scratchRoots.synchronized {
+    import org.apache.spark.sql.types.{LongType, StructField, TimestampNTZType, TimestampType}
+    val path = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    val tmp = scratchFor("session", dir)
+    val in = java.nio.file.Paths.get(s"$tmp/in")
+    java.nio.file.Files.createDirectories(in)
+    // Stage the real files as symlinks: events.parquet is a single file at
+    // the driver fixtures but a part-file DIRECTORY in derived probe dirs.
+    val src = new java.io.File(path)
+    val parts =
+      if (src.isFile) Seq(src)
+      else src.listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).toSeq
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.createSymbolicLink(in.resolve(f"ev_$i%05d.parquet"), f.toPath)
+    }
+    // One sentinel row 10 gaps past the corpus max, in the RAW schema (the
+    // fixtures store ts as parquet nanos-long; fall through for real
+    // timestamp types so the operator survives a fixture change).
+    val maxUs = graft.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0)
+    val sentinelUs = maxUs + 10 * graft.operators.PipelineOps.SessionGapUs
+    val sentinelVals: Seq[Any] = rawSchema.fields.toSeq.map {
+      case StructField("user_id", LongType, _, _) => -1L
+      case StructField("ts", LongType, _, _) => sentinelUs * 1000L // nanos
+      case StructField("ts", TimestampType, _, _) =>
+        java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(sentinelUs / 1000))
+      case StructField("ts", TimestampNTZType, _, _) =>
+        java.time.LocalDateTime.ofEpochSecond(
+          sentinelUs / 1000000, ((sentinelUs % 1000000) * 1000).toInt, java.time.ZoneOffset.UTC)
+      case _ => null
+    }
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row.fromSeq(sentinelVals)), rawSchema)
+      .coalesce(1).write.parquet(s"$tmp/sentinel")
+    new java.io.File(s"$tmp/sentinel").listFiles((_: java.io.File, n: String) => n.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.move(f.toPath, in.resolve("zz_sentinel.parquet")))
+
+    // All staged files must land in ONE micro-batch: the files carry no
+    // per-file time ordering, so a multi-batch split could replay events
+    // older than the advanced watermark and have them (correctly, per
+    // streaming semantics) dropped as late — the drain contract here is
+    // single-batch ingest + watermark-finalization flush. Pinned explicitly
+    // so a Spark default change cannot silently re-split the replay.
+    val raw = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", Int.MaxValue)
+      .parquet(in.toString)
+    val evs = rawSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val out = s"$tmp/out"
+    val q = evs
+      .select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.write.mode(SaveMode.Append).parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    val result = spark.read.parquet(out)
+      .filter(col("user_id") =!= -1L)
+      .select("user_id", "start_us", "end_us", "n_events", "sum_value")
+      .orderBy("user_id", "start_us")
+    // Same scratch-independence contract as qStreamDedupLive: materialize
+    // eagerly, reclaim the previous invocation's blocks, drop the scratch.
+    val (frame, rdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(result)
+    liveResult.remove(s"session|$dir").foreach(_.unpersist(blocking = true))
+    liveResult.put(s"session|$dir", rdd)
+    deleteRecursively(tmp)
+    scratchRoots.remove(s"session|$dir")
     frame
   }
 
@@ -299,29 +412,34 @@ object StreamOps {
     }
   }
 
-  private def scratchFor(dir: String): java.nio.file.Path = {
+  private def scratchFor(tag: String, dir: String): java.nio.file.Path = {
     scratchShutdownHook
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$tag|$dir".getBytes("UTF-8")).map("%02x".format(_)).mkString
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_stream_live_$key")
+      System.getProperty("java.io.tmpdir"), s"graft_stream_${tag}_$key")
     deleteRecursively(root)
     java.nio.file.Files.createDirectories(root)
-    scratchRoots.put(dir, root)
+    scratchRoots.put(s"$tag|$dir", root)
     root
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_dedup_live" -> qStreamDedupLive
+    "q_stream_dedup_live" -> qStreamDedupLive,
+    "q_session_window_live" -> qSessionWindowLive
   )
 
   /** The streaming dedup's duplicate counts are order-independent, so the
-    * oracle is the plain per-key aggregate (count - 1 suppressed copies). */
+    * oracle is the plain per-key aggregate (count - 1 suppressed copies);
+    * the live session windows drain to exactly the batch gap-and-island
+    * sessions, so their oracle IS q_session_window's SQL. */
   def oracleSql: Map[String, String] = Map(
     "q_stream_dedup_live" ->
       """SELECT user_id, event_type, CAST(COUNT(*) - 1 AS BIGINT) AS n_duplicates
         |FROM events GROUP BY user_id, event_type
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_session_window_live" ->
+      graft.operators.PipelineOps.oracleSql("q_session_window")
   )
 
   case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
