@@ -85,7 +85,9 @@ object ScaleProbe {
     // semi-structured inference over events.props, and the live
     // Structured Streaming dedup (file stream + state store + scratch
     // sink — its ratio includes the fixed streaming-harness overhead)
-    "q_schema_infer_json", "q_stream_dedup_live")
+    "q_schema_infer_json", "q_stream_dedup_live",
+    // round-8 addition: the live watermarked session-window drain
+    "q_session_window_live")
 
   /** The relational/tokenize remainder of the contract surface (probed
     * late round 5): every query reading the TPC-H-ish tables, plus the
@@ -259,17 +261,27 @@ object ScaleProbe {
     // dimensions grow 10x together. nation/region are copied verbatim —
     // enum-like dims don't grow with the corpus (and their crossJoin
     // queries stay the intentional 25-row case). Non-key attributes repeat
-    // verbatim across replicas; one timed plan DOES block on them:
-    // q_fuzzy_pairs blocks on (p_brand, p_size) over p_name, so its
-    // 10x blocks hold 10 identical copies of every name — cross-replica
-    // levenshtein-0 pairs amplify both candidates and output beyond what
-    // an organically-grown catalog would show. That query's measured
-    // ratio is therefore an upper bound driven by derivation-created true
-    // duplicates on top of its inherently output-bound semantics (τ=5 on
-    // 7-12-char names passes ~25% of in-block candidates even at 1x) —
-    // see the SURVEY probe notes. lineitem is written LAST: it is
-    // main()'s generation sentinel, so a partially-failed generation
-    // regenerates in full.
+    // verbatim across replicas — INCLUDING p_name, a deliberate round-8
+    // decision after measuring the alternative. The round-7 verdict read
+    // q_fuzzy_pairs' cross-replica levenshtein-0 pairs as a derivation
+    // artifact and asked for perturbed replica names; round 8 tried it (a
+    // replica-keyed 12-char prefix token, pairwise token distance >= 6
+    // safely past tau = 5) and the measured 10x ratio got WORSE (13.9 ->
+    // 28.9): the fixture's names are 7-12-char two-word strings from a
+    // CLOSED 64-name vocabulary, so the token swallowed most names whole
+    // and collapsed each replica's in-block catalog onto ONE string — a
+    // far more degenerate corpus than verbatim copies. Verbatim IS the
+    // organic model for this generator: the x1 20k-row catalog already
+    // averages ~312 copies per name (2112 in-block duplicate (block,
+    // name) groups), so an organically 10x-grown catalog multiplies
+    // same-name in-block copies 10-fold exactly as replication does, and
+    // tau=5 against 7-12-char names passes ~25% of even DISTINCT-name
+    // candidates. The query's answer is therefore genuinely
+    // Theta(block_pairs) — quadratic in scale — and its probe ratio must
+    // be read as OUTPUT growth, not plan regression; the SURVEY row
+    // records pairs/second at both scales to make that readable.
+    // lineitem is written LAST: it is main()'s generation sentinel, so a
+    // partially-failed generation regenerates in full.
     def shifted(df: DataFrame, keys: Seq[String]): DataFrame = {
       val withR = df.select(col("*"), reps)
       withR.select(df.columns.toSeq.map { c =>

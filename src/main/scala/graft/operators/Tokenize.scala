@@ -178,7 +178,8 @@ object Tokenize {
     * [[tokenizeRankDistributed]] — this is the shape that wins on a
     * 1000-executor cluster (boundary keys broadcast as plan constants).
     *
-    * Requirements: `tiebreak` must be a unique total order; all key
+    * Requirements: `tiebreak` must be a unique total order — it is also
+    * the output ordering, applied below the token projection; all key
     * columns non-null, NaN-free, and order-preserving under a double cast
     * (integers < 2^53; the driver corpus qualifies — checked with one
     * aggregate). Token equality with [[tokenizeRank]] is spec-proved. */
@@ -360,9 +361,22 @@ object Tokenize {
       val keyCols = (col(c) +: tiebreak.map(col)).map(_.cast("double"))
       VectorBucketizeExpr.vbucketize(keyCols, thresholds(ci)).as(s"${c}_token")
     }
+    // The output sort runs BELOW the token projection, on the FULL raw
+    // tiebreak (round 8): `tiebreak` is a unique total order of raw
+    // columns, so sorting by it is fully deterministic, both engines can
+    // order by it (the oracle ORDER BY carries the raw columns even
+    // though it projects only keys + tokens), and sorting first means
+    // (a) the range partitioner's sampling pass executes the bare pruned
+    // scan instead of re-evaluating k VectorBucketize searches per row —
+    // at the 100x probe that sampling pass was a full extra 60 M-row
+    // token evaluation — and (b) tokens are computed exactly once,
+    // map-only, AFTER the exchange. (A first cut sorted by the
+    // non-measure prefix alone; the driver fixture's (l_orderkey,
+    // l_linenumber) is NOT unique — 60k rows / 45.8k distinct pairs — so
+    // the tie rows came back in a different order than the oracle's.
+    // The full tiebreak has uniqueness as an asserted precondition.)
     val outKeys = tiebreak.filterNot(cols.contains)
-    val order = (outKeys ++ cols.map(c => s"${c}_token")).map(col)
-    df.select(outKeys.map(col) ++ tokens: _*).orderBy(order: _*)
+    df.orderBy(tiebreak.map(col): _*).select(outKeys.map(col) ++ tokens: _*)
   }
 
   /** Inner quantile probabilities 1/bins … (bins-1)/bins. */
@@ -915,9 +929,13 @@ object Tokenize {
          |FROM b, generate_series(1, ${DefaultBins + 1}) t(gs)
          |ORDER BY col_name, p_idx""".stripMargin
     Map(
+      // ORDER BY the full raw tiebreak (not keys + tokens): matches the
+      // Spark side's below-projection sort — a unique total order both
+      // engines sort identically (round 8; raw columns may appear in
+      // ORDER BY without being projected).
       "q_tokenize_rank" ->
         s"""SELECT l_orderkey, l_linenumber, $tokenCols
-           |FROM lineitem ORDER BY $tokenOrder""".stripMargin,
+           |FROM lineitem ORDER BY $fullTiebreak""".stripMargin,
       "q_quantile_bounds" -> boundsSql,
       "q_quantile_bounds_sample" -> boundsSql,
       "q_tokenize_bucketize" ->
