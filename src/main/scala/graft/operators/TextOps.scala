@@ -125,17 +125,30 @@ object TextOps {
 
   /** Canonical text normalization (the cleaning map every corpus pipeline
     * runs before dedup/tokenization): lowercase, strip every char outside
-    * [a-z0-9 ], collapse whitespace runs, trim — all map-only, one fused
-    * projection. ASCII classes only, so Java regex and DuckDB RE2 agree. */
-  def qTextNormalize(spark: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    * [a-z0-9 ], collapse whitespace runs, trim. The DuckDB oracle keeps the
+    * two-regex formulation (ASCII classes only, so Java regex and DuckDB
+    * RE2 agree); the Spark side runs [[graft.functions.NormalizeTextExpr]]
+    * — the same map fused into ONE codegen byte walk (round 8: the regex
+    * chain cost ~8 effective passes per row and 51.6 s at the 100x probe;
+    * see the expression's scaladoc for the arithmetic and the ASCII
+    * equivalence precondition).
+    *
+    * Plan shape (same round-8 lesson as tokenize_rank): the output sort
+    * runs BELOW the projection, on the raw (doc_id, text) rows — the
+    * range partitioner's sampling pass executes only the pruned scan, and
+    * the normalization runs exactly once, map-only, after the exchange.
+    * The norm column is projected in its own step and its length taken
+    * from the COLUMN in a second projection, so the walk is never
+    * duplicated per output column (CollapseProject keeps non-cheap
+    * expressions single-use). */
+  def qTextNormalize(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), norm.as("norm_text"),
-        length(col("text")).as("n_chars_raw"),
-        length(norm).as("n_chars_norm"))
+      .select(col("doc_id"), col("text"))
       .orderBy("doc_id")
-  }
+      .select(col("doc_id"),
+        graft.functions.NormalizeTextExpr.normalizeText(col("text")).as("norm_text"),
+        length(col("text")).as("n_chars_raw"))
+      .withColumn("n_chars_norm", length(col("norm_text")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_normalize" -> qTextNormalize,

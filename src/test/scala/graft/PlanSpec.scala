@@ -51,6 +51,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"unexpected shuffle on the corpus side ($exchanges exchanges):\n$plan")
   }
 
+  test("q_text_normalize runs the byte walk once, above the output sort (round 8)") {
+    val plan = SparkEntry.queries("q_text_normalize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // exactly one normalize call in the plan (never duplicated into the
+    // length column), and it sits ABOVE the range exchange — parents print
+    // first, so its line index must precede the Exchange's — which keeps
+    // the sort-sampling pass on the bare pruned scan
+    val norm = plan.linesIterator.indexWhere(_.contains("graft_normalize_text"))
+    val exch = plan.linesIterator.indexWhere(_.contains("Exchange rangepartitioning"))
+    assert(norm >= 0 && exch >= 0, plan)
+    assert(norm < exch, s"normalize must evaluate after the exchange (post-sort stage):\n$plan")
+    assert(plan.sliding("graft_normalize_text".length).count(_ == "graft_normalize_text") == 1,
+      s"byte walk must appear exactly once in the plan:\n$plan")
+  }
+
   test("q_tokenize_rank has no single-partition exchange anywhere (round 3)") {
     val plan = SparkEntry.queries("q_tokenize_rank")(spark, sf)
       .queryExecution.executedPlan.toString
