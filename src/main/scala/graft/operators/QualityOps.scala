@@ -56,31 +56,33 @@ object QualityOps {
     * same doc, and the mass of the single most frequent 2-gram. Docs that
     * exceed either threshold are boilerplate/spam candidates.
     *
-    * Plan: dup-3gram fraction is computed array-side (map-only — the doc is
-    * already in one row, no explode/shuffle needed); the top-2gram mass needs
-    * a per-(doc, gram) count, one hash aggregation with map-side combine,
-    * then an inner join back on doc_id.
-    */
+    * Plan (round 8): both statistics are pure functions of ONE document,
+    * so the whole query is map-only — a single
+    * [[graft.functions.RepNgramStatsExpr]] walk per row emits
+    * [total_3grams, distinct_3grams, total_2grams, max_2gram_count] and the
+    * ratios are plain column arithmetic over it. The first cut exploded
+    * every 2-gram into a (doc_id, gram) hash aggregation and joined back:
+    * ~40 M shuffled gram rows and 17.0 s at the 100x probe for a row-local
+    * statistic. The output sort runs BELOW the stats projection (the
+    * tokenize_rank/text_normalize lesson: the range sampling pass executes
+    * only the pruned scan, and the walk runs once, after the exchange);
+    * the stats array is projected as a column first so the ratio
+    * projections reference it without re-evaluating the walk
+    * (CollapseProject keeps non-cheap expressions single-use). */
   def qRepNgramFilters(spark: SparkSession, dir: String): DataFrame = {
-    // Split once into an attribute before the HOF lambdas (interpreted,
-    // re-evaluate captures per element — an inline split is O(words²)).
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), words(col("text")).as("ws"))
-    val g3 = ngrams(col("ws"), 3)
-    val dup3 = d.select(col("doc_id"), g3.as("g3"))
+    val s = col("s")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .select(col("doc_id"),
+        graft.functions.RepNgramStatsExpr.repNgramStats(words(col("text"))).as("s"))
       .select(
         col("doc_id"),
-        round((size(col("g3")) - size(array_distinct(col("g3")))).cast("double") /
-          size(col("g3")), 6).as("dup_3gram_frac"))
-    val top2 = d
-      .select(col("doc_id"), explode(ngrams(col("ws"), 2)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
-      .groupBy("doc_id")
-      .agg(round(max(col("n")).cast("double") / sum(col("n")), 6).as("top_2gram_frac"))
-    dup3.join(top2, "doc_id")
+        round((s.getItem(0) - s.getItem(1)).cast("double") / s.getItem(0), 6)
+          .as("dup_3gram_frac"),
+        round(s.getItem(3).cast("double") / s.getItem(2), 6).as("top_2gram_frac"))
       .withColumn("keep",
         col("dup_3gram_frac") <= 0.02 && col("top_2gram_frac") <= 0.05)
-      .orderBy("doc_id")
   }
 
   /** Fixed-width word segments per doc: SegWords-word windows starting at
