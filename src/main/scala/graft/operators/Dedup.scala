@@ -189,28 +189,17 @@ object Dedup {
     * verify runs on candidates only — within-source cost is O(matches),
     * not O(m²) per source block.
     *
-    * Bit accounting: word-hash low 32 bits come from md5 hex chars 9-16
-    * (`h_lo`), high 32 from chars 1-8 (`h_hi`). The signed-64 simhash value
-    * is assembled by summing per-bit terms in ascending bit order with the
-    * bit-63 term equal to Long.MinValue — partial sums peak at 2^63-1, so
-    * the arithmetic never overflows even under ANSI checking. */
+    * The signature itself is ONE row-local byte walk
+    * ([[graft.functions.SimHash64Expr]], round 8): the declarative
+    * formulation exploded every word through md5-hex string arithmetic and
+    * shuffled every (doc, word) row into a 64-column vote aggregation; the
+    * expression keeps the whole per-doc reduction map-only with identical
+    * bit semantics (empties-kept split, md5-half votes, strict-majority
+    * bits — pinned against the declarative twin in SimHash64Spec). */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val exploded = d.select(col("doc_id"), col("source"),
-      explode(words(col("text"))).as("word"))
-      .withColumn("m", md5(col("word")))
-      .withColumn("h_hi", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
-      .withColumn("h_lo", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
-    val bitVotes = (0 until SimhashBits).map { bit =>
-      val src = if (bit < 32) col("h_lo") else col("h_hi")
-      sum(shiftright(src, bit % 32) % 2 * 2 - 1).as(s"v$bit")
-    }
-    val simhashVal = (0 until SimhashBits).map { bit =>
-      val term = if (bit == 63) Long.MinValue else 1L << bit
-      when(col(s"v$bit") > 0, lit(term)).otherwise(0L)
-    }.reduce(_ + _)
-    val sim = exploded.groupBy("doc_id", "source").agg(bitVotes.head, bitVotes.tail: _*)
-      .select(col("doc_id"), col("source"), simhashVal.as("simhash"))
+    val sim = d.select(col("doc_id"), col("source"),
+      graft.functions.SimHash64Expr.simhash64(col("text")).as("simhash"))
     val segCols = SimhashSegments.map { case (off, len) =>
       // arithmetic shift sign-extends for the top segment; the AND masks it
       shiftright(col("simhash"), off).bitwiseAND(lit((1L << len) - 1))
