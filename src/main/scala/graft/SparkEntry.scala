@@ -34,6 +34,7 @@ object SparkEntry {
       (QualityOps.queries, QualityOps.oracleSql),
       (Relational4.queries, Relational4.oracleSql),
       (Layout.queries, Layout.oracleSql),
+      (Bucketed.queries, Bucketed.oracleSql),
       (Graph.queries, Graph.oracleSql),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracleSql),
       (CorpusPipeline.queries, CorpusPipeline.oracleSql),

@@ -28,6 +28,7 @@ class EntrySpec extends SparkSpec {
       operators.Similarity.queries, operators.PipelineOps.queries,
       operators.TrainPrep.queries, operators.QualityOps.queries,
       operators.Relational4.queries, operators.Layout.queries,
+      operators.Bucketed.queries,
       operators.Graph.queries, multimodal.Multimodal.queries,
       CorpusPipeline.queries, sources.SchemaInfer.queries,
       streaming.StreamOps.queries)

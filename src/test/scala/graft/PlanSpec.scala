@@ -342,4 +342,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"a window over the block key would re-create the one-task hot block:\n$plan")
   }
+
+  test("q_bucketed_join merge-joins co-located buckets with no pre-join exchange") {
+    val df = operators.Bucketed.qBucketedJoin(spark, sf)
+    val plan = formatted(df)
+    assert(plan.contains("SortMergeJoin"),
+      s"bucketed join must stay a merge join (broadcast would hide co-location):\n$plan")
+    // both scans read the bucketed layout
+    val bucketScans = plan.linesIterator.count(_.contains("SelectedBucketsCount"))
+    assert(bucketScans >= 2, s"both join inputs must be bucketed scans:\n$plan")
+    // the only exchanges left are the tiny priority aggregation and the
+    // output sort — the join inputs themselves never shuffle. Count the
+    // formatted-mode DETAIL headers ("(10) Exchange"), not tree lines,
+    // or every node is double-counted.
+    val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 2,
+      s"expected <=2 exchanges (agg + output sort), the join must be exchange-free:\n$plan")
+  }
 }
