@@ -48,23 +48,6 @@ object Bucketed {
   private val registry =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
-  private val scratchRoots =
-    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
-
-  private lazy val shutdownHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      scratchRoots.values.foreach(deleteRecursively)))
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => Files.deleteIfExists(q))
-      finally walk.close()
-    }
-  }
-
   /** Build (once per JVM per dir) the bucketed copies and return their
     * catalog names. Only the join/agg columns are written — the bucketed
     * copy is a projection too, so the layout pays for narrow scans as well
@@ -72,14 +55,8 @@ object Bucketed {
   private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
     registry.synchronized {
       registry.getOrElseUpdate(dir, {
-        shutdownHook
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-        val root = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), s"graft_bucketed_$key")
-        deleteRecursively(root)
-        java.nio.file.Files.createDirectories(root)
-        scratchRoots.put(dir, root)
+        val root = graft.ScratchDirs.freshRoot("bucketed", dir)
+        val key = root.getFileName.toString.stripPrefix("graft_bucketed_")
         val oName = s"graft_b_orders_$key"
         val lName = s"graft_b_lineitem_$key"
         Tables.orders(spark, dir)

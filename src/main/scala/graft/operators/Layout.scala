@@ -102,8 +102,61 @@ object Layout {
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  // --------------------------------------------- hive-partitioned pruning
+
+  /** Per-dir date-partitioned events copy: (path, min event date). */
+  private val partRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, (String, java.time.LocalDate)]
+
+  /** Build (once per JVM per dir) a hive-partitioned copy of events laid
+    * out by event DATE — the standard time-series warehouse layout. The
+    * copy is narrow (only the query columns ride along: partition pruning
+    * and column pruning compose) and `repartition(event_date)` before the
+    * partitioned write gives one file per date directory instead of
+    * tasks × dates slivers. */
+  private def partitionedEvents(spark: SparkSession, dir: String): (String, java.time.LocalDate) =
+    partRegistry.synchronized {
+      partRegistry.getOrElseUpdate(dir, {
+        val root = graft.ScratchDirs.freshRoot("partitioned", dir)
+        val ev = Tables.events(spark, dir)
+        val path = s"$root/events_by_date"
+        ev.select(col("event_type"), col("value"), to_date(col("ts")).as("event_date"))
+          .repartition(col("event_date"))
+          .write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(path)
+        val lo = java.time.LocalDate.parse(
+          ev.agg(min(to_date(col("ts")))).head().get(0).toString)
+        (path, lo)
+      })
+    }
+
+  /** Daily per-type event rollup over the FIRST WEEK of the corpus, read
+    * from the date-partitioned layout: the filter is on the partition
+    * column only, so the scan lists 7 of ~30 date directories and never
+    * opens the rest — `PartitionFilters` in the plan, zero data-file I/O
+    * outside the window (plan-asserted in PlanSpec). At 100 TB this is the
+    * first-order scan reducer for any time-windowed query: partition
+    * pruning works on directory METADATA (no footer reads, unlike row-group
+    * stats pruning), which is what makes a 30-day window over a 10-year
+    * table cheap. The window bounds are per-dir model state (min event
+    * date, one tiny aggregate at layout-build time) folded in as literals —
+    * static pruning at plan time, the same constant-folding convention as
+    * the tokenizer boundaries. */
+  def qPartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (path, lo) = partitionedEvents(spark, dir)
+    val hi = lo.plusDays(6)
+    spark.read.parquet(path)
+      .filter(col("event_date") >= lit(java.sql.Date.valueOf(lo)) &&
+        col("event_date") <= lit(java.sql.Date.valueOf(hi)))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(38, 6))).cast("double").as("sum_value"))
+      .orderBy("event_date", "event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_zorder_cluster" -> qZorderCluster
+    "q_zorder_cluster" -> qZorderCluster,
+    "q_partition_prune" -> qPartitionPrune
   )
 
   /** DuckDB spread(): same 5-step shift-or-mask ladder, 1-to-1. */
@@ -120,6 +173,16 @@ object Layout {
       s"""SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS zval,
          |  CAST(($z >> ${32 - 2 * ZPartBits}) AS INTEGER) AS zpart
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
-    }
+    },
+    // the window is the first 7 days of the corpus; >= MIN is implied, so
+    // the oracle only needs the upper bound (the Spark side keeps both — a
+    // closed range is what a real time-window pushes into the listing)
+    "q_partition_prune" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) <= (SELECT MIN(CAST(ts AS DATE)) + 6 FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

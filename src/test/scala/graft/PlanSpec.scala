@@ -359,4 +359,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2,
       s"expected <=2 exchanges (agg + output sort), the join must be exchange-free:\n$plan")
   }
+
+  test("q_partition_prune scans only the window's date directories") {
+    val df = operators.Layout.qPartitionPrune(spark, sf)
+    val plan = formatted(df)
+    val pf = plan.linesIterator.find(_.trim.startsWith("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("event_date"),
+      s"the window filter must prune on the partition column:\n$plan")
+    // the filter never reaches the data files — it is satisfied by the
+    // directory listing alone (no pushed data filter on event_date)
+    val scan = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val selected = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).length
+    assert(selected == 7, s"expected 7 of ~30 date partitions selected, got $selected")
+  }
 }
