@@ -33,10 +33,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bpe_merge"),
       new ExpressionInfo(classOf[graft.functions.BpeMergeExpr].getName, "graft_bpe_merge"),
       (exprs: Seq[Expression]) => GraftExtensions.buildBpeMerge(exprs)))
+    GraftExtensions.byteWalkFunctions.foreach { case (name, build) =>
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, s"$name(col) expects 1 argument")
+          build(exprs.head)
+        }))
+    }
   }
 }
 
 object GraftExtensions {
+
+  /** The round-7/8 byte-walk family: one string (or words-array) column in,
+    * one packed value out — each replaces a multi-pass declarative
+    * formulation with a single codegen walk. */
+  private[graft] val byteWalkFunctions: Seq[(String, Expression => Expression)] = Seq(
+    "graft_simhash64" -> (graft.functions.SimHash64Expr(_)),
+    "graft_normalize_text" -> (graft.functions.NormalizeTextExpr(_)),
+    "graft_type_probe" -> (graft.functions.TypeProbeExpr(_)),
+    "graft_rep_ngram_stats" -> (graft.functions.RepNgramStatsExpr(_)))
   private[graft] def buildDot(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "graft_dot(arrayA, arrayB) expects 2 arguments")
     graft.functions.DotProductExpr(exprs.head, exprs(1))

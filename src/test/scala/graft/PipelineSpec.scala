@@ -68,6 +68,23 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq("aa", "a", "b"))
   }
 
+  test("byte-walk family is callable from SQL via extensions") {
+    GraftExtensions.byteWalkFunctions.foreach { case (name, build) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => { require(exprs.length == 1); build(exprs.head) }, "built-in")
+    }
+    val sh = spark.sql("SELECT graft_simhash64('a b') AS h").collect().head.getLong(0)
+    assert(sh == graft.functions.SimHash64Expr.simhash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b")))
+    val nt = spark.sql("SELECT graft_normalize_text('  A   b ') AS t")
+      .collect().head.getString(0)
+    assert(nt == "a b")
+    val rep = spark.sql("SELECT graft_rep_ngram_stats(array('a','a','a')) AS s")
+      .collect().head.getSeq[Int](0)
+    assert(rep == Seq(1, 1, 2, 2))
+    assert(spark.sql("SELECT graft_type_probe('42') AS p").collect().head.get(0) != null)
+  }
+
   test("graft_dot is callable from SQL via extensions") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => GraftExtensions.buildDot(exprs), "built-in")
