@@ -118,7 +118,12 @@ object ScaleProbe {
     "q_quantile_bounds", "q_quantile_bounds_sample",
     "q_schema_infer", "q_zorder_cluster", "q_pagerank",
     "q_word_freq", "q_lang_breakdown", "q_bpe_pairs", "q_fuzzy_pairs",
-    "q_ann_recall", "q_kmeans_step")
+    "q_ann_recall", "q_kmeans_step",
+    // round-8 additions: derived physical layouts (bucketed join /
+    // partitioned pruning) — the first probe invocation per dir pays the
+    // layout build, min-of-passes times the steady-state query, the same
+    // amortization convention as the other model-state queries
+    "q_bucketed_join", "q_partition_prune")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -60,7 +60,7 @@ object Bucketed {
         val oName = s"graft_b_orders_$key"
         val lName = s"graft_b_lineitem_$key"
         Tables.orders(spark, dir)
-          .select(col("o_orderkey"), col("o_orderpriority"))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
           .repartition(NBuckets, col("o_orderkey"))
           .write.mode(SaveMode.Overwrite)
           .bucketBy(NBuckets, "o_orderkey").sortBy("o_orderkey")
@@ -97,8 +97,49 @@ object Bucketed {
       .orderBy("o_orderpriority")
   }
 
+  /** CDC upsert (MERGE INTO) against the bucketed base: updates (price
+    * bump on keys ≡ 3 mod 10) and inserts (keys ≡ 7 mod 10 re-keyed past
+    * the current max) merge into the orders base as one FULL OUTER join on
+    * the key + per-column `coalesce` — the expansion Delta/Iceberg
+    * copy-on-write MERGE compiles to. Because the base is BUCKETED on the
+    * merge key, only the (small) delta side shuffles; the 100 TB base
+    * streams out of its buckets unexchanged (plan-asserted) — the property
+    * that makes periodic CDC merges affordable: cost scales with the
+    * delta, not the table.
+    *
+    * The result aggregates the MERGED table (count + exact decimal price
+    * sum per priority), so the oracle hash covers every merged row —
+    * update wins over base, insert present, untouched rows carried — not
+    * just the delta.
+    *
+    * Deterministic delta derivation: max(o_orderkey) is per-dir model
+    * state (one tiny agg); inserted keys `k + max` cannot collide with
+    * base keys. */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val (oName, _) = bucketedTables(spark, dir)
+    val base = spark.table(oName).hint("merge")
+    val src = Tables.orders(spark, dir)
+    val maxKey = src.agg(max(col("o_orderkey"))).head().getLong(0)
+    val upd = src.filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey").as("d_key"),
+        (col("o_totalprice") * lit(1.1)).as("d_price"),
+        lit(null).cast("string").as("d_priority"))
+    val ins = src.filter(col("o_orderkey") % 10 === 7)
+      .select((col("o_orderkey") + lit(maxKey)).as("d_key"),
+        col("o_totalprice").as("d_price"),
+        col("o_orderpriority").as("d_priority"))
+    base.join(upd.unionAll(ins), col("o_orderkey") === col("d_key"), "full_outer")
+      .select(
+        coalesce(col("o_orderpriority"), col("d_priority")).as("o_orderpriority"),
+        coalesce(col("d_price"), col("o_totalprice")).as("price"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("price")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bucketed_join" -> qBucketedJoin
+    "q_bucketed_join" -> qBucketedJoin,
+    "q_merge_upsert" -> qMergeUpsert
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -107,6 +148,22 @@ object Bucketed {
         |  CAST(COUNT(*) AS BIGINT) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+        |delta AS (
+        |  SELECT o_orderkey AS d_key, o_totalprice * 1.1 AS d_price,
+        |         CAST(NULL AS VARCHAR) AS d_priority
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT m FROM mx), o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 7),
+        |merged AS (
+        |  SELECT COALESCE(b.o_orderpriority, d.d_priority) AS o_orderpriority,
+        |         COALESCE(d.d_price, b.o_totalprice) AS price
+        |  FROM orders b FULL OUTER JOIN delta d ON b.o_orderkey = d.d_key)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

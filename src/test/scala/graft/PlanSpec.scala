@@ -360,6 +360,19 @@ class PlanSpec extends SparkSpec {
       s"expected <=2 exchanges (agg + output sort), the join must be exchange-free:\n$plan")
   }
 
+  test("q_merge_upsert shuffles the delta, never the bucketed base") {
+    val plan = formatted(operators.Bucketed.qMergeUpsert(spark, sf))
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      s"the merge expansion is a full-outer SMJ:\n$plan")
+    assert(plan.linesIterator.count(_.contains("SelectedBucketsCount")) >= 1,
+      s"the base side must read its bucketed layout:\n$plan")
+    // delta shuffle + agg + output sort only: a 4th exchange means the
+    // base stopped satisfying the join's distribution from its buckets
+    val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 3,
+      s"expected <=3 exchanges (delta, agg, sort) — base must not shuffle:\n$plan")
+  }
+
   test("q_partition_prune scans only the window's date directories") {
     val df = operators.Layout.qPartitionPrune(spark, sf)
     val plan = formatted(df)
