@@ -123,7 +123,7 @@ object ScaleProbe {
     // partitioned pruning) — the first probe invocation per dir pays the
     // layout build, min-of-passes times the steady-state query, the same
     // amortization convention as the other model-state queries
-    "q_bucketed_join", "q_partition_prune")
+    "q_bucketed_join", "q_partition_prune", "q_merge_upsert")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
