@@ -224,11 +224,12 @@ object StreamOps {
     val rawSchema = spark.read.parquet(path).schema
     val tmp = scratchFor("live", dir)
     val out = s"$tmp/out"
+    val ss = streamingSession(spark)
     // events.parquet is a single FILE: for a non-glob path the file-stream
     // source force-sets basePath to the path itself and then rejects it
     // ("must be a directory"), so list it via a glob (matches only this
     // file) with the parent directory pinned as basePath.
-    val stream = spark.readStream.schema(rawSchema)
+    val stream = ss.readStream.schema(rawSchema)
       .option("basePath", dir).parquet(s"$dir/events*.parquet")
       .select(
         concat(col("user_id").cast("string"), lit("|"), col("event_type")).as("fingerprint"),
@@ -315,8 +316,10 @@ object StreamOps {
     // One sentinel row 10 gaps past the corpus max, in the RAW schema (the
     // fixtures store ts as parquet nanos-long; fall through for real
     // timestamp types so the operator survives a fixture change).
-    val maxUs = graft.Tables.events(spark, dir)
-      .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0)
+    // per-dir model state (one tiny agg, cached for the JVM — the corpus
+    // max is a property of the input dir, same convention as boundaries)
+    val maxUs = maxEventUs.getOrElseUpdate(dir, graft.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0))
     val sentinelUs = maxUs + 10 * graft.operators.PipelineOps.SessionGapUs
     val sentinelVals: Seq[Any] = rawSchema.fields.toSeq.map {
       case StructField("user_id", LongType, _, _) => -1L
@@ -340,7 +343,8 @@ object StreamOps {
     // streaming semantics) dropped as late — the drain contract here is
     // single-batch ingest + watermark-finalization flush. Pinned explicitly
     // so a Spark default change cannot silently re-split the replay.
-    val raw = spark.readStream.schema(rawSchema)
+    val ss = streamingSession(spark)
+    val raw = ss.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", Int.MaxValue)
       .parquet(in.toString)
     val evs = rawSchema("ts").dataType match {
@@ -401,6 +405,32 @@ object StreamOps {
   private lazy val scratchShutdownHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       scratchRoots.values.foreach(deleteRecursively)))
+
+  /** State-store partition count for the live contract queries' bounded
+    * replays: each state partition is a store instance paying per-BATCH
+    * delta-file + commit I/O, so at a fixed small batch count the harness
+    * overhead is ∝ partitions, not data. 8 instances keep the drain
+    * parallel while cutting 3/4 of the per-batch store traffic vs the
+    * session default (32). An unbounded production stream sizes this to
+    * throughput (state partitioning is fixed at the checkpoint's first
+    * commit); these queries wipe their checkpoint per invocation, so the
+    * choice binds per run. */
+  private val StreamStatePartitions = 8
+
+  /** Cached max event timestamp (µs) per input dir — see sentinel drain. */
+  private val maxEventUs =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Child session for the streaming jobs: same SparkContext, own SQLConf,
+    * so the state-partition choice never leaks into the caller's session.
+    * The returned contract frame is rebuilt on the CALLER's session from
+    * the scratch files, which keeps the cross-session boundary at a
+    * parquet handoff. */
+  private def streamingSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    ss
+  }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
