@@ -255,9 +255,25 @@ object Similarity {
     * direction (cosine descending by default, L2 ascending). */
   private def bruteTopK(spark: SparkSession, dir: String, lo: Long, hi: Long,
                         k: Int, score: (Column, Column) => Column = cosSim,
-                        asc: Boolean = false): DataFrame = {
+                        asc: Boolean = false): DataFrame =
+    bruteTopKIn(spark, dir, Seq((lo, hi)), k, score, asc)
+
+  /** Multi-range variant: ONE corpus scan scores every query range at
+    * once (round 8 — `qAnnRecall` needed two disjoint query sets, and two
+    * bruteTopK calls meant two full corpus scans). Top-k stays the rank
+    * WINDOW: a bounded typed-Aggregator top-k (map-side ≤ k rows per
+    * partition) was built and MEASURED here and lost — the udaf path
+    * deserializes every (sim, vec_id) row into JVM objects, which costs
+    * more than the codegen'd sort it avoids at this k/corpus shape
+    * (q_ann_recall 3.1 → 4.1 s, q_ann_pq 1.5 → 2.0 s; reverted). */
+  private def bruteTopKIn(spark: SparkSession, dir: String,
+                          ranges: Seq[(Long, Long)], k: Int,
+                          score: (Column, Column) => Column = cosSim,
+                          asc: Boolean = false): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val q = e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    val pred = ranges.map { case (lo, hi) =>
+      col("vec_id") >= lo && col("vec_id") < hi }.reduce(_ || _)
+    val q = e.filter(pred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val ordered = if (asc) col("sim").asc else col("sim").desc
     val w = Window.partitionBy("query_id").orderBy(ordered, col("vec_id"))
@@ -274,21 +290,31 @@ object Similarity {
     * — the ScalaTest-only recall property promoted to a driver-visible
     * oracle check (both engines compute it deterministically: round-6 sims,
     * vec_id tiebreaks). LSH probes its own query set (vec_id < NQueries);
-    * IVF probes vec_id in [IvfQueryLo, IvfQueryLo+NQueries). */
+    * IVF probes vec_id in [IvfQueryLo, IvfQueryLo+NQueries).
+    *
+    * Round 8: the exact top-3 for BOTH query sets comes from ONE corpus
+    * scan ([[bruteTopKIn]] with both ranges), and the plan references that
+    * subplan exactly once — the brute frame (3 rows/query, every query
+    * present) LEFT-joins the broadcast union of the two approx result
+    * sets, so recall per (method, query) is `sum(hit)/3` in a single small
+    * aggregation. The previous two-branch shape re-ran the brute scan per
+    * method (a pushed-down range filter under each branch split the shared
+    * exchange). Intersection symmetry makes the two formulations equal:
+    * |brute ∩ approx| counted from either side, queries with no approx
+    * rows coalesce to 0. */
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
-    def recallOf(method: String, approx: DataFrame, lo: Long, hi: Long): DataFrame = {
-      // every frame here is <= NQueries x k rows — broadcast both joins
-      val brute = bruteTopK(spark, dir, lo, hi, 3)
-      val hits = approx.select("query_id", "vec_id")
-        .join(broadcast(brute), Seq("query_id", "vec_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("cnt"))
-      brute.select("query_id").distinct()
-        .join(broadcast(hits), Seq("query_id"), "left")
-        .select(lit(method).as("method"), col("query_id"),
-          round(coalesce(col("cnt"), lit(0L)) / 3.0, 6).as("recall"))
-    }
-    recallOf("ivf", qAnnIvf(spark, dir), IvfQueryLo, IvfQueryLo + NQueries)
-      .unionAll(recallOf("lsh", qAnnLshProbe(spark, dir), 0, NQueries))
+    val brute = bruteTopKIn(spark, dir,
+      Seq((0L, NQueries.toLong), (IvfQueryLo, IvfQueryLo + NQueries)), 3)
+      .withColumn("method",
+        when(col("query_id") < NQueries, "lsh").otherwise("ivf"))
+    val approx =
+      qAnnLshProbe(spark, dir).select(lit("lsh").as("method"),
+          col("query_id"), col("vec_id"), lit(1L).as("hit"))
+        .unionAll(qAnnIvf(spark, dir).select(lit("ivf").as("method"),
+          col("query_id"), col("vec_id"), lit(1L).as("hit")))
+    brute.join(broadcast(approx), Seq("method", "query_id", "vec_id"), "left")
+      .groupBy("method", "query_id")
+      .agg(round(sum(coalesce(col("hit"), lit(0L))) / 3.0, 6).as("recall"))
       .orderBy("method", "query_id")
   }
 
