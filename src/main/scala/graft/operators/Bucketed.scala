@@ -54,8 +54,12 @@ object Bucketed {
     * as co-location. */
   private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
     registry.synchronized {
-      registry.getOrElseUpdate(dir, {
-        val root = graft.ScratchDirs.freshRoot("bucketed", dir)
+      // keyed by (SparkContext, dir): the catalog entries live in the
+      // context's SharedState, so a fresh context must rebuild them even
+      // in the same JVM (same convention as Graph.liveCkpt)
+      val ctxKey = s"${System.identityHashCode(spark.sparkContext)}|$dir"
+      registry.getOrElseUpdate(ctxKey, {
+        val root = graft.ScratchDirs.freshRoot("bucketed", ctxKey)
         val key = root.getFileName.toString.stripPrefix("graft_bucketed_")
         val oName = s"graft_b_orders_$key"
         val lName = s"graft_b_lineitem_$key"

@@ -116,8 +116,12 @@ object Layout {
     * tasks × dates slivers. */
   private def partitionedEvents(spark: SparkSession, dir: String): (String, java.time.LocalDate) =
     partRegistry.synchronized {
-      partRegistry.getOrElseUpdate(dir, {
-        val root = graft.ScratchDirs.freshRoot("partitioned", dir)
+      // keyed by (SparkContext, dir): the layout files outlive a stopped
+      // context, but a fresh context must not trust state computed by a
+      // dead one (same convention as Bucketed/Graph)
+      val ctxKey = s"${System.identityHashCode(spark.sparkContext)}|$dir"
+      partRegistry.getOrElseUpdate(ctxKey, {
+        val root = graft.ScratchDirs.freshRoot("partitioned", ctxKey)
         val ev = Tables.events(spark, dir)
         val path = s"$root/events_by_date"
         ev.select(col("event_type"), col("value"), to_date(col("ts")).as("event_date"))
