@@ -72,7 +72,7 @@ object ScaleProbe {
     "q_decontaminate", "q_decontaminate_bloom", "q_bpe_train",
     "q_sample_reservoir", "q_mixture_sample", "q_pack_sequences",
     "q_truncate_budget", "q_shard_assign", "q_interleave_order",
-    "q_multimodal_features", "q_frame_sample",
+    "q_multimodal_features", "q_frame_sample", "q_media_resize",
     // events — the time-series/window surface, incl. the three former
     // low-cardinality-window queries rewritten onto composite keys in
     // round 5 (q_rolling_quantile here; reservoir/pack above). Replicas

@@ -95,9 +95,29 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
+  val ThumbLen = 8
+
+  /** RESIZE stage ([[graft.functions.ResizeBytesExpr]]): fixed-width
+    * average-pooling thumbnail of the payload byte stream — the multimodal
+    * mandate's missing verb between decode and frame-sample. Map-only:
+    * binary in, 8 pooled lanes out, rounded per lane; payload bytes never
+    * leave the projection (only the thumbnail columns reach the output
+    * sort). Exact long block sums + one divide keep every lane double
+    * bit-identical to the DuckDB hex-pair twin. */
+  def qMediaResize(spark: SparkSession, dir: String): DataFrame = {
+    val media = asMedia(Tables.documents(spark, dir))
+    val t = media.select(col("media_id"),
+      length(col("payload")).as("n_bytes"),
+      graft.functions.ResizeBytesExpr.resizeBytes(col("payload"), ThumbLen).as("thumb"))
+    val lanes = (0 until ThumbLen).map(r => round(col("thumb")(r), 4).as(s"t$r"))
+    t.select(col("media_id") +: col("n_bytes") +: lanes: _*)
+      .orderBy("media_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> qMultimodalFeatures,
-    "q_frame_sample" -> qFrameSample
+    "q_frame_sample" -> qFrameSample,
+    "q_media_resize" -> qMediaResize
   )
 
   /** DuckDB twin: hex-pair byte extraction (DuckDB has no get_byte), exact
@@ -130,7 +150,27 @@ object Multimodal {
           |       CAST(i // 4 AS INTEGER) AS frame_idx,
           |       CAST(len(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS INTEGER) AS n_bytes,
           |       md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
-          |FROM f ORDER BY media_id, frame_idx""".stripMargin
+          |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+      // hex-pair twin of the average-pooling resize: same floor block
+      // boundaries in BIGINT arithmetic, exact integer block sums, one
+      // double divide per lane (ASCII corpus => byte offsets == hex pairs)
+      "q_media_resize" -> {
+        val lanes = (0 until ThumbLen).map { r =>
+          val lo = s"(($r * n) // $ThumbLen)"
+          val hi = s"((${r + 1} * n) // $ThumbLen)"
+          s"""round(CASE WHEN $hi > $lo THEN
+             |  CAST(list_sum([('0x' || substring(h, 2*x+1, 2))::BIGINT
+             |                 for x in range($lo, $hi)]) AS DOUBLE) / ($hi - $lo)
+             |  ELSE 0.0 END, 4) AS t$r""".stripMargin
+        }.mkString(",\n")
+        s"""WITH b AS (
+           |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+           |         octet_length(encode(text)) AS n
+           |  FROM documents)
+           |SELECT media_id, CAST(n AS INTEGER) AS n_bytes,
+           |$lanes
+           |FROM b ORDER BY media_id""".stripMargin
+      }
     )
   }
 }
