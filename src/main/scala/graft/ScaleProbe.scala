@@ -86,8 +86,9 @@ object ScaleProbe {
     // Structured Streaming dedup (file stream + state store + scratch
     // sink — its ratio includes the fixed streaming-harness overhead)
     "q_schema_infer_json", "q_stream_dedup_live",
-    // round-8 addition: the live watermarked session-window drain
-    "q_session_window_live")
+    // round-8 additions: the live watermarked session-window drain and
+    // the live bounded-ring rolling quantiles
+    "q_session_window_live", "q_rolling_quantile_live")
 
   /** The relational/tokenize remainder of the contract surface (probed
     * late round 5): every query reading the TPC-H-ish tables, plus the

@@ -184,7 +184,11 @@ object StreamOps {
         (key: String, batch: Iterator[RollEvent], state: GroupState[Vector[(Long, Long, Double)]]) =>
           var ring = state.getOption.getOrElse(Vector.empty)
           val out = Vector.newBuilder[RollQuantiles]
-          batch.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // (millis, sub-second nanos, id): equal millis implies equal
+          // second, so the nanos field finishes the µs-precision ts order
+          // the batch twin's ORDER BY ts uses — getTime alone would let
+          // µs-apart events in one millisecond tie and fall to id order
+          batch.toVector.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
             ring = (ring :+ ((e.ts.getTime, e.event_id, e.value))).takeRight(rollRows)
             val sorted = ring.map(_._3).sorted
             out += RollQuantiles(e.event_id, key, ring.length,
@@ -454,9 +458,74 @@ object StreamOps {
     root
   }
 
+  /** LIVE streaming rolling quantiles (round 8 — the third driver-visible
+    * Structured Streaming query): the events parquet replays through
+    * [[rollingQuantileStream]]'s bounded-ring `flatMapGroupsWithState`
+    * (exact trailing-20 median/p90 per event_type, O(20) state per key —
+    * the custom row-count frame no built-in streaming window expresses)
+    * and the Append-mode emissions land in a scratch table per batch.
+    *
+    * Determinism: the staged files replay as ONE micro-batch, and the
+    * state machine processes each key's batch rows in (ts, event_id)
+    * order, so the output equals the batch composite-key window formula
+    * row-for-row — `q_rolling_quantile`'s SQL is the oracle verbatim. An
+    * unbounded deployment keeps the same state machine; only the
+    * one-batch drain (and with it exact batch equality) is a property of
+    * the bounded replay, same as the other live queries' drains.
+    *
+    * Scale: per-key state is the 19-row ring; the within-batch sort is
+    * per (key, batch) — micro-batch size, not corpus size, bounds it. */
+  def qRollingQuantileLive(spark: SparkSession, dir: String): DataFrame = scratchRoots.synchronized {
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    val path = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    val tmp = scratchFor("roll", dir)
+    val in = java.nio.file.Paths.get(s"$tmp/in")
+    java.nio.file.Files.createDirectories(in)
+    val src = new java.io.File(path)
+    val parts =
+      if (src.isFile) Seq(src)
+      else src.listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).toSeq
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.createSymbolicLink(in.resolve(f"ev_$i%05d.parquet"), f.toPath)
+    }
+    val ss = streamingSession(spark)
+    val raw = ss.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", Int.MaxValue)
+      .parquet(in.toString)
+    val withTs = rawSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    val out = s"$tmp/out"
+    val q = rollingQuantileStream(
+        withTs.select(col("event_id"), col("ts"), col("event_type"), col("value"))
+          .as[RollEvent])
+      .toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.write.mode(SaveMode.Append).parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    val result = spark.read.parquet(out)
+      .select("event_id", "event_type", "roll_n", "roll_median", "roll_p90")
+      .orderBy("event_id")
+    val (frame, rdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(result)
+    liveResult.remove(s"roll|$dir").foreach(_.unpersist(blocking = true))
+    liveResult.put(s"roll|$dir", rdd)
+    deleteRecursively(tmp)
+    scratchRoots.remove(s"roll|$dir")
+    frame
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_dedup_live" -> qStreamDedupLive,
-    "q_session_window_live" -> qSessionWindowLive
+    "q_session_window_live" -> qSessionWindowLive,
+    "q_rolling_quantile_live" -> qRollingQuantileLive
   )
 
   /** The streaming dedup's duplicate counts are order-independent, so the
@@ -469,7 +538,10 @@ object StreamOps {
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
     "q_session_window_live" ->
-      graft.operators.PipelineOps.oracleSql("q_session_window")
+      graft.operators.PipelineOps.oracleSql("q_session_window"),
+    // single-batch in-order replay == the batch trailing-20 window exactly
+    "q_rolling_quantile_live" ->
+      graft.operators.EventOps.oracleSql("q_rolling_quantile")
   )
 
   case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
