@@ -248,6 +248,7 @@ object StreamOps {
       }
       .start()
     q.awaitTermination()
+    unloadStateStores()
     val agg = spark.read.parquet(out)
       .groupBy("fingerprint")
       // the counter is monotone across a key's emissions: max = final state
@@ -376,6 +377,7 @@ object StreamOps {
       }
       .start()
     q.awaitTermination()
+    unloadStateStores()
     val result = spark.read.parquet(out)
       .filter(col("user_id") =!= -1L)
       .select("user_id", "start_us", "end_us", "n_events", "sum_value")
@@ -435,6 +437,17 @@ object StreamOps {
     ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
     ss
   }
+
+  /** Unload every loaded state-store provider after a bounded replay
+    * finishes: the providers (and the maintenance task polling them)
+    * otherwise outlive the query, each holding its partition's state map
+    * against a checkpoint dir this class is about to DELETE — dead weight
+    * that measurably taxes later queries in the same JVM (pagerank after
+    * the three live drains: 5.6 s vs 4.4 s clean). The next streaming
+    * query re-registers providers and restarts maintenance on demand;
+    * this is the same teardown Spark's own streaming tests use. */
+  private def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
@@ -511,6 +524,7 @@ object StreamOps {
       }
       .start()
     q.awaitTermination()
+    unloadStateStores()
     val result = spark.read.parquet(out)
       .select("event_id", "event_type", "roll_n", "roll_median", "roll_p90")
       .orderBy("event_id")
