@@ -65,7 +65,7 @@ object ScaleProbe {
     // text / quality / training-prep — every other documents-only
     // contract query, so the whole LLM-pipeline surface has measured
     // 10x ratios
-    "q_text_stats", "q_text_normalize", "q_lang_id", "q_quality_score",
+    "q_text_stats", "q_text_normalize", "q_ngram_lm", "q_lang_id", "q_quality_score",
     "q_char_entropy", "q_token_count_regex", "q_tfidf",
     "q_doc_fingerprint", "q_doc_chunks", "q_rep_ngram_filters",
     "q_segment_dedup", "q_vocab_coverage", "q_pii_scrub",

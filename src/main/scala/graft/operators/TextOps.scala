@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -150,8 +151,44 @@ object TextOps {
         length(col("text")).as("n_chars_raw"))
       .withColumn("n_chars_norm", length(col("norm_text")))
 
+  /** Minimum context occurrences for [[qNgramLm]]'s emitted rows. */
+  private val LmMinCtx = 5
+
+  /** Trigram language-model TABLE construction: for every word-bigram
+    * context, the top-3 next words by count with the context's total — the
+    * conditional-distribution table an n-gram LM (or a KenLM-style quality
+    * filter) is built from, kept in exact integer counts so the result is
+    * hash-checkable (no cross-engine log/float drift). Low-evidence
+    * contexts (< [[LmMinCtx]] occurrences) are dropped, the same smoothing
+    * floor a real LM table applies.
+    *
+    * Scale shape: the (ctx, next) count is one map-side-combined
+    * aggregation over exploded triples; the rank window partitions by ctx
+    * (corpus-cardinality key space, no hot partition); nothing collects.
+    * Tiebreak (count desc, word asc) is total — next words are distinct
+    * within a context. */
+  def qNgramLm(spark: SparkSession, dir: String): DataFrame = {
+    val trips = Tables.documents(spark, dir)
+      .select(words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 3), " +
+          "i -> struct(concat_ws(' ', ws[i], ws[i+1]) AS ctx, ws[i+2] AS nxt))")).as("t"))
+      .select(col("t.ctx").as("ctx"), col("t.nxt").as("nxt"))
+    val counts = trips.groupBy("ctx", "nxt").agg(count(lit(1)).as("n"))
+    val wRank = Window.partitionBy("ctx").orderBy(col("n").desc, col("nxt"))
+    val wCtx = Window.partitionBy("ctx")
+    counts
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("ctx_total", sum(col("n")).over(wCtx))
+      .filter(col("rank") <= 3 && col("ctx_total") >= LmMinCtx)
+      .select("ctx", "nxt", "n", "rank", "ctx_total")
+      .orderBy("ctx", "rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_normalize" -> qTextNormalize,
+    "q_ngram_lm" -> qNgramLm,
     "q_text_stats" -> qTextStats,
     "q_word_freq" -> qWordFreq,
     "q_lang_breakdown" -> qLangBreakdown,
@@ -166,6 +203,24 @@ object TextOps {
     s"CAST((length($expr) - length(replace($expr, '$pat', ''))) / ${pat.length} AS INTEGER)"
 
   def oracleSql: Map[String, String] = Map(
+    // 1-based list indexing: i in [1, len-2] yields w[i], w[i+1], w[i+2]
+    "q_ngram_lm" ->
+      s"""WITH ws AS (
+         |  SELECT string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |t AS (
+         |  SELECT unnest([{'ctx': w[i] || ' ' || w[i+1], 'nxt': w[i+2]}
+         |                 for i in range(1, len(w) - 1)]) AS s
+         |  FROM ws),
+         |c AS (SELECT s.ctx AS ctx, s.nxt AS nxt, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM t GROUP BY 1, 2),
+         |r AS (SELECT ctx, nxt, n,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY ctx ORDER BY n DESC, nxt) AS INTEGER) AS rank,
+         |        CAST(SUM(n) OVER (PARTITION BY ctx) AS BIGINT) AS ctx_total
+         |      FROM c)
+         |SELECT ctx, nxt, n, rank, ctx_total FROM r
+         |WHERE rank <= 3 AND ctx_total >= $LmMinCtx
+         |ORDER BY ctx, rank""".stripMargin,
     "q_text_normalize" -> {
       val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
       s"""SELECT doc_id, $norm AS norm_text,
