@@ -415,12 +415,15 @@ object StreamOps {
   /** State-store partition count for the live contract queries' bounded
     * replays: each state partition is a store instance paying per-BATCH
     * delta-file + commit I/O, so at a fixed small batch count the harness
-    * overhead is ∝ partitions, not data. 8 instances keep the drain
-    * parallel while cutting 3/4 of the per-batch store traffic vs the
-    * session default (32). An unbounded production stream sizes this to
-    * throughput (state partitioning is fixed at the checkpoint's first
-    * commit); these queries wipe their checkpoint per invocation, so the
-    * choice binds per run. */
+    * overhead is ∝ partitions, not data. 8 instances cut the sf0.1 fixed
+    * overhead ~25% vs the session default (32), and an A/B at the 100×
+    * probe measured 8 ≈ 32 there too (26.9 vs 33.3 s — the terminal
+    * watermark flush emitting ~1M sessions dominates either way), so the
+    * count stays FIXED at 8: scaling it with staged bytes was built,
+    * measured, and removed. An unbounded production stream sizes this to
+    * throughput once (state partitioning is fixed at the checkpoint's
+    * first commit); these queries wipe their checkpoint per invocation,
+    * so the choice binds per run. */
   private val StreamStatePartitions = 8
 
   /** Cached max event timestamp (µs) per input dir — see sentinel drain. */
