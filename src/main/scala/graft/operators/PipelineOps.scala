@@ -164,23 +164,23 @@ object PipelineOps {
     * low-entropy docs are repetitive/degenerate). entropy = ln n − (Σ c·ln c)/n
     * in bits — the identical formula on both engines; float sum order
     * differences are ~1e-15, far inside the 4-decimal rounding. */
-  def qCharEntropy(spark: SparkSession, dir: String): DataFrame = {
-    // regexp '.' matches one CODE POINT (so astral-plane chars stay whole,
-    // matching DuckDB's per-character string_split) where split(text, "")
-    // would emit two unpaired UTF-16 surrogate halves; (?s) covers newlines
-    val counts = Tables.documents(spark, dir)
+  /** Round 8: ONE row-local code-point walk ([[graft.functions
+    * .CharEntropyExpr]]) — the declarative form exploded every character
+    * of the corpus into a (doc_id, char) shuffle through two hash
+    * aggregations; the walk makes the query scan → project → output sort.
+    * Code-point semantics, canonical-order float summation, HALF_UP
+    * round-4 — pinned equal to the explode form in CharEntropySpec. Docs
+    * with empty text stay absent (the explode form emitted no rows for
+    * them). */
+  def qCharEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"),
-        explode(regexp_extract_all(col("text"), lit("(?s)."), lit(0))).as("c"))
-      .groupBy("doc_id", "c")
-      .agg(count(lit(1)).cast("double").as("cnt"))
-    counts.groupBy("doc_id")
-      .agg(sum(col("cnt")).as("nd"),
-        count(lit(1)).as("n_distinct"),
-        sum(col("cnt") * log(col("cnt"))).as("slc"))
-      .select(col("doc_id"), col("nd").cast("long").as("n"), col("n_distinct"),
-        round((log(col("nd")) - col("slc") / col("nd")) / log(lit(2.0)), 4).as("entropy_bits"))
+        graft.functions.CharEntropyExpr.charEntropy(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n").as("n"),
+        col("s.n_distinct").as("n_distinct"),
+        col("s.entropy_bits").as("entropy_bits"))
       .orderBy("doc_id")
-  }
 
   /** Mixing-weight (stratified) sampling: per-source rates from the same
     * deterministic hash — how a 100 TB corpus reweights sources for a
