@@ -62,26 +62,23 @@ object Dedup {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
-  /** (doc_id, shingle) exploded rows with the two 32-bit md5-derived hash
-    * components. One md5 per (doc, shingle). Parameterized by the input
-    * docs frame so the corpus funnel can run the LSH stage on exact-dedup
-    * SURVIVORS — a group of k exact duplicates collides on every band and
-    * would otherwise emit Bands*k²/2 candidate rows before dedup. */
-  private def shingleHashes(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"), explode(shinglesOf(col("ws"))).as("s"))
-      .withColumn("m", md5(col("s")))
-      .withColumn("v1", conv(substring(col("m"), 1, 8), 16, 10).cast("long"))
-      .withColumn("v2", conv(substring(col("m"), 9, 8), 16, 10).cast("long"))
-
-  /** MinHash signatures: sig_i = min over shingles of (v1 + i*v2) mod 2^32.
-    * Aggregation-based — map-side combine, tiny shuffle. */
+  /** MinHash signatures: sig_i = min over distinct shingles of
+    * (v1 + i*v2) mod 2^32. Round 8: ONE row-local walk
+    * ([[graft.functions.MinHashSigExpr]] — shingle, distinct, md5 halves,
+    * 16 running mins, property-held equal to the explode + min-agg
+    * formulation the DuckDB oracle still runs in MinHashSigSpec), so the
+    * signature is map-only — the (doc, shingle) explode, the md5-hex
+    * string round-trip, and the 16-column min-agg shuffle are gone. The
+    * docs-frame parameter stays so the corpus funnel runs the LSH stage
+    * on exact-dedup SURVIVORS (a group of k exact duplicates collides on
+    * every band and would otherwise emit Bands*k²/2 candidate rows). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val aggs = (0 until MinhashFuncs).map { i =>
-      min((col("v1") + lit(i.toLong) * col("v2")) % Mod).as(s"sig$i")
-    }
-    shingleHashes(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigArr = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSigExpr.minhashSigs(col("ws"), MinhashFuncs).as("sigs"))
+    val cols = (0 until MinhashFuncs).map(i => col("sigs")(i).as(s"sig$i"))
+    sigArr.select(col("doc_id") +: cols: _*)
   }
 
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
