@@ -13,10 +13,11 @@ import graft.Tables
   *   shingle -> minhash signature -> LSH band bucketing -> candidate pairs
   *     -> exact Jaccard verify on candidates only
   *
-  *  - Signatures are computed by '''explode + groupBy(doc).agg(min …)''' —
-  *    one md5 per shingle, 16 codegen'd min-aggregates, map-side partial
-  *    aggregation; the shuffle carries only (doc_id, 16 longs). (A per-row
-  *    higher-order-function formulation was 20x slower: HOFs are
+  *  - Signatures are ONE row-local codegen walk per document (round 8,
+  *    [[graft.functions.MinHashSigExpr]]): shingle, distinct, md5 halves,
+  *    16 running mins — map-only, no (doc, shingle) shuffle at all. (The
+  *    earlier explode + 16×min-agg form was correct but shuffled every
+  *    shingle row; a HOF formulation was 20x slower still — HOFs are
   *    CodegenFallback and would md5 every shingle 16 times.)
   *  - LSH: 8 bands x 2 rows — P(candidate | jaccard=0.5) ~ 0.90,
   *    P(candidate | jaccard~0) ~ 0.1%. Banding turns near-dup search into an
@@ -36,17 +37,13 @@ object Dedup {
 
   private def words(c: Column): Column = split(c, " ")
 
-  /** Distinct word-3-gram shingles from a PRE-SPLIT words array column.
-    * `w` must be a projected attribute, never an inline `split(...)`:
-    * higher-order `transform` is interpreted (no codegen, no subexpression
-    * elimination), so any expression the lambda captures is re-evaluated
-    * per element — an inline split makes shingling O(words²) per document
-    * (measured: a 10x corpus probe pinned one core for 4 minutes on
-    * exactly this). An attribute capture is a row-field read. */
+  /** Distinct word-3-gram shingles from a PRE-SPLIT words array column —
+    * since round 8 a [[graft.functions.ShinglesExpr]] codegen walk. (The
+    * previous HOF `array_distinct(transform(...))` form was interpreted
+    * per element, and an inline split capture made it O(words²) per doc —
+    * the walk closes both traps structurally.) */
   private def shinglesOf(w: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - 2, lit(1))),
-      i => concat_ws("|", slice(w, i, lit(3)))))
+    graft.functions.ShinglesExpr.shinglesOf(w)
 
   /** Projects (doc_id, sh = shingles) via an explicit two-step select so
     * the split is evaluated once per row (see [[shinglesOf]]). */

@@ -30,17 +30,11 @@ object TrainPrep {
 
   private def words(c: Column): Column = split(c, " ")
 
-  /** Distinct word-3-gram shingles — same convention as [[Dedup.shingles]]
-    * (kept local: both modules treat the shingle shape as part of the
-    * query's public contract, not shared mutable design). */
-  /** Distinct word-3-gram shingles from a PRE-SPLIT words attribute — the
-    * `transform` lambda is interpreted and re-evaluates captured
-    * expressions per element, so passing an inline `split` here would make
-    * shingling O(words²) per document (see Dedup.shinglesOf). */
+  /** Distinct word-3-gram shingles — same convention as Dedup's; since
+    * round 8 both delegate to the [[graft.functions.ShinglesExpr]] codegen
+    * walk (the HOF transform form was interpreted per element). */
   private def shinglesOf(w: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - 2, lit(1))),
-      i => concat_ws("|", slice(w, i, lit(3)))))
+    graft.functions.ShinglesExpr.shinglesOf(w)
 
   /** Benchmark decontamination: for every corpus (non-benchmark) document,
     * how many of its distinct word-3-grams appear anywhere in the benchmark
