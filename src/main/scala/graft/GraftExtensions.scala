@@ -54,7 +54,9 @@ object GraftExtensions {
     "graft_simhash64" -> (graft.functions.SimHash64Expr(_)),
     "graft_normalize_text" -> (graft.functions.NormalizeTextExpr(_)),
     "graft_type_probe" -> (graft.functions.TypeProbeExpr(_)),
-    "graft_rep_ngram_stats" -> (graft.functions.RepNgramStatsExpr(_)))
+    "graft_rep_ngram_stats" -> (graft.functions.RepNgramStatsExpr(_)),
+    "graft_char_entropy" -> (graft.functions.CharEntropyExpr(_)),
+    "graft_shingles" -> (graft.functions.ShinglesExpr(_)))
   private[graft] def buildDot(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "graft_dot(arrayA, arrayB) expects 2 arguments")
     graft.functions.DotProductExpr(exprs.head, exprs(1))

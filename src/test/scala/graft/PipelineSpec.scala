@@ -83,6 +83,12 @@ class PipelineSpec extends SparkSpec {
       .collect().head.getSeq[Int](0)
     assert(rep == Seq(1, 1, 2, 2))
     assert(spark.sql("SELECT graft_type_probe('42') AS p").collect().head.get(0) != null)
+    val ent = spark.sql("SELECT graft_char_entropy('abcd').entropy_bits AS e")
+      .collect().head.getDouble(0)
+    assert(ent == 2.0)
+    val shg = spark.sql("SELECT graft_shingles(array('a','b','c','d')) AS s")
+      .collect().head.getSeq[String](0)
+    assert(shg == Seq("a|b|c", "b|c|d"))
   }
 
   test("graft_dot is callable from SQL via extensions") {
