@@ -106,23 +106,17 @@ object TextOps {
 
   /** Document fingerprint: min-md5 over word 5-gram shingles (MinHash with
     * one hash function — a deterministic rolling-window fingerprint).
-    * Explode + min aggregate: codegen'd, map-side combine, tiny shuffle
-    * (the per-row HOF formulation is CodegenFallback and ~5x slower). */
-  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    // Split once into an attribute before the HOF: the transform lambda is
-    // interpreted and re-evaluates captured expressions per element, so an
-    // inline split would cost O(words²) per document.
-    val w = col("ws")
-    val shingles = transform(
-      sequence(lit(1), greatest(size(w) - 4, lit(1))),
-      i => concat_ws(" ", slice(w, i, lit(5))))
+    * Round 8: ONE row-local walk ([[graft.functions.DocFingerprintExpr]] —
+    * gram, md5, running unsigned-byte min, hex-encode the winner;
+    * property-held equal to the explode + min(md5) form the oracle still
+    * runs in DocFingerprintSpec), so the query is map-only: scan →
+    * project → output sort. */
+  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"), explode(shingles).as("s"))
-      .groupBy("doc_id")
-      .agg(min(md5(col("s"))).as("fingerprint"))
+      .select(col("doc_id"),
+        graft.functions.DocFingerprintExpr.docFingerprint(col("ws")).as("fingerprint"))
       .orderBy("doc_id")
-  }
 
   /** Canonical text normalization (the cleaning map every corpus pipeline
     * runs before dedup/tokenization): lowercase, strip every char outside
