@@ -103,8 +103,13 @@ object Similarity {
       .map(p => when(projection(p) > 0, lit(1 << p)).otherwise(0))
       .reduce(_ + _)
 
+  /** Corpus size per input dir — a pure data property cached for the JVM
+    * (round 8; same convention as StreamOps.maxEventUs), so the four LSH
+    * consumers stop paying a count job per invocation. */
+  private val nEmbCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private def nEmbeddings(spark: SparkSession, dir: String): Long =
-    Tables.embeddings(spark, dir).count()
+    nEmbCache.getOrElseUpdate(dir, Tables.embeddings(spark, dir).count())
 
   /** Bucket ids for an arbitrary embedding frame at an explicit plane count
     * (spec hook: proves the recall property survives higher plane counts). */
