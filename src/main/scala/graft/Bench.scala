@@ -96,7 +96,9 @@ object Bench {
       // min is a fixed-work calibration sample — cross-round totals divide
       // by it to cancel the 1.3-1.5x host-speed drift between driver
       // windows (round 7's +4.4% "regression" was entirely host phase).
-      val q1n = best.get("q1_pricing_summary").map(r3).getOrElse(0.0)
+      // null, not 0.0, when q1 was skipped or errored: a zero denominator
+      // would silently poison any total/q1_norm arithmetic downstream
+      val q1n = best.get("q1_pricing_summary").map(v => r3(v).toString).getOrElse("null")
       println(s"""{"metric":"detail","value":$total,"unit":"sec","q1_norm":$q1n,"queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}""")
       // "queries" on the compact line carries only the 5 slowest (contract
       // shape preserved, line stays ~400 bytes); the full map is one line up.

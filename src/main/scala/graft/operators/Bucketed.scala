@@ -48,6 +48,10 @@ object Bucketed {
   private val registry =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  /** Cached max order key per input dir — see [[qMergeUpsert]]. */
+  private val maxKeyCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** Build (once per JVM per dir) the bucketed copies and return their
     * catalog names. Only the join/agg columns are written — the bucketed
     * copy is a projection too, so the layout pays for narrow scans as well
@@ -57,9 +61,13 @@ object Bucketed {
       // keyed by (SparkContext, dir): the catalog entries live in the
       // context's SharedState, so a fresh context must rebuild them even
       // in the same JVM (same convention as Graph.liveCkpt)
-      val ctxKey = s"${System.identityHashCode(spark.sparkContext)}|$dir"
+      val ctxKey = s"${spark.sparkContext.applicationId}|$dir"
       registry.getOrElseUpdate(ctxKey, {
-        val root = graft.ScratchDirs.freshRoot("bucketed", ctxKey)
+        // scratch NAME keyed by dir alone (stable across JVMs/contexts):
+        // freshRoot's wipe-on-create then reclaims a crashed run's copy
+        // instead of leaking it beside a fresh differently-named one
+        // (round-8 review). Single-writer per dir is the driver contract.
+        val root = graft.ScratchDirs.freshRoot("bucketed", dir)
         val key = root.getFileName.toString.stripPrefix("graft_bucketed_")
         val oName = s"graft_b_orders_$key"
         val lName = s"graft_b_lineitem_$key"
@@ -123,7 +131,11 @@ object Bucketed {
     val (oName, _) = bucketedTables(spark, dir)
     val base = spark.table(oName).hint("merge")
     val src = Tables.orders(spark, dir)
-    val maxKey = src.agg(max(col("o_orderkey"))).head().getLong(0)
+    // per-dir model state, cached for the JVM (a pure data property, same
+    // convention as StreamOps.maxEventUs / Similarity.nEmbCache) — the
+    // previous per-invocation agg paid a full orders scan per call
+    val maxKey = maxKeyCache.getOrElseUpdate(dir,
+      src.agg(max(col("o_orderkey"))).head().getLong(0))
     val upd = src.filter(col("o_orderkey") % 10 === 3)
       .select(col("o_orderkey").as("d_key"),
         (col("o_totalprice") * lit(1.1)).as("d_price"),

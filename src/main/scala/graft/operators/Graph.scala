@@ -108,7 +108,7 @@ object Graph {
 
   /** PageRank after [[PrRounds]] quantized power iterations. */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val ckptKey = s"${System.identityHashCode(spark.sparkContext)}|$dir"
+    val ckptKey = s"${spark.sparkContext.applicationId}|$dir"
     // Two eager materializations, but the second is the |V|-row degree
     // frame — negligible next to the 2|E|-row edge list, and it buys every
     // iteration a degree lookup with NO re-scan of the edge checkpoint

@@ -119,9 +119,11 @@ object Layout {
       // keyed by (SparkContext, dir): the layout files outlive a stopped
       // context, but a fresh context must not trust state computed by a
       // dead one (same convention as Bucketed/Graph)
-      val ctxKey = s"${System.identityHashCode(spark.sparkContext)}|$dir"
+      val ctxKey = s"${spark.sparkContext.applicationId}|$dir"
       partRegistry.getOrElseUpdate(ctxKey, {
-        val root = graft.ScratchDirs.freshRoot("partitioned", ctxKey)
+        // scratch NAME keyed by dir alone — see Bucketed: stable names let
+        // wipe-on-create reclaim crashed runs instead of leaking copies
+        val root = graft.ScratchDirs.freshRoot("partitioned", dir)
         val ev = Tables.events(spark, dir)
         val path = s"$root/events_by_date"
         ev.select(col("event_type"), col("value"), to_date(col("ts")).as("event_date"))

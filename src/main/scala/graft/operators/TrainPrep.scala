@@ -164,7 +164,7 @@ object TrainPrep {
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), explode(shinglesOf(col("ws"))).as("g"))
     val bench = grams.filter(col("doc_id") % BenchMod === 0).select("g").distinct()
-    val bloomKey = s"${System.identityHashCode(spark.sparkContext)}|$dir"
+    val bloomKey = s"${spark.sparkContext.applicationId}|$dir"
     val bloom = bloomCache.getOrElseUpdate(bloomKey,
       graft.functions.Bloom.build(bench, col("g"), BloomCapacity))
     grams.filter(col("doc_id") % BenchMod =!= 0)

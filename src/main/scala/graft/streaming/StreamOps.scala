@@ -316,7 +316,8 @@ object StreamOps {
       if (src.isFile) Seq(src)
       else src.listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).toSeq
     parts.zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.createSymbolicLink(in.resolve(f"ev_$i%05d.parquet"), f.toPath)
+      java.nio.file.Files.createSymbolicLink(
+        in.resolve(f"ev_$i%05d.parquet"), f.toPath.toAbsolutePath)
     }
     // One sentinel row 10 gaps past the corpus max, in the RAW schema (the
     // fixtures store ts as parquet nanos-long; fall through for real
@@ -452,15 +453,10 @@ object StreamOps {
   private def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => Files.deleteIfExists(q))
-      finally walk.close()
-    }
-  }
+  // one shared implementation (graft.ScratchDirs); the LIFECYCLE here stays
+  // streaming-specific (per-invocation delete-on-entry + shutdown hook)
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.ScratchDirs.deleteRecursively(p)
 
   private def scratchFor(tag: String, dir: String): java.nio.file.Path = {
     scratchShutdownHook
@@ -504,7 +500,8 @@ object StreamOps {
       if (src.isFile) Seq(src)
       else src.listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).toSeq
     parts.zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.createSymbolicLink(in.resolve(f"ev_$i%05d.parquet"), f.toPath)
+      java.nio.file.Files.createSymbolicLink(
+        in.resolve(f"ev_$i%05d.parquet"), f.toPath.toAbsolutePath)
     }
     val ss = streamingSession(spark)
     val raw = ss.readStream.schema(rawSchema)

@@ -59,17 +59,25 @@ class BridgeSpec extends SparkSpec {
             "finalPhysicalPlan unwrap in bridge.scala")
       }
       // 2. And a join on that key must NOT re-shuffle the checkpointed side:
-      //    the only Exchange in the plan feeds the other side.
+      //    the only Exchange in the plan feeds the other side. Checked
+      //    STRUCTURALLY (round-8 review fix — a substring test over tree
+      //    lines never fired): no ShuffleExchange node's subtree may
+      //    contain the checkpointed RDD scan.
       val small = Tables.orders(spark, sf)
         .select(col("o_orderkey"), col("o_totalprice"))
       val joined = df.join(small.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      val sparkPlan = joined.queryExecution.sparkPlan
+      val exchangesOverRdd = sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.collectLeaves().exists(
+              _.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec]) => e
+      }
+      assert(exchangesOverRdd.isEmpty,
+        s"checkpointed side must never feed an Exchange:\n$sparkPlan")
+      assert(sparkPlan.toString.contains("ShuffledHashJoin"),
+        s"expected a shuffled hash join:\n$sparkPlan")
+      // the join must still execute correctly against the live blocks
       joined.write.format("noop").mode("overwrite").save()
-      val plan = joined.queryExecution.executedPlan.toString
-      val rddScanToExchange = plan.linesIterator
-        .filter(_.contains("Exchange"))
-        .exists(_.contains("ExistingRDD"))
-      assert(!rddScanToExchange, s"checkpointed side must never feed an Exchange:\n$plan")
-      assert(plan.contains("ShuffledHashJoin"), s"expected a shuffled hash join:\n$plan")
     } finally rdd.unpersist(blocking = true)
   }
 }
