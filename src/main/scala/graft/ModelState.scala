@@ -1,0 +1,32 @@
+package graft
+
+/** Hygiene for the per-(SparkContext, input dir) model-state registries
+  * (Graph.liveCkpt, Bucketed.registry, Layout.partRegistry,
+  * TrainPrep.bloomCache, StreamOps.liveResult): entries are keyed
+  * "<applicationId>|<dir>" because the cached state (catalog entries,
+  * checkpointed blocks, returned frames) belongs to one SparkContext's
+  * SharedState/BlockManager and must not be trusted by a successor
+  * context. A long-lived JVM that restarts contexts would otherwise
+  * accumulate one dead entry per (context, dir) forever (round-8 advisor
+  * item), so every registry lookup first drops entries whose prefix is
+  * not the CURRENT context's applicationId — safe because Spark enforces
+  * one active SparkContext per JVM, so a foreign prefix can only belong
+  * to a stopped context. The eviction callback (unpersist of checkpoint
+  * RDDs) is best-effort: a stopped context's blocks died with its
+  * BlockManager, so failures are expected and swallowed. */
+private[graft] object ModelState {
+
+  /** Drop (and release) every entry of `m` not owned by the current
+    * context. Call at the top of each registry lookup, inside the same
+    * synchronization the lookup uses. */
+  def evictStale[V](m: scala.collection.concurrent.TrieMap[String, V],
+                    spark: org.apache.spark.sql.SparkSession)
+                   (onEvict: V => Unit): Unit = {
+    val prefix = spark.sparkContext.applicationId + "|"
+    m.keys.filterNot(_.startsWith(prefix)).foreach { k =>
+      m.remove(k).foreach(v =>
+        try onEvict(v)
+        catch { case scala.util.control.NonFatal(_) => () })
+    }
+  }
+}

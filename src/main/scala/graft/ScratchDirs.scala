@@ -27,16 +27,43 @@ private[graft] object ScratchDirs {
   }
 
   /** A fresh (emptied) fixed root for (tag, key); registered for
-    * shutdown-time reclaim. */
+    * shutdown-time reclaim. The name carries the OWNING PROCESS's pid
+    * (round-8 advisor item): a purely (tag, key)-derived name let a second
+    * JVM on the same input dir wipe a live process's layout files
+    * mid-query, so liveness is per-process by construction and crashed
+    * runs are reclaimed by [[sweepStale]] instead of wipe-on-create. */
   def freshRoot(tag: String, key: String): java.nio.file.Path = {
     hook
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$tag|$key".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    sweepStale(tag, digest)
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_${tag}_$digest")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${digest}_p${ProcessHandle.current.pid}")
     deleteRecursively(root)
     java.nio.file.Files.createDirectories(root)
     roots.put(s"$tag|$key", root)
     root
+  }
+
+  /** Best-effort reclaim of same-(tag, digest) roots whose owning process
+    * is no longer alive (crashed or kill -9'd before its shutdown hook).
+    * A recycled pid can make a stale root look alive — then it simply
+    * lingers until that process exits; never deleted from under a live
+    * owner. */
+  private def sweepStale(tag: String, digest: String): Unit = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val pat = s"graft_${tag}_${digest}_p(\\d+)".r
+    val self = ProcessHandle.current.pid
+    val listing = java.nio.file.Files.list(tmp)
+    try listing.forEach { p =>
+      p.getFileName.toString match {
+        case pat(pid) if pid.toLong != self &&
+            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+          try deleteRecursively(p)
+          catch { case scala.util.control.NonFatal(_) => () }
+        case _ => ()
+      }
+    } finally listing.close()
   }
 }

@@ -30,6 +30,11 @@ case class ResizeBytesExpr(child: Expression, outLen: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // outLen < 1 would only fail at EXECUTION time (0 divides by zero in
+    // resize, negative throws NegativeArraySizeException) — reject at
+    // analysis so misuse of the public constructor fails at plan time
+    case BinaryType if outLen < 1 => TypeCheckResult.TypeCheckFailure(
+      s"graft_resize_bytes requires outLen >= 1, got $outLen")
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_resize_bytes requires binary, got ${other.catalogString}")

@@ -62,11 +62,16 @@ object Bucketed {
       // context's SharedState, so a fresh context must rebuild them even
       // in the same JVM (same convention as Graph.liveCkpt)
       val ctxKey = s"${spark.sparkContext.applicationId}|$dir"
+      // entries of a stopped context point at catalog state in a dead
+      // SharedState — drop them (round-8 advisor item); nothing to release
+      // here, the scratch files are reclaimed by ScratchDirs
+      graft.ModelState.evictStale(registry, spark)(_ => ())
       registry.getOrElseUpdate(ctxKey, {
-        // scratch NAME keyed by dir alone (stable across JVMs/contexts):
-        // freshRoot's wipe-on-create then reclaims a crashed run's copy
-        // instead of leaking it beside a fresh differently-named one
-        // (round-8 review). Single-writer per dir is the driver contract.
+        // scratch NAME = (tag, dir) digest + owning pid (round-9): stable
+        // per (dir, process) so re-creation within a JVM reclaims in
+        // place, while a second JVM on the same dir gets its OWN root
+        // instead of wiping a live process's layout; crashed runs are
+        // swept by ScratchDirs once their pid is gone.
         val root = graft.ScratchDirs.freshRoot("bucketed", dir)
         val key = root.getFileName.toString.stripPrefix("graft_bucketed_")
         val oName = s"graft_b_orders_$key"

@@ -104,7 +104,7 @@ object Graph {
     * — and with it the previous "prior results are invalidated by
     * re-invocation" API landmine: returned frames now stay valid). */
   private val liveCkpt = scala.collection.concurrent.TrieMap
-    .empty[String, (DataFrame, DataFrame, Long)]
+    .empty[String, (DataFrame, DataFrame, Long, Seq[org.apache.spark.rdd.RDD[_]])]
 
   /** PageRank after [[PrRounds]] quantized power iterations. */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
@@ -122,19 +122,25 @@ object Graph {
     // partitioning and the per-round joins consume both frames in place.
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
     val (eCkpt, degD, n) = liveCkpt.synchronized {
-      liveCkpt.getOrElseUpdate(ckptKey, {
+      // drop entries left by a stopped context (round-8 advisor item);
+      // the unpersist is best-effort — a dead context's blocks died with
+      // its BlockManager
+      graft.ModelState.evictStale(liveCkpt, spark)(
+        _._4.foreach(_.unpersist(blocking = false)))
+      val (e, d, nn, _) = liveCkpt.getOrElseUpdate(ckptKey, {
         val prevCoalesce = spark.conf.get(coalesceKey)
         try {
           spark.conf.set(coalesceKey, "false")
-          val (e, _) = org.apache.spark.sql.graft.Bridge
+          val (e, eRdd) = org.apache.spark.sql.graft.Bridge
             .localCheckpointed(partitionedEdges(spark, dir))
           // degrees read the checkpointed blocks (no exchange: the groupBy
           // key IS the carried partitioning key), never the source join
           val (d, dRdd) = org.apache.spark.sql.graft.Bridge
             .localCheckpointed(e.groupBy("src").agg(count(lit(1)).as("deg")))
-          (e, d, dRdd.count()) // |V|: one row per distinct src
+          (e, d, dRdd.count(), Seq(eRdd, dRdd)) // |V|: one row per distinct src
         } finally spark.conf.set(coalesceKey, prevCoalesce)
       })
+      (e, d, nn)
     }
     val teleport = TeleportNum / n
     var ranks = degD.select(col("src").as("node"), round(lit(1.0 / n), 6).as("rank"))

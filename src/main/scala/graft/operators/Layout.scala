@@ -120,9 +120,11 @@ object Layout {
       // context, but a fresh context must not trust state computed by a
       // dead one (same convention as Bucketed/Graph)
       val ctxKey = s"${spark.sparkContext.applicationId}|$dir"
+      // drop entries left by a stopped context (round-8 advisor item)
+      graft.ModelState.evictStale(partRegistry, spark)(_ => ())
       partRegistry.getOrElseUpdate(ctxKey, {
-        // scratch NAME keyed by dir alone — see Bucketed: stable names let
-        // wipe-on-create reclaim crashed runs instead of leaking copies
+        // scratch NAME = (tag, dir) digest + owning pid — see Bucketed:
+        // per-process liveness, crashed runs swept once their pid is gone
         val root = graft.ScratchDirs.freshRoot("partitioned", dir)
         val ev = Tables.events(spark, dir)
         val path = s"$root/events_by_date"

@@ -165,6 +165,10 @@ object TrainPrep {
       .select(col("doc_id"), explode(shinglesOf(col("ws"))).as("g"))
     val bench = grams.filter(col("doc_id") % BenchMod === 0).select("g").distinct()
     val bloomKey = s"${spark.sparkContext.applicationId}|$dir"
+    // drop filters built by a stopped context (round-8 advisor item) —
+    // they are plain byte arrays, but one per dead (context, dir) pair
+    // accumulates in a context-restarting JVM
+    graft.ModelState.evictStale(bloomCache, spark)(_ => ())
     val bloom = bloomCache.getOrElseUpdate(bloomKey,
       graft.functions.Bloom.build(bench, col("g"), BloomCapacity))
     grams.filter(col("doc_id") % BenchMod =!= 0)

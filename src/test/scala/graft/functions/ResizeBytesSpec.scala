@@ -40,6 +40,15 @@ class ResizeBytesSpec extends AnyFunSuite {
     }
   }
 
+  test("outLen < 1 is rejected at ANALYSIS, not execution (round-8 advice)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    for (k <- Seq(0, -1)) {
+      val check = ResizeBytesExpr(Literal(Array[Byte](1, 2)), k).checkInputDataTypes()
+      assert(check.isFailure, s"outLen=$k must fail analysis")
+    }
+    assert(ResizeBytesExpr(Literal(Array[Byte](1, 2)), 1).checkInputDataTypes().isSuccess)
+  }
+
   test("a short payload STRETCHES across the span (floor boundaries)") {
     // n=2, outLen=8: the only non-empty blocks are r=3 -> [0,1) and
     // r=7 -> [1,2) — the two bytes land proportionally across the output,
