@@ -292,6 +292,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "stream ring state must equal the batch window frame")
   }
 
+  test("file-stream source replays staged files oldest-modtime-first (pacing precondition)") {
+    import spark.implicits._
+    // the paced drains stage K time-range files with ascending modtimes
+    // and rely on the file source consuming them oldest-first under
+    // maxFilesPerTrigger=1 — pin that ordering (names deliberately
+    // DISAGREE with modtimes so a name-ordered source would fail)
+    val root = java.nio.file.Files.createTempDirectory("graft_order_pin")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      val base = System.currentTimeMillis() - 100000L
+      for (((name, v), i) <- Seq(("zz", 0), ("mm", 1), ("aa", 2)).zipWithIndex) {
+        val work = root.resolve(s"work_$name")
+        Seq(v).toDF("v").coalesce(1).write.parquet(work.toString)
+        val part = work.toFile.listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")).head
+        val dst = in.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        assert(dst.toFile.setLastModified(base + i * 5000L))
+      }
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+      val q = spark.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("v", org.apache.spark.sql.types.IntegerType))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+        .writeStream
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          seen.synchronized { seen += b.collect().map(_.getInt(0)).toSeq }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      assert(seen.forall(_.size == 1), s"one file per batch expected: $seen")
+      assert(seen.flatten.toSeq == Seq(0, 1, 2),
+        s"files must replay in MODTIME order, got $seen")
+    } finally graft.ScratchDirs.deleteRecursively(root)
+  }
+
+  test("paced multi-batch drains equal the batch oracles row-for-row") {
+    // force K≈10 micro-batches on the sf0.001 fixture: the paced carry /
+    // incremental-eviction machinery must reproduce the one-batch answer,
+    // which CORRECTNESS separately hash-checks against DuckDB
+    val prev = StreamOps.PaceRowsPerBatch
+    try {
+      StreamOps.PaceRowsPerBatch = 100
+      val rollLive = StreamOps.qRollingQuantileLive(spark, sf).collect().map(_.toSeq).toSeq
+      val rollBatch = graft.operators.EventOps.qRollingQuantile(spark, sf).collect().map(_.toSeq).toSeq
+      assert(rollLive.size == rollBatch.size && rollLive == rollBatch,
+        "paced rolling quantiles must equal the batch window exactly")
+      val sessLive = StreamOps.qSessionWindowLive(spark, sf).collect().map(_.toSeq).toSeq
+      val sessBatch = graft.operators.PipelineOps.qSessionWindow(spark, sf).collect().map(_.toSeq).toSeq
+      assert(sessLive.size == sessBatch.size && sessLive == sessBatch,
+        "paced session windows must equal the batch gap-and-island result exactly")
+    } finally StreamOps.PaceRowsPerBatch = prev
+  }
+
   test("stateful dedup-with-counts converges to the batch truth across triggers") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
