@@ -42,7 +42,14 @@ object Similarity {
     * Spark and the DuckDB oracle can never disagree at a boundary. */
   val TargetBucket = 64
   val MinPlanes = 8
-  val MaxPlanes = 16
+
+  /** Ladder ceiling. 16 held the occupancy promise only to 64·2^16 ≈
+    * 4.2 M vectors — the round-9 100× probe (6 M) crossed it silently,
+    * occupancy drifting to ~91. 20 covers ~67 M vectors; past that a
+    * real deployment re-derives the constant, it does not live with a
+    * quadratic drift. No oracle-checked scale reaches 4.2 M, so every
+    * gated result is unchanged; only the SQL ladder grows. */
+  val MaxPlanes = 20
 
   def planesFor(n: Long): Int = {
     var p = MinPlanes

@@ -147,10 +147,12 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(planesFor((TargetBucket.toLong << MinPlanes) + 1) == MinPlanes + 1)
     assert(planesFor(1L << 30) == MaxPlanes) // clamped at the top
     // occupancy bound: n / 2^p <= TargetBucket whenever the ladder isn't capped
-    for (n <- Seq(10000L, 1000000L, 50000000L)) {
+    // (6 M = the 100x probe corpus that silently crossed the old cap of 16)
+    for (n <- Seq(10000L, 1000000L, 6000000L, 50000000L)) {
       val p = planesFor(n)
       if (p < MaxPlanes) assert(n.toDouble / (1L << p) <= TargetBucket)
     }
+    assert(planesFor(6000000L) == 17, "the 100x probe corpus must sit inside the ladder")
   }
 
   test("pq: codes are PqM subspace indices in [0, PqK); top-k shape holds") {
