@@ -318,7 +318,7 @@ object StreamOps {
     // open at a batch boundary either continues (next event within the
     // gap) or was ALREADY a new session by gap semantics when the
     // watermark passed its end.
-    val (stagedDir, _) = stagedEvents(spark, dir)
+    val (stagedDir, _, stagedRows) = stagedEvents(spark, dir)
     val stagedSchema = spark.read.parquet(stagedDir.toString).schema
     val tmp = scratchFor("session", dir)
     val in = java.nio.file.Paths.get(s"$tmp/in")
@@ -358,7 +358,15 @@ object StreamOps {
     new java.io.File(s"$tmp/sentinel").listFiles((_: java.io.File, n: String) => n.endsWith(".parquet"))
       .foreach(f => java.nio.file.Files.move(f.toPath, in.resolve("zz_sentinel.parquet")))
 
-    val ss = streamingSession(spark)
+    // state partitions scale with per-batch rows (round 9): state-store
+    // merge/evict work is single-threaded per partition, and under paced
+    // eviction this fixture churns ~1 session per event — 8 partitions
+    // (right for the small fixtures' fixed commit overhead) left 3/4 of
+    // the cores idle at the 100x probe (39.8 -> 33.3 s at 32). One
+    // partition per ~250k staged rows, clamped to [8, cores].
+    val sessParts = math.max(StreamStatePartitions,
+      math.min(spark.sparkContext.defaultParallelism.toLong, stagedRows / 250000L).toInt)
+    val ss = streamingSession(spark, sessParts)
     val raw = ss.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(in.toString)
@@ -387,6 +395,17 @@ object StreamOps {
       }
       .start()
     q.awaitTermination()
+    // per-batch diagnostics (stderr, same spirit as Bench's progress log):
+    // input rows, wall, and state rows per micro-batch make the paced
+    // eviction visible — state must PLATEAU at the live-slice size, not
+    // grow to the corpus's session count
+    q.recentProgress.foreach { p =>
+      val so = p.stateOperators.headOption
+      System.err.println(s"[session] batch=${p.batchId} in=${p.numInputRows}" +
+        s" ms=${p.durationMs.get("triggerExecution")}" +
+        s" stateRows=${so.map(_.numRowsTotal).getOrElse(-1L)}" +
+        s" removed=${so.map(_.numRowsRemoved).getOrElse(-1L)}")
+    }
     unloadStateStores()
     val result = spark.read.parquet(out)
       .filter(col("user_id") =!= -1L)
@@ -447,7 +466,7 @@ object StreamOps {
     * throughput once (state partitioning is fixed at the checkpoint's
     * first commit); these queries wipe their checkpoint per invocation,
     * so the choice binds per run. */
-  private val StreamStatePartitions = 8
+  @volatile private[graft] var StreamStatePartitions = 8
 
   /** Cached max event timestamp (µs) per input dir — see sentinel drain. */
   private val maxEventUs =
@@ -463,10 +482,19 @@ object StreamOps {
     * bounded by THIS constant regardless of corpus size — the
     * steady-state shape a production stream is paced into by its trigger
     * — while the fixture scales (sf0.1 = 100 k rows) still drain in one
-    * batch with zero added overhead. Spec override hook: StreamingSpec
-    * lowers it to force multi-batch pacing on the tiny fixtures and
-    * pins hash-equality with the batch oracles. */
-  @volatile private[graft] var PaceRowsPerBatch: Long = 2L * 1000 * 1000
+    * batch with zero added overhead.
+    *
+    * SIZING (measured at the 100× probe, 10 M rows): each paced batch
+    * pays a fixed plan cost — scheduling + the window formulation's two
+    * shuffles ≈ 2.4 s on this host — against ~0.55 s per million rows of
+    * marginal work, so a batch below ~4 M rows is mostly overhead. 4 M
+    * puts the fixed cost at ≈ ½ of batch work while a batch's state,
+    * sort buffers and sink write stay bounded; a production trigger is
+    * tuned by exactly this amortization (trigger interval × input rate).
+    * Spec override hook: StreamingSpec lowers it to force multi-batch
+    * pacing on the tiny fixtures and pins hash-equality with the batch
+    * oracles. */
+  @volatile private[graft] var PaceRowsPerBatch: Long = 4L * 1000 * 1000
 
   /** Upper bound on staged file count — at some point more batches only
     * buy fixed per-batch overhead, and a real deployment would raise the
@@ -487,9 +515,10 @@ object StreamOps {
     * past so a per-invocation sentinel file (written at drain time) is
     * always the newest, i.e. the last batch. */
   private val stagedCache =
-    scala.collection.concurrent.TrieMap.empty[String, (java.nio.file.Path, Int)]
+    scala.collection.concurrent.TrieMap.empty[String, (java.nio.file.Path, Int, Long)]
 
-  private def stagedEvents(spark: SparkSession, dir: String): (java.nio.file.Path, Int) =
+  /** (staged dir, file count, total rows). */
+  private def stagedEvents(spark: SparkSession, dir: String): (java.nio.file.Path, Int, Long) =
     stagedCache.synchronized {
       val pace = PaceRowsPerBatch
       stagedCache.getOrElseUpdate(s"$dir|$pace", {
@@ -504,14 +533,19 @@ object StreamOps {
         // window and the carry use
         val laid = if (k == 1) ev.repartition(1)
                    else ev.repartitionByRange(k, col("ts"), col("event_id"))
-        laid.write.parquet(path)
+        // 16 MB row groups: a staged file is ONE micro-batch, and with the
+        // default 128 MB group a multi-million-row batch starts as a
+        // single-task read (measured: ~1 s of serial scan per batch at the
+        // 100x probe before any operator work) — small groups plus the
+        // drain sessions' 32 MB maxPartitionBytes split it across cores
+        laid.write.option("parquet.block.size", (16L * 1024 * 1024).toString).parquet(path)
         val parts = new java.io.File(path)
           .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet"))
           .sortBy(_.getName) // part-NNNNN order == range-partition order
         val base = System.currentTimeMillis() - 3600L * 1000
         parts.zipWithIndex.foreach { case (f, i) =>
           require(f.setLastModified(base + i * 1000L), s"setLastModified failed: $f") }
-        (java.nio.file.Paths.get(path), parts.length)
+        (java.nio.file.Paths.get(path), parts.length, rows)
       })
     }
 
@@ -520,9 +554,18 @@ object StreamOps {
     * The returned contract frame is rebuilt on the CALLER's session from
     * the scratch files, which keeps the cross-session boundary at a
     * parquet handoff. */
-  private def streamingSession(spark: SparkSession): SparkSession = {
+  /** Dev A/B hook (SessAB): swap the state-store provider class; empty =
+    * Spark default (HDFS-backed). */
+  @volatile private[graft] var StateProviderClass: String = ""
+
+  private def streamingSession(spark: SparkSession,
+                               parts: Int = StreamStatePartitions): SparkSession = {
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // split the staged 16 MB row groups across cores (see stagedEvents)
+    ss.conf.set("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
+    if (StateProviderClass.nonEmpty)
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass", StateProviderClass)
     ss
   }
 
@@ -607,7 +650,7 @@ object StreamOps {
   def qRollingQuantileLive(spark: SparkSession, dir: String): DataFrame = scratchRoots.synchronized {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.LongType
-    val (stagedDir, nFiles) = stagedEvents(spark, dir)
+    val (stagedDir, nFiles, _) = stagedEvents(spark, dir)
     val stagedSchema = spark.read.parquet(stagedDir.toString).schema
     val tmp = scratchFor("roll", dir)
     val out = s"$tmp/out"
@@ -618,6 +661,8 @@ object StreamOps {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions",
       spark.conf.get("spark.sql.shuffle.partitions"))
+    // split the staged 16 MB row groups across cores (see stagedEvents)
+    ss.conf.set("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
     val raw = ss.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(stagedDir.toString)
@@ -636,6 +681,7 @@ object StreamOps {
       .option("checkpointLocation", s"$tmp/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: Dataset[Row], batchId: Long) =>
+        val t0 = System.nanoTime()
         val sess = b.sparkSession
         val carryDf = sess.createDataFrame(
           java.util.Arrays.asList(carry: _*), b.schema)
@@ -645,24 +691,51 @@ object StreamOps {
         val emit = if (carryIds.isEmpty) rolled
                    else rolled.filter(!col("event_id").isin(carryIds: _*))
         emit.write.mode(SaveMode.Append).parquet(out)
+        val t1 = System.nanoTime()
         // the carry only feeds the NEXT batch — one file per batch under
         // maxFilesPerTrigger=1, so the last file's batch skips the job
-        // (at fixture scale K=1 that is the ONLY batch)
+        // (at fixture scale K=1 that is the ONLY batch). Extraction is a
+        // SHUFFLE-FREE map-only pass (round 9 — the first cut's
+        // row_number window re-shuffled and re-sorted the whole batch,
+        // costing as much as the window stage itself, 4.5 s/batch at the
+        // 100× probe): each partition keeps its local last-(RollRows−1)
+        // rows per type in a bounded buffer, the driver merges the ≤
+        // partitions × types × 19 survivors. Order key (millis, nanos,
+        // id) — the same µs-precision total order the window uses.
         if (batchId < nFiles - 1) {
-          val wC = Window.partitionBy("event_type")
-            .orderBy(col("ts").desc, col("event_id").desc)
-          carry = all
-            .withColumn("__rn", row_number().over(wC))
-            .filter(col("__rn") < rollRows).drop("__rn")
-            .collect()
+          val partTails = all.rdd.mapPartitions { it =>
+            val acc = scala.collection.mutable.Map
+              .empty[String, scala.collection.mutable.TreeSet[(Long, Int, Long, Row)]]
+            it.foreach { r =>
+              val ts = r.getTimestamp(1)
+              val key = (ts.getTime, ts.getNanos, r.getLong(0), r)
+              val set = acc.getOrElseUpdate(r.getString(2),
+                scala.collection.mutable.TreeSet.empty(
+                  Ordering.by((x: (Long, Int, Long, Row)) => (x._1, x._2, x._3))))
+              set += key
+              if (set.size >= rollRows) set -= set.head
+            }
+            acc.valuesIterator.flatMap(_.iterator.map(_._4))
+          }.collect()
+          carry = partTails
+            .groupBy(_.getString(2))
+            .valuesIterator.flatMap { rows =>
+              rows.sortBy { r =>
+                val ts = r.getTimestamp(1)
+                (-ts.getTime, -ts.getNanos, -r.getLong(0))
+              }.take(rollRows - 1)
+            }.toArray
         }
+        System.err.println(f"[roll] batch=$batchId window=${(t1 - t0) / 1e9}%.2f carry=${(System.nanoTime() - t1) / 1e9}%.2f")
       }
       .start()
     q.awaitTermination()
+    val tDrain = System.nanoTime()
     val result = spark.read.parquet(out)
       .select("event_id", "event_type", "roll_n", "roll_median", "roll_p90")
       .orderBy("event_id")
     val (frame, rdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(result)
+    System.err.println(f"[roll] finalize=${(System.nanoTime() - tDrain) / 1e9}%.2f")
     stashLiveResult(spark, "roll", dir, rdd)
     deleteRecursively(tmp)
     scratchRoots.remove(s"roll|$dir")
