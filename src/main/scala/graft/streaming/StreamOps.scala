@@ -369,6 +369,12 @@ object StreamOps {
     val ss = streamingSession(spark, sessParts)
     val raw = ss.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
+      // the staged files' modtimes sit ~1 h behind the freshly-written
+      // sentinel and fall further behind as the JVM ages; the source's
+      // default 7-day maxFileAge would then silently drop the whole
+      // staged corpus and drain only the sentinel — disable the age
+      // filter (self-review round 9)
+      .option("maxFileAge", "3650d")
       .parquet(in.toString)
     val evs = stagedSchema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
