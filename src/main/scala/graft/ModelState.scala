@@ -21,8 +21,15 @@ private[graft] object ModelState {
     * synchronization the lookup uses. */
   def evictStale[V](m: scala.collection.concurrent.TrieMap[String, V],
                     spark: org.apache.spark.sql.SparkSession)
-                   (onEvict: V => Unit): Unit = {
-    val prefix = spark.sparkContext.applicationId + "|"
+                   (onEvict: V => Unit): Unit =
+    evictStaleByApp(m, spark.sparkContext.applicationId)(onEvict)
+
+  /** Pure core (spec-pinned): drop entries whose key prefix is not
+    * `appId|`; the eviction callback is best-effort. */
+  private[graft] def evictStaleByApp[V](
+      m: scala.collection.concurrent.TrieMap[String, V], appId: String)
+     (onEvict: V => Unit): Unit = {
+    val prefix = appId + "|"
     m.keys.filterNot(_.startsWith(prefix)).foreach { k =>
       m.remove(k).foreach(v =>
         try onEvict(v)

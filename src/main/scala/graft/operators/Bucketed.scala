@@ -64,10 +64,14 @@ object Bucketed {
     * a parquet-metadata-only read. At 100 TB with ~10^11 fact rows this
     * yields ~2^18 buckets — cores-wide parallelism and bounded
     * per-bucket memory, which a fixed 8 could never be. */
-  private def bucketCount(spark: SparkSession, dir: String): Int = {
-    val factRows = Tables.lineitem(spark, dir).count() // metadata-only
+  private def bucketCount(spark: SparkSession, dir: String): Int =
+    bucketCountFor(Tables.lineitem(spark, dir).count(), // metadata-only
+      spark.sparkContext.defaultParallelism)
+
+  /** Pure derivation (spec-pinned in BucketedCountSpec). */
+  private[graft] def bucketCountFor(factRows: Long, parallelism: Int): Int = {
     val byRows = (factRows + TargetRowsPerBucket - 1) / TargetRowsPerBucket
-    val floor = math.max(spark.sparkContext.defaultParallelism.toLong, byRows)
+    val floor = math.max(parallelism.toLong, byRows)
     Integer.highestOneBit(math.min(floor, 1L << 20).toInt - 1) * 2 match {
       case 0 => 1
       case p => p

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the pure round-9 derivations that have no Spark surface of their
+  * own: the scale-derived bucket count, the stale-registry eviction core,
+  * and the dead-process scratch sweep. */
+class BucketedCountSpec extends AnyFunSuite {
+
+  test("bucketCountFor: parallelism floor, row growth, power-of-two nesting") {
+    import Bucketed.bucketCountFor
+    // fixture scales: rows never dominate, parallelism floors (pow2-rounded)
+    assert(bucketCountFor(600_000L, 32) == 32)   // sf0.1, 32 cores
+    assert(bucketCountFor(60_000L, 8) == 8)      // sf0.01, Verify's 8 cores
+    assert(bucketCountFor(6_000L, 4) == 4)       // sf0.001, test session
+    // corpus-dominated: ceil(rows/500k) then round UP to a power of two
+    assert(bucketCountFor(60_000_000L, 32) == 128)  // 100x probe: 120 -> 128
+    assert(bucketCountFor(100_000_000_000L, 4096) == 262144) // ~100 TB scale
+    // boundary behavior: exactly at a power of two stays, one past steps up
+    assert(bucketCountFor(500_000L * 64, 8) == 64)
+    assert(bucketCountFor(500_000L * 64 + 1, 8) == 128)
+    // successive scales nest: each count divides the next
+    val counts = Seq(600_000L, 6_000_000L, 60_000_000L, 600_000_000L)
+      .map(bucketCountFor(_, 32))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b % a == 0 })
+    // degenerate floor
+    assert(bucketCountFor(0L, 1) == 1)
+  }
+
+  test("evictStaleByApp drops only foreign-prefix entries; callback failures swallowed") {
+    val m = scala.collection.concurrent.TrieMap(
+      "app-1|/d1" -> 1, "app-1|/d2" -> 2, "dead-app|/d1" -> 3, "dead-app|/d2" -> 4)
+    val evicted = scala.collection.mutable.ArrayBuffer.empty[Int]
+    graft.ModelState.evictStaleByApp(m, "app-1") { v =>
+      evicted += v
+      if (v == 4) sys.error("boom") // best-effort: must not abort the sweep
+    }
+    assert(m.keySet == Set("app-1|/d1", "app-1|/d2"))
+    assert(evicted.toSet == Set(3, 4))
+    // prefix must match on the full app id, not a substring
+    val m2 = scala.collection.concurrent.TrieMap("app-10|/d" -> 1)
+    graft.ModelState.evictStaleByApp(m2, "app-1")(_ => ())
+    assert(m2.isEmpty, "app-10 is NOT app-1's entry and must be evicted")
+  }
+
+  test("scratch sweep reclaims dead-pid roots, never the live process's") {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    // a root whose pid cannot be alive (pid_max is < 2^22 on Linux)
+    val tag = "sweepspec"
+    val live = graft.ScratchDirs.freshRoot(tag, "/spec/key")
+    val digest = live.getFileName.toString
+      .stripPrefix(s"graft_${tag}_").takeWhile(_ != '_')
+    val stale = tmp.resolve(s"graft_${tag}_${digest}_p4999999")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.writeString(stale.resolve("f"), "x")
+    // re-creating the root sweeps the stale sibling, keeps the fresh root
+    val again = graft.ScratchDirs.freshRoot(tag, "/spec/key")
+    assert(again == live)
+    assert(!java.nio.file.Files.exists(stale), "dead-pid root must be swept")
+    assert(java.nio.file.Files.exists(again))
+    graft.ScratchDirs.deleteRecursively(again)
+  }
+}
