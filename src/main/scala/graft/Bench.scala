@@ -51,6 +51,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The generated-class cache defaults to 100 entries — a 115-query
+      // round-robin evicts every query's classes between passes, so EVERY
+      // pass pays full Janino recompilation (measured: q_pagerank 1.6 s
+      // isolated vs 3.3-3.5 s with just three other queries co-resident;
+      // raising the cache restored 1.8 s and shaved most queries ~10-20%).
+      // 5000 entries ≈ few hundred MB of class metadata at worst — cheap
+      // next to rerunning the compiler thousands of times.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // A multi-hundred-query run in one JVM accumulates broadcast/shuffle
