@@ -300,7 +300,8 @@ object Dedup {
     // checkpoint truncates the dependency) — waiting on GC + the async
     // ContextCleaner let up to O(rounds) |V|-row block sets stack up,
     // the same accumulation class that OOM'd pagerank's 100x probe.
-    val ckpt = org.apache.spark.sql.graft.Bridge.localCheckpointed _
+    val ckpt = (df: org.apache.spark.sql.DataFrame) =>
+      org.apache.spark.sql.graft.Bridge.localCheckpointed(df)
     var (labels, labelsHandle) = ckpt(
       und.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("cluster_id", col("doc_id")))

@@ -32,11 +32,27 @@ object Bridge {
     * With the handle, an operator can unpersist its PREVIOUS invocation's
     * checkpoint deterministically. Same `private[sql]`-bytecode technique
     * as the Column bridge ([[internalCreateDataFrame]] is public bytecode). */
-  def localCheckpointed(df: org.apache.spark.sql.DataFrame)
+  def localCheckpointed(df: org.apache.spark.sql.DataFrame,
+      serialized: Boolean = false)
       : (org.apache.spark.sql.DataFrame,
          org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
     // copy: toRdd's unsafe rows are buffer-reused per partition iterator
     val rdd = df.queryExecution.toRdd.map(_.copy())
+    // serialized: store the checkpoint blocks as serialized bytes instead
+    // of deserialized row objects. A deserialized UnsafeRow block costs
+    // ~100 B/row of heap for a 2-long row (row object + backing byte[] +
+    // array-slot headers) where the serialized form is ~its 24 payload
+    // bytes — measured 100 M-edge checkpoint: the deserialized form starves
+    // a 8 GiB JVM's execution pool ("Can't acquire ... to build hash
+    // relation, got 0 bytes") while the serialized form fits with room.
+    // localCheckpoint() keeps a pre-set level's deserialized flag and only
+    // forces useDisk on, so persisting first pins the serialized format.
+    // The per-read deserialization cost is one Externalizable byte copy per
+    // row — noise next to the join it feeds. Use for checkpoints that are
+    // O(edges/rows-of-the-corpus); leave the default for small model-state
+    // frames where object reuse across many reads wins.
+    if (serialized)
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     rdd.localCheckpoint()
     rdd.count()
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -80,4 +80,22 @@ class BridgeSpec extends SparkSpec {
       joined.write.format("noop").mode("overwrite").save()
     } finally rdd.unpersist(blocking = true)
   }
+
+  test("localCheckpointed(serialized=true) pins a serialized disk-backed level") {
+    // The serialized form exists so corpus-sized checkpoints (q_pagerank's
+    // 2|E|-row edge list) store ~payload bytes instead of ~100 B/row of
+    // object headers. localCheckpoint() must keep the pre-set level's
+    // deserialized=false and force useDisk on — if a Spark upgrade starts
+    // overriding the level, the 100x probe regresses to OOM at default heap.
+    val (df, rdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(
+      Tables.nation(spark, sf).select(col("n_nationkey"), col("n_regionkey")),
+      serialized = true)
+    try {
+      val lvl = rdd.getStorageLevel
+      assert(!lvl.deserialized && lvl.useDisk && lvl.useMemory,
+        s"expected serialized MEMORY_AND_DISK after localCheckpoint, got $lvl")
+      // blocks must still answer queries correctly through the frame
+      assert(df.count() == Tables.nation(spark, sf).count())
+    } finally rdd.unpersist(blocking = true)
+  }
 }

@@ -27,6 +27,42 @@ class BucketedCountSpec extends AnyFunSuite {
     assert(bucketCountFor(0L, 1) == 1)
   }
 
+  test("edgePartitionsFor: parallelism floor; pinned-memory growth only when tight") {
+    import Graph.edgePartitionsFor
+    // fixture scales: parallelism floors (sf0.1 lineitem 600k -> 1.2M edges)
+    assert(edgePartitionsFor(600_000L, 32, serialized = false) == 32)
+    assert(edgePartitionsFor(60_000L, 8, serialized = false) == 8)
+    // memory-comfortable regime: the floor regardless of rows (extra
+    // partitions are pure task overhead — measured ~25%/iteration at 100x)
+    assert(edgePartitionsFor(60_000_000L, 32, serialized = false) == 32)
+    // memory-tight regime, 100x probe: 60M lineitem rows -> 120M edge
+    // upper bound -> 120 -> 128 partitions, so a 32-wide stage read-pins
+    // <= 32 x ~40MB of the serialized checkpoint, not all ~4.2GB of it
+    assert(edgePartitionsFor(60_000_000L, 32, serialized = true) == 128)
+    // ~100 TB scale, tight: bounded per-partition rows, cores-wide floor
+    assert(edgePartitionsFor(100_000_000_000L, 4096, serialized = true) == 262144)
+    // successive tight scales nest (same power-of-two convention as buckets)
+    val counts = Seq(600_000L, 6_000_000L, 60_000_000L, 600_000_000L)
+      .map(edgePartitionsFor(_, 32, serialized = true))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b % a == 0 })
+    assert(edgePartitionsFor(0L, 1, serialized = true) == 1)
+  }
+
+  test("edgeSerializedFor: format follows footprint vs unified pool") {
+    import Graph.edgeSerializedFor
+    val gib = 1L << 30
+    // 100x probe corpus (60M lineitem rows -> ~12GB deserialized estimate):
+    // must go serialized in the 8 GiB dev JVM (deserialized measured: task
+    // death), deserialized in the 32 GiB probe JVM (measured 1.7x faster)
+    assert(edgeSerializedFor(60_000_000L, 8 * gib))
+    assert(!edgeSerializedFor(60_000_000L, 32 * gib))
+    // marginal middle: 16 GiB unified ~9.4GB < 12GB estimate -> serialized
+    assert(edgeSerializedFor(60_000_000L, 16 * gib))
+    // fixture scales stay deserialized at the dev heap
+    assert(!edgeSerializedFor(600_000L, 8 * gib))   // sf0.1
+    assert(!edgeSerializedFor(6_000_000L, 8 * gib)) // 10x probe
+  }
+
   test("evictStaleByApp drops only foreign-prefix entries; callback failures swallowed") {
     val m = scala.collection.concurrent.TrieMap(
       "app-1|/d1" -> 1, "app-1|/d2" -> 2, "dead-app|/d1" -> 3, "dead-app|/d2" -> 4)
