@@ -213,6 +213,15 @@ object Graph {
       })
       (e, d, nn)
     }
+    iterate(eCkpt, degD, n)
+  }
+
+  /** The [[PrRounds]] power iterations + final projection over an already
+    * materialized (edge checkpoint, degree frame, |V|) triple. Split from
+    * [[qPagerank]] so the spec can drive the SAME iteration over a
+    * checkpoint built with either storage format and assert result
+    * equality end-to-end (the format must be invisible to the values). */
+  private[graft] def iterate(eCkpt: DataFrame, degD: DataFrame, n: Long): DataFrame = {
     val teleport = TeleportNum / n
     var ranks = degD.select(col("src").as("node"), round(lit(1.0 / n), 6).as("rank"))
     for (_ <- 1 to PrRounds) {

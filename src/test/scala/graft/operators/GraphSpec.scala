@@ -23,4 +23,33 @@ class GraphSpec extends SparkSpec {
     assert(supp.map(_._2).sum / supp.length > cust.map(_._2).sum / cust.length,
       "mean supplier rank must exceed mean customer rank")
   }
+
+  test("serialized edge checkpoint yields byte-identical pagerank results") {
+    // qPagerank picks the checkpoint's storage format from the estimated
+    // footprint (Graph.edgeSerializedFor) — at fixture scale that is the
+    // deserialized form, so the serialized path would otherwise only ever
+    // run at probe scale. Drive Graph.iterate (the production iteration)
+    // over a checkpoint built serialized via the same Bridge call and
+    // assert the ranks equal the production path's exactly: the storage
+    // format must be invisible to the values.
+    import org.apache.spark.sql.functions._
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    val (e, eRdd, d, dRdd) =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        val (e, eRdd) = org.apache.spark.sql.graft.Bridge
+          .localCheckpointed(Graph.partitionedEdges(spark, sf), serialized = true)
+        val (d, dRdd) = org.apache.spark.sql.graft.Bridge
+          .localCheckpointed(e.groupBy("src").agg(count(lit(1)).as("deg")))
+        (e, eRdd, d, dRdd)
+      } finally spark.conf.set(coalesceKey, prev)
+    try {
+      assert(!eRdd.getStorageLevel.deserialized, "edge checkpoint must be serialized")
+      val fromSer = Graph.iterate(e, d, dRdd.count()).collect().toSeq
+      val production = Graph.qPagerank(spark, sf).collect().toSeq
+      assert(fromSer == production,
+        "serialized-format checkpoint must produce identical ranks")
+    } finally Seq(eRdd, dRdd).foreach(_.unpersist(blocking = true))
+  }
 }
