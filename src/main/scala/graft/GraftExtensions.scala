@@ -56,7 +56,8 @@ object GraftExtensions {
     "graft_type_probe" -> (graft.functions.TypeProbeExpr(_)),
     "graft_rep_ngram_stats" -> (graft.functions.RepNgramStatsExpr(_)),
     "graft_char_entropy" -> (graft.functions.CharEntropyExpr(_)),
-    "graft_shingles" -> (graft.functions.ShinglesExpr(_)))
+    "graft_shingles" -> (graft.functions.ShinglesExpr(_)),
+    "graft_bpe_token_count" -> (graft.functions.BpeTokenCountExpr(_)))
   private[graft] def buildDot(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "graft_dot(arrayA, arrayB) expects 2 arguments")
     graft.functions.DotProductExpr(exprs.head, exprs(1))

@@ -95,12 +95,17 @@ object TextOps {
 
   /** BPE-ish regex token counting: runs of letters | runs of digits | single
     * other non-space char (simple ASCII classes — same in Java regex and
-    * RE2). */
+    * RE2). Round 9: ONE row-local byte walk
+    * ([[graft.functions.BpeTokenCountExpr]], property-held equal to the
+    * `regexp_extract_all` formulation the DuckDB oracle still runs) —
+    * the declarative form materialized every token string just to count
+    * them, and the 100x probe measured it super-linear (ratio 22.9,
+    * GC pressure). */
   def qTokenCountRegex(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+        graft.functions.BpeTokenCountExpr.bpeTokenCount(col("text"))
           .as("n_bpe_tokens"))
       .orderBy("doc_id")
 

@@ -89,6 +89,9 @@ class PipelineSpec extends SparkSpec {
     val shg = spark.sql("SELECT graft_shingles(array('a','b','c','d')) AS s")
       .collect().head.getSeq[String](0)
     assert(shg == Seq("a|b|c", "b|c|d"))
+    val bpe = spark.sql("SELECT graft_bpe_token_count('hello, w0rld!') AS n")
+      .collect().head.getInt(0)
+    assert(bpe == 6, "hello | , | w | 0 | rld | !")
   }
 
   test("graft_dot is callable from SQL via extensions") {
