@@ -167,14 +167,20 @@ object TextOps {
     * Tiebreak (count desc, word asc) is total — next words are distinct
     * within a context. */
   def qNgramLm(spark: SparkSession, dir: String): DataFrame = {
+    // The context string is rendered AFTER the aggregation — once per
+    // UNIQUE (w1, w2, nxt) triple instead of once per instance (~250 M
+    // at the 100x corpus). Grouping on the word columns is a bijection
+    // with grouping on the rendered context: words() splits on
+    // whitespace, so no word contains the joiner.
     val trips = Tables.documents(spark, dir)
       .select(words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(explode(expr(
         "transform(sequence(0, size(ws) - 3), " +
-          "i -> struct(concat_ws(' ', ws[i], ws[i+1]) AS ctx, ws[i+2] AS nxt))")).as("t"))
-      .select(col("t.ctx").as("ctx"), col("t.nxt").as("nxt"))
-    val counts = trips.groupBy("ctx", "nxt").agg(count(lit(1)).as("n"))
+          "i -> struct(ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS nxt))")).as("t"))
+      .select(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.nxt").as("nxt"))
+    val counts = trips.groupBy("w1", "w2", "nxt").agg(count(lit(1)).as("n"))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("ctx"), col("nxt"), col("n"))
     val wRank = Window.partitionBy("ctx").orderBy(col("n").desc, col("nxt"))
     val wCtx = Window.partitionBy("ctx")
     counts
