@@ -405,12 +405,14 @@ object StreamOps {
     // input rows, wall, and state rows per micro-batch make the paced
     // eviction visible — state must PLATEAU at the live-slice size, not
     // grow to the corpus's session count
-    q.recentProgress.foreach { p =>
+    lastSessionProgress = q.recentProgress.toSeq.map { p =>
       val so = p.stateOperators.headOption
       System.err.println(s"[session] batch=${p.batchId} in=${p.numInputRows}" +
         s" ms=${p.durationMs.get("triggerExecution")}" +
         s" stateRows=${so.map(_.numRowsTotal).getOrElse(-1L)}" +
         s" removed=${so.map(_.numRowsRemoved).getOrElse(-1L)}")
+      (p.batchId, p.numInputRows,
+        so.map(_.numRowsTotal).getOrElse(-1L), so.map(_.numRowsRemoved).getOrElse(-1L))
     }
     unloadStateStores()
     val result = spark.read.parquet(out)
@@ -501,6 +503,13 @@ object StreamOps {
     * pacing on the tiny fixtures and pins hash-equality with the batch
     * oracles. */
   @volatile private[graft] var PaceRowsPerBatch: Long = 4L * 1000 * 1000
+
+  /** Per-batch (batchId, inputRows, stateRows, removedRows) of the LAST
+    * paced session drain — the stderr diagnostics above, kept so
+    * StreamingSpec can ASSERT the incremental-eviction claim (state
+    * plateaus at the live time slice; sessions leave state mid-drain,
+    * not in one terminal flush) instead of it living only in logs. */
+  @volatile private[graft] var lastSessionProgress: Seq[(Long, Long, Long, Long)] = Nil
 
   /** Upper bound on staged file count — at some point more batches only
     * buy fixed per-batch overhead, and a real deployment would raise the

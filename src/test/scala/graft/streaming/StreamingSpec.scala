@@ -349,6 +349,33 @@ class StreamingSpec extends SparkSpec {
     } finally StreamOps.PaceRowsPerBatch = prev
   }
 
+  test("paced session drain evicts sessions INCREMENTALLY (state plateaus below the corpus)") {
+    // The round-9 paced drain's claim is not just final-answer equality
+    // (the test above) but HOW the answer is produced: the watermark
+    // advances every micro-batch, so sessions leave state mid-drain and
+    // live state plateaus at one time slice — not the corpus-wide session
+    // count flushed by a terminal no-data batch. Assert it from the
+    // drain's per-batch progress instead of leaving it in stderr logs.
+    val prev = StreamOps.PaceRowsPerBatch
+    try {
+      StreamOps.PaceRowsPerBatch = 100
+      val emitted = StreamOps.qSessionWindowLive(spark, sf).count()
+      val prog = StreamOps.lastSessionProgress
+      val dataBatches = prog.filter(_._2 > 0)
+      assert(dataBatches.size >= 3, s"pacing must yield >= 3 data batches: $prog")
+      val lastId = prog.map(_._1).max
+      val evictingMidDrain = prog.filter(p => p._1 < lastId && p._4 > 0)
+      assert(evictingMidDrain.size >= 2,
+        s"sessions must leave state in >= 2 non-final batches (incremental " +
+          s"eviction), got removals only at the end: $prog")
+      val maxState = prog.map(_._3).max
+      assert(maxState < emitted,
+        s"live state ($maxState rows) must plateau strictly below the " +
+          s"corpus's $emitted sessions — a corpus-wide buildup means the " +
+          "watermark only advanced at the terminal flush")
+    } finally StreamOps.PaceRowsPerBatch = prev
+  }
+
   test("stateful dedup-with-counts converges to the batch truth across triggers") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
