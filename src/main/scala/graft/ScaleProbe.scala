@@ -119,6 +119,7 @@ object ScaleProbe {
     "q_quantile_bounds", "q_quantile_bounds_sample",
     "q_schema_infer", "q_zorder_cluster", "q_pagerank",
     "q_word_freq", "q_lang_breakdown", "q_bpe_pairs", "q_fuzzy_pairs",
+    "q_fuzzy_best",
     "q_ann_recall", "q_kmeans_step",
     // round-8 additions: derived physical layouts (bucketed join /
     // partitioned pruning) — the first probe invocation per dir pays the

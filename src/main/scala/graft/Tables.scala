@@ -39,4 +39,36 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
+
+  private val rowCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Row count of a fixture table read from parquet file FOOTERS on the
+    * driver — no Spark job (round-9 advisor item: `DataFrame.count()` over
+    * parquet is cheap but schedules a real column-less scan job per
+    * partition, which at warehouse scale is a cluster job per JVM, not a
+    * metadata read). The scale/layout derivations ([[graft.operators.Bucketed]]
+    * bucket counts, [[graft.operators.Graph]] checkpoint formats, the
+    * streaming pace) only need the count as model state, so it is listed +
+    * summed footer-side and cached per path — input dirs are immutable
+    * fixtures, so the cache key is the path alone, not the SparkContext.
+    * A deployment with millions of files would flip
+    * `spark.sql.parquet.aggregatePushdown` and run `count(*)` as one
+    * executor-side footer sweep instead; the information read is the same. */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    rowCountCache.getOrElseUpdate(s"$sfDir/$name", {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+      val fs = root.getFileSystem(conf)
+      val it = fs.listFiles(root, true)
+      var total = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) {
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+          try total += rd.getRecordCount finally rd.close()
+        }
+      }
+      total
+    })
 }

@@ -60,12 +60,13 @@ object Bucketed {
     * both tables must share one count for the co-located join, and the
     * fact table is the one whose per-bucket bytes matter. The count is
     * part of the per-dir model state (the registry memoizes the whole
-    * layout), so re-invocations agree by construction; the row count is
-    * a parquet-metadata-only read. At 100 TB with ~10^11 fact rows this
-    * yields ~2^18 buckets — cores-wide parallelism and bounded
-    * per-bucket memory, which a fixed 8 could never be. */
+    * layout), so re-invocations agree by construction; the row count
+    * comes from driver-side parquet footer reads ([[Tables.rowCount]] —
+    * no scan job). At 100 TB with ~10^11 fact rows this yields ~2^18
+    * buckets — cores-wide parallelism and bounded per-bucket memory,
+    * which a fixed 8 could never be. */
   private def bucketCount(spark: SparkSession, dir: String): Int =
-    bucketCountFor(Tables.lineitem(spark, dir).count(), // metadata-only
+    bucketCountFor(Tables.rowCount(spark, dir, "lineitem"),
       spark.sparkContext.defaultParallelism)
 
   /** Pure derivation (spec-pinned in BucketedCountSpec). */
@@ -87,10 +88,12 @@ object Bucketed {
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** Build (once per JVM per dir) the bucketed copies and return their
-    * catalog names. Only the join/agg columns are written — the bucketed
-    * copy is a projection too, so the layout pays for narrow scans as well
-    * as co-location. */
-  private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
+    * catalog names. Only the join/agg columns of the layout's consumers
+    * are written ([[qBucketedJoin]], [[qMergeUpsert]], and the star join
+    * [[Relational.qJoinStar]] since round 10 — o_custkey rides along for
+    * its dimension hop) — the bucketed copy is a projection too, so the
+    * layout pays for narrow scans as well as co-location. */
+  private[operators] def bucketedTables(spark: SparkSession, dir: String): (String, String) =
     registry.synchronized {
       // keyed by (SparkContext, dir): the catalog entries live in the
       // context's SharedState, so a fresh context must rebuild them even
@@ -112,7 +115,8 @@ object Bucketed {
         val lName = s"graft_b_lineitem_$key"
         val nb = bucketCount(spark, dir)
         Tables.orders(spark, dir)
-          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority"), col("o_totalprice"))
           .repartition(nb, col("o_orderkey"))
           .write.mode(SaveMode.Overwrite)
           .bucketBy(nb, "o_orderkey").sortBy("o_orderkey")

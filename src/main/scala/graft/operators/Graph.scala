@@ -94,7 +94,7 @@ object Graph {
     edges(spark, dir).repartition(edgePartitions(spark, dir), col("src"))
 
   private[graft] def edgePartitions(spark: SparkSession, dir: String): Int = {
-    val liRows = Tables.lineitem(spark, dir).count() // metadata-only
+    val liRows = Tables.rowCount(spark, dir, "lineitem") // footer metadata, no job
     edgePartitionsFor(liRows, spark.sparkContext.defaultParallelism,
       edgeSerializedFor(liRows, Runtime.getRuntime.maxMemory))
   }
@@ -198,7 +198,7 @@ object Graph {
           // the partition count follows the format (see
           // [[edgePartitionsFor]]). The degree frame below stays
           // deserialized: |V| rows.
-          val liRows = Tables.lineitem(spark, dir).count() // metadata-only
+          val liRows = Tables.rowCount(spark, dir, "lineitem") // footer metadata, no job
           val serialized = edgeSerializedFor(liRows, Runtime.getRuntime.maxMemory)
           val parts = edgePartitionsFor(liRows,
             spark.sparkContext.defaultParallelism, serialized)

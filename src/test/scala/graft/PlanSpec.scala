@@ -24,10 +24,37 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("l_quantity"))
   }
 
-  test("q_join_star broadcasts the dimension tables") {
+  test("q_join_star broadcasts the dims and merge-joins the bucketed facts shuffle-free") {
     val plan = formatted(operators.Relational.qJoinStar(spark, sf))
     val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
     assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+    // round 10: the fact⋈fact hop reads the bucketed layout — both fact
+    // scans co-located on orderkey, merge join with ZERO pre-join
+    // exchanges; the only exchanges left are the nation aggregation and
+    // the output sort (count DETAIL headers, see q_bucketed_join)
+    assert(plan.contains("SortMergeJoin"),
+      s"fact join must stay a merge join over the bucketed scans:\n$plan")
+    val bucketScans = plan.linesIterator.count(_.contains("SelectedBucketsCount"))
+    assert(bucketScans >= 2, s"both fact inputs must be bucketed scans:\n$plan")
+    val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 2,
+      s"expected <=2 exchanges (agg + output sort), the fact join must be exchange-free:\n$plan")
+  }
+
+  test("q_fuzzy_best aggregates candidates map-side; no window, no candidate shuffle (round 10)") {
+    val df = operators.Relational4.qFuzzyBest(spark, sf)
+    val plan = formatted(df)
+    // same salted blocking as q_fuzzy_pairs
+    assert(plan.contains("__salt"), s"block key must be salted:\n$plan")
+    assert(plan.contains("Generate") && plan.contains("explode"),
+      s"salt fan-out must be a Generate/explode, not a shuffle:\n$plan")
+    // the argmin funnel must be a partial+final aggregate (map-side
+    // combine above the block join) — a Window over key_a would shuffle
+    // the Θ(block-pairs) candidate stream it exists to avoid
+    assert(!plan.contains("Window"),
+      s"per-doc argmin must be an aggregate, not a window:\n$plan")
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate over candidates:\n$plan")
   }
 
   test("q1 aggregation is partial+final (map-side combine)") {
