@@ -23,6 +23,9 @@ object SessAB {
     spark.sparkContext.setLogLevel("ERROR")
     graft.streaming.StreamOps.StateProviderClass =
       sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "")
+    // optional pace override (rows per paced micro-batch; 0 = derived)
+    sys.env.get("SPARK_GRAFT_PACE").foreach(p =>
+      graft.streaming.StreamOps.PaceRowsPerBatch = p.toLong)
     def once(p: Int): Double = {
       graft.streaming.StreamOps.StreamStatePartitions = p
       val t0 = System.nanoTime()

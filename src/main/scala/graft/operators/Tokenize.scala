@@ -463,9 +463,10 @@ object Tokenize {
     *     candidate-bucket volume, which the maxCollect guard absorbs via
     *     the distributed gather fallback;
     *  3. ONE scan bucket-counts every column against its split points
-    *     (codegen'd binary search, map-side combined — the shuffle carries
-    *     only (col, bucket) partial counts); per-column non-null counts
-    *     fall out as the histogram row sums — no separate count pass;
+    *     (grid-bracketed lower_bound, [[GridIndex]], map-side combined —
+    *     the shuffle carries only (col, bucket) partial counts);
+    *     per-column non-null counts fall out as the histogram row sums —
+    *     no separate count pass;
     *  4. cumulative bucket counts locate each needed position's bucket; a
     *     second scan shuffles ONLY the candidate buckets (≈ |probs| x n/B
     *     rows per column), each sorted locally inside flatMapGroups and the
@@ -485,11 +486,89 @@ object Tokenize {
     * across buckets, so tie-heavy columns degrade gracefully into one big
     * bucket = the column's own sort); NaN unsupported (bucket 0 vs sort-last
     * divergence — the driver corpus and randn fixtures have none). */
+  /** Grid-accelerated lower_bound over a sorted distinct split array —
+    * EXACTLY equal to `BucketizeExpr.search(splits, v, Int.MaxValue)`
+    * (property-pinned in TokenizeSpec), built for the histogram/gather
+    * passes' hot loop: the plain binary search walks ~13 scattered cache
+    * lines of a 64 KB split array PER VALUE (round-10 profile: the
+    * 10 M×20 histogram pass spent ~2 s searching over a ~0.4 s decode
+    * floor). A uniform grid over [splits.head, splits.last] with
+    * per-cell lower_bound brackets cuts that to one multiply + two int
+    * reads + a ≤2-step search: splits are equi-depth over the SAME
+    * distribution the grid spans, so 4 cells per split keeps the
+    * densest cell's bracket a couple of entries wide. Brackets are
+    * widened ±1 cell so fp rounding at a cell edge can never exclude
+    * the true index — exactness never depends on the grid. */
+  private[operators] final class GridIndex(val splits: Array[Double]) extends Serializable {
+    private val n = splits.length
+    private val lo0 = if (n > 0) splits(0) else 0.0
+    private val hi0 = if (n > 0) splits(n - 1) else 0.0
+    private val G = math.max(1, math.min(1 << 16, 4 * n))
+    private val inv = if (n > 0 && hi0 > lo0) G / (hi0 - lo0) else 0.0
+    // bnd(g) = lower_bound(splits, lower edge of cell g); bnd(G) = n
+    private val bnd: Array[Int] = {
+      val b = new Array[Int](G + 1)
+      var g = 0
+      while (g <= G) { b(g) = lowerBound(lo0 + g * (hi0 - lo0) / G); g += 1 }
+      b
+    }
+    private def lowerBound(v: Double): Int = {
+      var lo = 0
+      var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (splits(mid) < v) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    /** #splits strictly < v (right-closed tie convention). */
+    def search(v: Double): Int = {
+      if (n == 0 || v <= lo0) return 0
+      if (v > hi0) return n
+      var gi = ((v - lo0) * inv).toInt
+      if (gi < 0) gi = 0 else if (gi > G - 1) gi = G - 1
+      var lo = bnd(if (gi == 0) 0 else gi - 1)
+      var hi = bnd(if (gi + 2 > G) G else gi + 2)
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (splits(mid) < v) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+  }
+
+  /** Driver-side footer row count for a DataFrame that is a BARE parquet
+    * scan (no filters — column pruning cannot change the row count, so a
+    * plain LogicalRelation is the exact condition): sums
+    * `ParquetFileReader.getRecordCount` over the relation's listed files.
+    * None for any other plan shape → caller falls back to a column-less
+    * `count()` scan job. At warehouse scale this is the difference
+    * between a metadata read and a cluster job per boundary computation. */
+  private def footerCount(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.optimizedPlan match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+          val conf = df.sparkSession.sessionState.newHadoopConf()
+          var total = 0L
+          fs.location.listFiles(Nil, Nil).foreach(_.files.foreach { st =>
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(st.fileStatus, conf))
+            try total += rd.getRecordCount finally rd.close()
+          })
+          Some(total)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   def quantileBoundsSelect(df: DataFrame, cols: Seq[String], probs: Seq[Double],
                            numBuckets: Int = 8192, sampleSize: Int = 200000,
                            maxCollect: Long = 64000000L,
                            smallCollect: Long = 1000000L): Map[String, Seq[Double]] = {
-    import graft.functions.BucketizeExpr.search
     val spark = df.sparkSession
     val sc = spark.sparkContext
     val k = cols.size
@@ -500,11 +579,19 @@ object Tokenize {
         val pos = p * (n - 1)
         (math.floor(pos).toLong, math.ceil(pos).toLong, pos - math.floor(pos))
       }
-    // metadata-speed job: count(lit(1)) prunes every column, so on a plain
-    // parquet scan the row count comes from footers without reading data
-    // pages — collect/sample sizing must use TOTAL rows (a mostly-null wide
-    // input can have tiny non-null counts but still be huge to collect)
-    val totalRows = df.count()
+    // row count for collect/sample sizing — must use TOTAL rows (a
+    // mostly-null wide input can have tiny non-null counts but still be
+    // huge to collect). A bare parquet scan answers from FOOTERS on the
+    // driver (no job at all — round 10, same convention as
+    // Tables.rowCount); anything else pays one column-less count() scan.
+    val tPhase0 = System.nanoTime()
+    def phase(tag: String, since: Long): Long = {
+      val now = System.nanoTime()
+      System.err.println(f"[qsel] $tag=${(now - since) / 1e9}%.2f")
+      now
+    }
+    val footer = footerCount(df)
+    val totalRows = footer.getOrElse(df.count())
     val proj = df.select(cols.map(c => col(c).cast("double")): _*)
     // small inputs: one collect, driver-side sorts — the bucket machinery's
     // extra jobs cost more than they save under ~1M rows
@@ -533,9 +620,11 @@ object Tokenize {
     val visit = math.min(nPart, 64)
     val stride = math.max(1, nPart / visit)
     val perPartCap = math.max(256, sampleSize / visit)
+    val tCount = phase(s"count(footer=${footer.isDefined})", tPhase0)
     val sampleRows = internal.mapPartitionsWithIndex { (pid, it) =>
       if (pid % stride == 0) it.take(perPartCap).map(_.copy()) else Iterator.empty
     }.collect()
+    val tSample = phase("sample", tCount)
     val splits: Array[Array[Double]] = cols.indices.map { ci =>
       val vs = sampleRows.iterator.filterNot(_.isNullAt(ci)).map(_.getDouble(ci)).toArray
       java.util.Arrays.sort(vs)
@@ -549,16 +638,18 @@ object Tokenize {
     }.toArray
     val nb: Array[Int] = splits.map(_.length + 1)
     val flatOff: Array[Int] = nb.scanLeft(0)(_ + _)
-    val splitsB = sc.broadcast(splits)
+    val gidxB = sc.broadcast(splits.map(new GridIndex(_)))
     // pass 1: flat (col, bucket) histogram in one treeAggregate scan —
-    // per value: one binary search + one array increment, zero allocation
+    // per value: one grid-bracketed search + one array increment, zero
+    // allocation (round 10: GridIndex replaced the 13-probe binary
+    // search — hist pass 2.2 → measured below on the 10 M×20 workload)
     val hist: Array[Long] = internal.treeAggregate(new Array[Long](flatOff(k)))(
       seqOp = (acc, row) => {
-        val sp = splitsB.value
+        val gx = gidxB.value
         var ci = 0
         while (ci < k) {
           if (!row.isNullAt(ci)) {
-            val b = search(sp(ci), row.getDouble(ci), Int.MaxValue)
+            val b = gx(ci).search(row.getDouble(ci))
             acc(flatOff(ci) + b) += 1
           }
           ci += 1
@@ -566,6 +657,7 @@ object Tokenize {
         acc
       },
       combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    val tHist = phase("hist", tSample)
     // cumulative counts -> (bucket, in-bucket offset) for every needed pos
     val cums: Array[Array[Long]] = cols.indices.map { ci =>
       val cum = new Array[Long](nb(ci) + 1)
@@ -599,43 +691,61 @@ object Tokenize {
     }.sum
     val neededBkB = sc.broadcast(neededBuckets)
     // pass 2: gather ONLY candidate-bucket values (≈ |probs| x n/B per col)
+    // as per-partition PRIMITIVE arrays keyed by (col, bucket) — round 10:
+    // the per-row `flatMap { ... Iterator.single((ci, b, v)) }` form
+    // allocated two iterators per row (400 M for the 10 M×20 workload) and
+    // collected millions of boxed tuples the driver then groupBy'd —
+    // gather measured 3.7-5.2 s warm against the same pass's ~0.4 s decode
+    // floor. The while-loop + ArrayBuilder.ofDouble form keeps the hot
+    // loop allocation-free and ships ~8 bytes/candidate.
     val cand = internal.mapPartitions { it =>
-      val sp = splitsB.value
+      val gx = gidxB.value
       val nbk = neededBkB.value
-      it.flatMap { row =>
-        (0 until k).iterator.flatMap { ci =>
-          if (row.isNullAt(ci)) Iterator.empty
-          else {
+      val bufs = Array.tabulate(k)(ci =>
+        Array.fill(nbk(ci).length)(new scala.collection.mutable.ArrayBuilder.ofDouble))
+      while (it.hasNext) {
+        val row = it.next()
+        var ci = 0
+        while (ci < k) {
+          if (!row.isNullAt(ci)) {
             val v = row.getDouble(ci)
-            val b = search(sp(ci), v, Int.MaxValue)
-            if (java.util.Arrays.binarySearch(nbk(ci), b) >= 0) Iterator.single((ci, b, v))
-            else Iterator.empty
+            val j = java.util.Arrays.binarySearch(nbk(ci), gx(ci).search(v))
+            if (j >= 0) bufs(ci)(j) += v
           }
+          ci += 1
         }
       }
+      Iterator.range(0, k).flatMap(ci =>
+        bufs(ci).indices.iterator.map(j => ((ci, nbk(ci)(j)), bufs(ci)(j).result())))
     }
     // small candidate sets sort driver-side (typical: ≤ a few M values);
     // larger ones fall back to a distributed per-bucket sort that ships only
     // the needed offsets back
     val picked: Map[(Int, Int, Long), Double] =
       if (candVolume <= maxCollect) {
-        cand.collect().groupBy(t => (t._1, t._2)).flatMap { case ((ci, b), ts) =>
-          val arr = ts.map(_._3)
-          java.util.Arrays.sort(arr)
-          neededOffsets(ci)(b).map(off => (ci, b, off) -> arr(off.toInt))
+        val merged = scala.collection.mutable.HashMap
+          .empty[(Int, Int), scala.collection.mutable.ArrayBuilder.ofDouble]
+        cand.collect().foreach { case (key, arr) =>
+          merged.getOrElseUpdate(key,
+            new scala.collection.mutable.ArrayBuilder.ofDouble) ++= arr
         }
+        merged.iterator.flatMap { case ((ci, b), ab) =>
+          val arr = ab.result()
+          java.util.Arrays.sort(arr)
+          neededOffsets(ci)(b).iterator.map(off => (ci, b, off) -> arr(off.toInt))
+        }.toMap
       } else {
         val neededOffB = sc.broadcast(neededOffsets)
-        val r = cand.groupBy(t => (t._1, t._2)).flatMap { case ((ci, b), ts) =>
-          val arr = ts.iterator.map(_._3).toArray
+        val r = cand.reduceByKey(_ ++ _).flatMap { case ((ci, b), arr) =>
           java.util.Arrays.sort(arr)
           neededOffB.value(ci)(b).iterator.map(off => ((ci, b, off), arr(off.toInt)))
         }.collect().toMap
         neededOffB.destroy()
         r
       }
-    splitsB.destroy()
+    gidxB.destroy()
     neededBkB.destroy()
+    phase("gather", tHist)
     cols.indices.map { ci =>
       val cum = cums(ci)
       val byGlobal: Map[Long, Double] = neededOffsets(ci).toSeq.flatMap { case (b, offs) =>

@@ -200,6 +200,31 @@ class TokenizeSpec extends SparkSpec {
     assert(BucketizeExpr.search(bounds, 9.9, 3) == 2) // clamp to bins-1
   }
 
+  test("GridIndex.search == BucketizeExpr.search on every input shape (round 10)") {
+    val rnd = new scala.util.Random(7)
+    // distributions the selection pass actually sees: gaussian (randn
+    // fixtures), uniform, heavy ties, tiny arrays, singletons
+    val splitSets: Seq[Array[Double]] = Seq(
+      Array.fill(8191)(rnd.nextGaussian()).distinct.sorted,
+      Array.fill(1000)(rnd.nextDouble() * 1e6).distinct.sorted,
+      Array.tabulate(500)(i => (i / 50).toDouble).distinct.sorted, // few distinct
+      Array(0.0),
+      Array(-1.5, 2.5),
+      (1 until 100).map(_ / 100.0).toArray)
+    for (splits <- splitSets) {
+      val gx = new Tokenize.GridIndex(splits)
+      val probes = Iterator.fill(20000)(rnd.nextGaussian() * 3) ++
+        splits.iterator ++ // exact boundary hits -> lower bucket
+        splits.iterator.map(v => math.nextUp(v)) ++
+        splits.iterator.map(v => math.nextDown(v)) ++
+        Iterator(Double.NegativeInfinity, Double.PositiveInfinity,
+          -1e308, 1e308, 0.0, -0.0)
+      for (v <- probes)
+        assert(gx.search(v) == BucketizeExpr.search(splits, v, Int.MaxValue),
+          s"mismatch at v=$v n=${splits.length}")
+    }
+  }
+
   test("BucketizeExpr codegen agrees with interpreted eval") {
     val bounds = (1 until 100).map(_ / 100.0)
     val df = spark.range(5000).select((col("id") / 5000.0).as("v"))

@@ -349,6 +349,23 @@ class StreamingSpec extends SparkSpec {
     } finally StreamOps.PaceRowsPerBatch = prev
   }
 
+  test("pace and state-partition derivations are pinned (round 10)") {
+    // pace = cores × measured per-core throughput × fixed batch cost —
+    // the trigger-amortization sizing, floored at 1 Mi rows; 32 cores
+    // reproduces the round-9 measured ~4 M sweet spot
+    assert(StreamOps.paceRowsFor(32) ==
+      (32 * StreamOps.PaceRowsPerCorePerSec * StreamOps.PaceFixedBatchSec).toLong)
+    assert(StreamOps.paceRowsFor(32) > 4000000L && StreamOps.paceRowsFor(32) < 5000000L)
+    assert(StreamOps.paceRowsFor(1) == (1L << 20), "small-core boxes floor at 1 Mi")
+    // state partitions follow PER-BATCH rows: floor 8, one per ~250k
+    // batch rows, capped at cores
+    assert(StreamOps.statePartsFor(100000L, 32) == StreamOps.DefaultStateParts)
+    assert(StreamOps.statePartsFor(4377600L, 32) == 17)
+    assert(StreamOps.statePartsFor(100000000L, 32) == 32, "cores cap")
+    assert(StreamOps.statePartsFor(10000000L, 4) == StreamOps.DefaultStateParts,
+      "the floor wins below it even on small-core boxes")
+  }
+
   test("paced session drain evicts sessions INCREMENTALLY (state plateaus below the corpus)") {
     // The round-9 paced drain's claim is not just final-answer equality
     // (the test above) but HOW the answer is produced: the watermark
