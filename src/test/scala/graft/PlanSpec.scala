@@ -41,20 +41,30 @@ class PlanSpec extends SparkSpec {
       s"expected <=2 exchanges (agg + output sort), the fact join must be exchange-free:\n$plan")
   }
 
-  test("q_fuzzy_best aggregates candidates map-side; no window, no candidate shuffle (round 10)") {
+  test("q_fuzzy_best runs on the distinct-name funnel: corpus never self-joins (round 11)") {
     val df = operators.Relational4.qFuzzyBest(spark, sf)
     val plan = formatted(df)
-    // same salted blocking as q_fuzzy_pairs
-    assert(plan.contains("__salt"), s"block key must be salted:\n$plan")
-    assert(plan.contains("Generate") && plan.contains("explode"),
-      s"salt fan-out must be a Generate/explode, not a shuffle:\n$plan")
-    // the argmin funnel must be a partial+final aggregate (map-side
-    // combine above the block join) — a Window over key_a would shuffle
-    // the Θ(block-pairs) candidate stream it exists to avoid
+    // levenshtein must appear ONLY in the D² distinct-name cross join —
+    // the corpus-level joins are all broadcast equi-joins on precomputed
+    // stats, so no SortMergeJoin/ShuffledHashJoin anywhere in the plan
+    assert(plan.contains("levenshtein"), s"distance table must exist:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus joins must all be broadcast (stats/perName are bounded):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-(block,name) stats must broadcast onto the corpus:\n$plan")
+    // the only non-broadcast join is the 64×64 name cross join
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+      s"distance table is a tiny cross join:\n$plan")
+    // per-(block,name) profile + argmin funnel: partial+final codegen
+    // HashAggregates — the packed-long (dist << 48 | key) min exists
+    // precisely so the argmin never falls back to a SortAggregate
+    // (round-10 advisor item: assert the absence, not just a count)
+    assert(!plan.contains("SortAggregate"),
+      s"packed-long argmin must stay a HashAggregate:\n$plan")
     assert(!plan.contains("Window"),
       s"per-doc argmin must be an aggregate, not a window:\n$plan")
     val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
-    assert(aggs >= 2, s"expected partial+final HashAggregate over candidates:\n$plan")
+    assert(aggs >= 6, s"expected partial+final HashAggregate for grp/grp2/perName:\n$plan")
   }
 
   test("q1 aggregation is partial+final (map-side combine)") {
@@ -349,25 +359,23 @@ class PlanSpec extends SparkSpec {
       s"self-gate joins must all be broadcast:\n$full")
   }
 
-  test("q_fuzzy_pairs salts the block self-join; block counts broadcast back (round 6)") {
+  test("q_fuzzy_pairs joins only close name pairs: compute is Θ(answer) (round 11)") {
     val df = operators.Relational4.qFuzzyPairs(spark, sf)
     val plan = formatted(df)
-    // the self-join key must include the salt, so one hot (brand, size)
-    // block spans FuzzySalt tasks instead of serializing on one
-    assert(plan.contains("__salt"), s"block key must be salted:\n$plan")
-    // side b's salt replication is an explode (Generate), not a shuffle.
-    // FormattedMode prints the node as `Generate (N)` with the
-    // `explode(...)` expression in a separate Arguments: detail line, so
-    // the two tokens are asserted independently, never on one line.
-    assert(plan.contains("Generate"),
-      s"salt fan-out must be a Generate node:\n$plan")
-    assert(plan.contains("explode"),
-      s"salt fan-out must be an explode of the small range:\n$plan")
-    // block_n comes back via broadcast, never a window over the hot block
-    assert(plan.contains("BroadcastHashJoin"),
-      s"block counts must broadcast onto the probe side:\n$plan")
+    // levenshtein runs ONLY in the D² distinct-name table (then filtered
+    // to d ≤ 5); the corpus-level pair join verifies nothing — every
+    // surviving row is an answer, so no per-candidate distance remains
+    assert(plan.contains("levenshtein"), s"distance table must exist:\n$plan")
+    // block counts and the close-name fan-out broadcast onto the corpus
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2,
+      s"counts + close-name table must broadcast onto the probe side:\n$plan")
     assert(!plan.contains("Window"),
-      s"a window over the block key would re-create the one-task hot block:\n$plan")
+      s"a window over the block key would serialize a hot block:\n$plan")
+    // the distance table's cross join is names×names only — the corpus
+    // side must never cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+      s"distance table is a tiny cross join:\n$plan")
   }
 
   test("q_bucketed_join merge-joins co-located buckets with no pre-join exchange") {
