@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions.col
   * quantileBoundsSelect calls with their [qsel] phase lines. */
 object QselProbe {
   def main(args: Array[String]): Unit = {
+    // the [qsel] phase lines are gated off for contract queries (round-10
+    // verdict item 3); this harness is their one consumer
+    System.setProperty("graft.qsel.verbose", "true")
     val data = args.headOption.getOrElse("/tmp/refbench/massive_data.parquet")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()

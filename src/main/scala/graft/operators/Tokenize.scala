@@ -505,11 +505,21 @@ object Tokenize {
     private val hi0 = if (n > 0) splits(n - 1) else 0.0
     private val G = math.max(1, math.min(1 << 16, 4 * n))
     private val inv = if (n > 0 && hi0 > lo0) G / (hi0 - lo0) else 0.0
-    // bnd(g) = lower_bound(splits, lower edge of cell g); bnd(G) = n
+    // round-10 advisor item: a denormal split span makes inv overflow to
+    // Infinity (gi would clamp every interior v into the top cell's
+    // bracket) — fall back to the plain full-range lower_bound, which is
+    // what search() reduces to with a degenerate grid
+    private val gridOk = java.lang.Double.isFinite(inv) && inv > 0.0
+    // bnd(g) = lower_bound(splits, lower edge of cell g); bnd(G) is pinned
+    // to n UNCONDITIONALLY (round-10 advisor item: computing it as
+    // lowerBound(lo0 + G*(hi0-lo0)/G) lets fp division land a few ulps
+    // below hi0 and exclude the true top index when the largest splits are
+    // ulp-adjacent — by definition it is the lower bound of the top edge)
     private val bnd: Array[Int] = {
       val b = new Array[Int](G + 1)
       var g = 0
-      while (g <= G) { b(g) = lowerBound(lo0 + g * (hi0 - lo0) / G); g += 1 }
+      while (g < G) { b(g) = lowerBound(lo0 + g * (hi0 - lo0) / G); g += 1 }
+      b(G) = n
       b
     }
     private def lowerBound(v: Double): Int = {
@@ -525,6 +535,7 @@ object Tokenize {
     def search(v: Double): Int = {
       if (n == 0 || v <= lo0) return 0
       if (v > hi0) return n
+      if (!gridOk) return lowerBound(v)
       var gi = ((v - lo0) * inv).toInt
       if (gi < 0) gi = 0 else if (gi > G - 1) gi = G - 1
       var lo = bnd(if (gi == 0) 0 else gi - 1)
@@ -584,10 +595,14 @@ object Tokenize {
     // huge to collect). A bare parquet scan answers from FOOTERS on the
     // driver (no job at all — round 10, same convention as
     // Tables.rowCount); anything else pays one column-less count() scan.
+    // phase timings print ONLY under -Dgraft.qsel.verbose=true (set by the
+    // QselProbe harness) — round-10 verdict item 3: contract queries must
+    // emit nothing to stderr
     val tPhase0 = System.nanoTime()
     def phase(tag: String, since: Long): Long = {
       val now = System.nanoTime()
-      System.err.println(f"[qsel] $tag=${(now - since) / 1e9}%.2f")
+      if (java.lang.Boolean.getBoolean("graft.qsel.verbose"))
+        System.err.println(f"[qsel] $tag=${(now - since) / 1e9}%.2f")
       now
     }
     val footer = footerCount(df)

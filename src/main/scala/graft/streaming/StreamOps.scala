@@ -318,7 +318,7 @@ object StreamOps {
     // open at a batch boundary either continues (next event within the
     // gap) or was ALREADY a new session by gap semantics when the
     // watermark passed its end.
-    val (stagedDir, _, stagedRows) = stagedEvents(spark, dir)
+    val (stagedDir, stagedFiles, stagedRows) = stagedEvents(spark, dir)
     val stagedSchema = spark.read.parquet(stagedDir.toString).schema
     val tmp = scratchFor("session", dir)
     val in = java.nio.file.Paths.get(s"$tmp/in")
@@ -364,8 +364,12 @@ object StreamOps {
     // fixture churns ~1 session per event — 8 partitions (right for the
     // small fixtures' fixed commit overhead) left 3/4 of the cores idle
     // at the 100x probe (39.8 -> 33.3 s at 32).
+    // per-batch rows = what one staged FILE actually carries (round-10
+    // advisor item: `min(stagedRows, pace)` understates this once the
+    // MaxPaceBatches cap makes files larger than the pace — exactly the
+    // large-corpus regime the derivation targets)
     val sessParts = stateParts(statePartsFor(
-      math.min(stagedRows, paceRows(spark)),
+      (stagedRows + stagedFiles - 1) / stagedFiles,
       spark.sparkContext.defaultParallelism))
     val ss = streamingSession(spark, sessParts)
     val raw = ss.readStream.schema(stagedSchema)

@@ -210,7 +210,15 @@ class TokenizeSpec extends SparkSpec {
       Array.tabulate(500)(i => (i / 50).toDouble).distinct.sorted, // few distinct
       Array(0.0),
       Array(-1.5, 2.5),
-      (1 until 100).map(_ / 100.0).toArray)
+      (1 until 100).map(_ / 100.0).toArray,
+      // round-10 advisor item: ulp-adjacent splits (fp rounding of the
+      // grid's top-edge bracket must never exclude the true index) and a
+      // denormal total span (inv overflows to Infinity -> plain
+      // lower_bound fallback)
+      Iterator.iterate(1.0)(math.nextUp).take(64).toArray,
+      Array.tabulate(16)(i => 1.0 + i * math.ulp(1.0) * 3),
+      Array(0.0, Double.MinPositiveValue),
+      Iterator.iterate(Double.MinPositiveValue)(math.nextUp).take(8).toArray)
     for (splits <- splitSets) {
       val gx = new Tokenize.GridIndex(splits)
       val probes = Iterator.fill(20000)(rnd.nextGaussian() * 3) ++
