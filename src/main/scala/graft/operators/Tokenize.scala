@@ -200,8 +200,10 @@ object Tokenize {
     // unconverted scan for the aggregation passes: primitive getDouble on
     // unsafe rows — no Row boxing (measured ~2x on the two passes)
     val internal = proj.queryExecution.toRdd
+    val tRank0 = System.nanoTime()
     val n = df.count() // parquet metadata count — no column scan
     require(n > 0, "tokenizeRankSelect: empty input")
+    val tCount = devPhase("rank", "count", tRank0)
     // 0-based global position of the first row of NTILE buckets 1..bins-1
     val base = n / bins
     val extra = n % bins
@@ -220,6 +222,7 @@ object Tokenize {
     // buckets because the tiebreak participates in the comparison)
     val frac = math.min(1.0, sampleSize.toDouble / n)
     val sampleRows = proj.sample(withReplacement = false, frac, seed = 42).collect()
+    val tSample = devPhase("rank", "sample", tCount)
     // the sample is the FIRST thing to touch the data, so it is also the
     // first place a null/NaN precondition violation can surface — fail here
     // with the column name, not an opaque NPE inside keyOf (the full-data
@@ -256,6 +259,12 @@ object Tokenize {
     val flatOff: Array[Int] = nb.scanLeft(0)(_ + _)
     val splitsB = sc.broadcast(splits)
     val keyIdxB = sc.broadcast(keyIdx)
+    // grid-bracketed lex search (round 11: the same surgery GridIndex did
+    // for quantileBoundsSelect, lifted to composite keys — the plain
+    // search walked ~13 scattered cache lines of a ~450 KB split matrix
+    // per (row, col) in BOTH passes below)
+    val gidxB = sc.broadcast(splits.map(f =>
+      new VectorBucketizeExpr.CompositeGridIndex(f, m)))
     // pass 1: flat (col, bucket) histogram — one treeAggregate scan, one
     // composite binary search + one increment per (row, col). The last two
     // slots count rows with a null / NaN sort field (precondition
@@ -264,6 +273,7 @@ object Tokenize {
       seqOp = (acc, row) => {
         val sp = splitsB.value
         val ki = keyIdxB.value
+        val gx = gidxB.value
         var f = 0
         var hasNull = false
         var hasNaN = false
@@ -277,13 +287,16 @@ object Tokenize {
         else {
           var ci = 0
           while (ci < k) {
-            acc(flatOff(ci) + VectorBucketizeExpr.searchRow(sp(ci), m, row, ki(ci))) += 1
+            val br = gx(ci).bracket(row.getDouble(ki(ci)(0)))
+            acc(flatOff(ci) + VectorBucketizeExpr.searchRowIn(
+              sp(ci), m, row, ki(ci), (br >>> 32).toInt, br.toInt)) += 1
             ci += 1
           }
         }
         acc
       },
       combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    val tHist = devPhase("rank", "hist", tSample)
     require(histAll(histAll.length - 2) == 0,
       s"tokenizeRankSelect: ${histAll(histAll.length - 2)} rows have null sort columns")
     require(histAll.last == 0,
@@ -310,34 +323,67 @@ object Tokenize {
       neededBuckets(ci).map(b => hist(flatOff(ci) + b)).sum
     }.sum
     val neededBkB = sc.broadcast(neededBuckets)
-    // pass 2: gather ONLY boundary-bucket rows' composite keys
+    // O(1) membership for the gather pass: bucket -> candidate slot
+    // (round 11; the old per-row binarySearch over neededBuckets paid
+    // log(|positions|) probes per (row, col))
+    val slotOf: Array[Array[Int]] = Array.tabulate(k) { ci =>
+      val a = Array.fill(nb(ci))(-1)
+      neededBuckets(ci).zipWithIndex.foreach { case (b, j) => a(b) = j }
+      a
+    }
+    val slotOfB = sc.broadcast(slotOf)
+    // pass 2: gather ONLY boundary-bucket rows' composite keys, as
+    // per-partition ref builders keyed by (col, bucket) — round 11, the
+    // same rework the scalar gather got in round 10: the per-row
+    // `flatMap { ... Iterator.single((ci, b, key)) }` form allocated an
+    // iterator per (row, col) (240 M at the 100× probe) and boxed every
+    // emit; this form allocates only per CANDIDATE (the m-double key).
     val cand = internal.mapPartitions { it =>
       val sp = splitsB.value
       val ki = keyIdxB.value
+      val gx = gidxB.value
+      val so = slotOfB.value
       val nbk = neededBkB.value
-      it.flatMap { row =>
-        (0 until k).iterator.flatMap { ci =>
-          val b = VectorBucketizeExpr.searchRow(sp(ci), m, row, ki(ci))
-          if (java.util.Arrays.binarySearch(nbk(ci), b) >= 0) {
+      val bufs = Array.tabulate(k)(ci => Array.fill(nbk(ci).length)(
+        new scala.collection.mutable.ArrayBuilder.ofRef[Array[Double]]))
+      while (it.hasNext) {
+        val row = it.next()
+        var ci = 0
+        while (ci < k) {
+          val br = gx(ci).bracket(row.getDouble(ki(ci)(0)))
+          val b = VectorBucketizeExpr.searchRowIn(
+            sp(ci), m, row, ki(ci), (br >>> 32).toInt, br.toInt)
+          val j = so(ci)(b)
+          if (j >= 0) {
             val key = new Array[Double](m)
             var f = 0
             while (f < m) { key(f) = row.getDouble(ki(ci)(f)); f += 1 }
-            Iterator.single((ci, b, key))
-          } else Iterator.empty
+            bufs(ci)(j) += key
+          }
+          ci += 1
         }
       }
+      Iterator.range(0, k).flatMap(ci =>
+        bufs(ci).indices.iterator
+          .map(j => ((ci, nbk(ci)(j)), bufs(ci)(j).result()))
+          .filter(_._2.nonEmpty))
     }
     val picked: Map[(Int, Int, Long), Array[Double]] =
       if (candVolume * m <= maxCollect) {
-        cand.collect().groupBy(t => (t._1, t._2)).flatMap { case ((ci, b), ts) =>
-          val arr = ts.map(_._3)
-          java.util.Arrays.sort(arr, lexOrd)
-          neededOffsets(ci)(b).map(off => (ci, b, off) -> arr(off.toInt))
+        val merged = scala.collection.mutable.HashMap
+          .empty[(Int, Int), scala.collection.mutable.ArrayBuilder.ofRef[Array[Double]]]
+        cand.collect().foreach { case (key, arr) =>
+          merged.getOrElseUpdate(key,
+            new scala.collection.mutable.ArrayBuilder.ofRef[Array[Double]]) ++= arr
         }
+        merged.iterator.flatMap { case ((ci, b), ab) =>
+          val arr = ab.result()
+          java.util.Arrays.sort(arr, lexOrd)
+          neededOffsets(ci)(b).iterator.map(off => (ci, b, off) -> arr(off.toInt))
+        }.toMap
       } else {
         val neededOffB = sc.broadcast(neededOffsets)
-        val r = cand.groupBy(t => (t._1, t._2)).flatMap { case ((ci, b), ts) =>
-          val arr = ts.iterator.map(_._3).toArray
+        val r = cand.reduceByKey(_ ++ _).flatMap { case ((ci, b), arr) =>
           java.util.Arrays.sort(arr, lexOrd)
           neededOffB.value(ci)(b).iterator.map(off => ((ci, b, off), arr(off.toInt)))
         }.collect().toMap
@@ -346,7 +392,10 @@ object Tokenize {
       }
     splitsB.destroy()
     neededBkB.destroy()
+    slotOfB.destroy()
+    gidxB.destroy()
     keyIdxB.destroy()
+    devPhase("rank", "gather", tHist)
     // thresholds per column, ascending by position = ascending by key
     val thresholds: Array[Seq[Array[Double]]] = Array.tabulate(k) { ci =>
       val cum = cums(ci)
@@ -505,11 +554,17 @@ object Tokenize {
     private val hi0 = if (n > 0) splits(n - 1) else 0.0
     private val G = math.max(1, math.min(1 << 16, 4 * n))
     private val inv = if (n > 0 && hi0 > lo0) G / (hi0 - lo0) else 0.0
-    // round-10 advisor item: a denormal split span makes inv overflow to
-    // Infinity (gi would clamp every interior v into the top cell's
-    // bracket) — fall back to the plain full-range lower_bound, which is
-    // what search() reduces to with a degenerate grid
-    private val gridOk = java.lang.Double.isFinite(inv) && inv > 0.0
+    // round-10 advisor item, sharpened in round 11 by a failing composite
+    // property case: the ±1-cell widening assumes a cell edge's fp
+    // rounding error (≤ 0.5 ulp of the edge's magnitude) is under one
+    // cell. That fails when the whole split span is within a few ulps —
+    // cell width ≪ ulp — where one 0.5-ulp round-up crosses several
+    // cells and the bracket can exclude the true index. Use the grid only
+    // when a cell is at least one ulp wide; otherwise (and for denormal
+    // spans, where inv overflows to Infinity) fall back to the plain
+    // full-range lower_bound, which is what search() reduces to anyway.
+    private val gridOk = java.lang.Double.isFinite(inv) && inv > 0.0 &&
+      (hi0 - lo0) / G >= math.ulp(math.max(math.abs(lo0), math.abs(hi0)))
     // bnd(g) = lower_bound(splits, lower edge of cell g); bnd(G) is pinned
     // to n UNCONDITIONALLY (round-10 advisor item: computing it as
     // lowerBound(lo0 + G*(hi0-lo0)/G) lets fp division land a few ulps
@@ -546,6 +601,16 @@ object Tokenize {
       }
       lo
     }
+  }
+
+  /** Dev-only phase timing for the selection passes — prints ONLY under
+    * -Dgraft.qsel.verbose=true (set by the QselProbe/RankProbe harnesses);
+    * contract queries emit nothing to stderr (round-10 verdict item 3). */
+  private def devPhase(label: String, tag: String, since: Long): Long = {
+    val now = System.nanoTime()
+    if (java.lang.Boolean.getBoolean("graft.qsel.verbose"))
+      System.err.println(f"[$label] $tag=${(now - since) / 1e9}%.2f")
+    now
   }
 
   /** Driver-side footer row count for a DataFrame that is a BARE parquet
@@ -595,16 +660,8 @@ object Tokenize {
     // huge to collect). A bare parquet scan answers from FOOTERS on the
     // driver (no job at all — round 10, same convention as
     // Tables.rowCount); anything else pays one column-less count() scan.
-    // phase timings print ONLY under -Dgraft.qsel.verbose=true (set by the
-    // QselProbe harness) — round-10 verdict item 3: contract queries must
-    // emit nothing to stderr
     val tPhase0 = System.nanoTime()
-    def phase(tag: String, since: Long): Long = {
-      val now = System.nanoTime()
-      if (java.lang.Boolean.getBoolean("graft.qsel.verbose"))
-        System.err.println(f"[qsel] $tag=${(now - since) / 1e9}%.2f")
-      now
-    }
+    def phase(tag: String, since: Long): Long = devPhase("qsel", tag, since)
     val footer = footerCount(df)
     val totalRows = footer.getOrElse(df.count())
     val proj = df.select(cols.map(c => col(c).cast("double")): _*)

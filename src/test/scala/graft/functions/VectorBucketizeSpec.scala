@@ -36,6 +36,54 @@ class VectorBucketizeSpec extends SparkSpec {
     }
   }
 
+  test("CompositeGridIndex bracket + searchRowIn == full-range searchRow (round 11)") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val rnd = new scala.util.Random(11)
+    val m = 3
+    def mat(firsts: Array[Double]): Array[Double] = {
+      // rows sorted lexicographically: ascending firsts, random tiebreaks
+      // sorted within each tie run
+      val rows = firsts.sorted.map(f => Array(f, rnd.nextDouble(), rnd.nextDouble()))
+      val ord: Ordering[Array[Double]] = (a, b) => {
+        var i = 0; var c = 0
+        while (c == 0 && i < m) { c = java.lang.Double.compare(a(i), b(i)); i += 1 }
+        c
+      }
+      java.util.Arrays.sort(rows, ord)
+      rows.flatten
+    }
+    // first-field shapes the rank passes actually see: continuous,
+    // low-cardinality ties (l_quantity-like), ulp-adjacent, denormal span
+    val mats: Seq[Array[Double]] = Seq(
+      mat(Array.fill(4000)(rnd.nextGaussian() * 100)),
+      mat(Array.fill(4000)(rnd.nextInt(50).toDouble)),
+      mat(Iterator.iterate(1.0)(math.nextUp).take(64).toArray),
+      mat(Array(0.0, Double.MinPositiveValue)),
+      mat(Array(2.5)),
+      Array.empty[Double])
+    val idx = Array(0, 1, 2)
+    for (flat <- mats) {
+      val gx = new VectorBucketizeExpr.CompositeGridIndex(flat, m)
+      val t = flat.length / m
+      val firsts = (0 until t).map(i => flat(i * m))
+      val probes = Iterator.fill(5000)(Array(
+          rnd.nextGaussian() * 100, rnd.nextDouble(), rnd.nextDouble())) ++
+        firsts.iterator.map(f => Array(f, rnd.nextDouble(), rnd.nextDouble())) ++
+        firsts.iterator.map(f => Array(math.nextUp(f), 0.0, 0.0)) ++
+        firsts.iterator.map(f => Array(math.nextDown(f), 1.0, 1.0)) ++
+        Iterator(Array(Double.NegativeInfinity, 0.0, 0.0),
+          Array(Double.PositiveInfinity, 0.0, 0.0))
+      for (key <- probes) {
+        val row = new GenericInternalRow(key.map(v => v: Any))
+        val full = VectorBucketizeExpr.searchRow(flat, m, row, idx)
+        val br = gx.bracket(key(0))
+        val fast = VectorBucketizeExpr.searchRowIn(
+          flat, m, row, idx, (br >>> 32).toInt, br.toInt)
+        assert(fast == full, s"mismatch at key=${key.mkString(",")} t=$t")
+      }
+    }
+  }
+
   test("null in any key field yields null") {
     import spark.implicits._
     val df = Seq((Some(1.0), Option.empty[Double]), (Some(1.0), Some(2.0)))
