@@ -194,14 +194,22 @@ object Relational4 {
     * duplicate corpus" means. */
   def qFuzzyBest(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand", "p_size")
-    // (1) per-(block, name) profile: cnt, min key k1, second-min key k2
+    // (1) per-(block, name) profile: cnt, min key k1, second-min key k2.
+    // grp and stats are referenced several times below; each is a tiny
+    // bounded aggregate (≤ blocks × D rows), so they are MATERIALIZED
+    // eagerly (localCheckpoint, the tokenizeRank convention — blocks
+    // reclaimed by ContextCleaner) — without this the shared lineage
+    // re-executes per use and the corpus is scanned ~8×, not the three
+    // passes this funnel is built around (grp, grp2, final join).
     val grp = p.groupBy("p_brand", "p_size", "p_name")
       .agg(count(lit(1)).as("cnt"), min("p_partkey").as("k1"))
+      .localCheckpoint(true)
     val grp2 = p.join(broadcast(grp), Seq("p_brand", "p_size", "p_name"))
       .filter(col("p_partkey") =!= col("k1"))
       .groupBy("p_brand", "p_size", "p_name")
       .agg(min("p_partkey").as("k2"))
     val stats = grp.join(broadcast(grp2), Seq("p_brand", "p_size", "p_name"), "left")
+      .localCheckpoint(true)
     // (2) per-(block, name) aggregate over the block's OTHER names
     val ndist = nameDistances(grp.select("p_name").distinct())
     val perName = stats.as("x")

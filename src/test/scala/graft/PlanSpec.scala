@@ -55,16 +55,24 @@ class PlanSpec extends SparkSpec {
     // the only non-broadcast join is the 64×64 name cross join
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
       s"distance table is a tiny cross join:\n$plan")
-    // per-(block,name) profile + argmin funnel: partial+final codegen
-    // HashAggregates — the packed-long (dist << 48 | key) min exists
-    // precisely so the argmin never falls back to a SortAggregate
-    // (round-10 advisor item: assert the absence, not just a count)
+    // per-(block,name) argmin funnel: partial+final codegen HashAggregate
+    // — the packed-long (dist << 48 | key) min exists precisely so the
+    // argmin never falls back to a SortAggregate (round-10 advisor item:
+    // assert the absence, not just a count). The grp/grp2 profile
+    // aggregates run at construction (localCheckpoint) and are not in
+    // this plan.
     assert(!plan.contains("SortAggregate"),
       s"packed-long argmin must stay a HashAggregate:\n$plan")
     assert(!plan.contains("Window"),
       s"per-doc argmin must be an aggregate, not a window:\n$plan")
     val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
-    assert(aggs >= 6, s"expected partial+final HashAggregate for grp/grp2/perName:\n$plan")
+    assert(aggs >= 2, s"expected partial+final HashAggregate for perName:\n$plan")
+    // the returned plan reads the corpus EXACTLY once (the map-only
+    // resolution join); the two profile passes pre-materialized into
+    // checkpointed ≤ blocks×D-row frames. Count the DETAIL headers —
+    // FormattedMode prints each scan twice (tree line + detail header).
+    val scans = plan.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"expected exactly one corpus scan, got $scans:\n$plan")
   }
 
   test("q1 aggregation is partial+final (map-side combine)") {
