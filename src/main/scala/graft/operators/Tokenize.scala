@@ -269,11 +269,17 @@ object Tokenize {
     // composite binary search + one increment per (row, col). The last two
     // slots count rows with a null / NaN sort field (precondition
     // violations -> loud, with a name, over the FULL data).
-    val histAll: Array[Long] = internal.treeAggregate(new Array[Long](flatOff(k) + 2))(
-      seqOp = (acc, row) => {
-        val sp = splitsB.value
-        val ki = keyIdxB.value
-        val gx = gidxB.value
+    // (round 11: mapPartitions + partition-local accumulator, hoisting
+    // the broadcast reads and per-element closure dispatch out of the
+    // row loop — same shape as the scalar histogram pass)
+    val histAll: Array[Long] = internal.mapPartitions { it =>
+      val sp = splitsB.value
+      val ki = keyIdxB.value
+      val gx = gidxB.value
+      val off = flatOff
+      val acc = new Array[Long](off(k) + 2)
+      while (it.hasNext) {
+        val row = it.next()
         var f = 0
         var hasNull = false
         var hasNaN = false
@@ -288,14 +294,16 @@ object Tokenize {
           var ci = 0
           while (ci < k) {
             val br = gx(ci).bracket(row.getDouble(ki(ci)(0)))
-            acc(flatOff(ci) + VectorBucketizeExpr.searchRowIn(
+            acc(off(ci) + VectorBucketizeExpr.searchRowIn(
               sp(ci), m, row, ki(ci), (br >>> 32).toInt, br.toInt)) += 1
             ci += 1
           }
         }
-        acc
-      },
-      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      }
+      Iterator.single(acc)
+    }.treeReduce { (a, b) =>
+      var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+    }
     val tHist = devPhase("rank", "hist", tSample)
     require(histAll(histAll.length - 2) == 0,
       s"tokenizeRankSelect: ${histAll(histAll.length - 2)} rows have null sort columns")
@@ -711,24 +719,30 @@ object Tokenize {
     val nb: Array[Int] = splits.map(_.length + 1)
     val flatOff: Array[Int] = nb.scanLeft(0)(_ + _)
     val gidxB = sc.broadcast(splits.map(new GridIndex(_)))
-    // pass 1: flat (col, bucket) histogram in one treeAggregate scan —
-    // per value: one grid-bracketed search + one array increment, zero
-    // allocation (round 10: GridIndex replaced the 13-probe binary
-    // search — hist pass 2.2 → measured below on the 10 M×20 workload)
-    val hist: Array[Long] = internal.treeAggregate(new Array[Long](flatOff(k)))(
-      seqOp = (acc, row) => {
-        val gx = gidxB.value
+    // pass 1: flat (col, bucket) histogram in one scan — per value: one
+    // grid-bracketed search + one array increment, zero allocation
+    // (round 10: GridIndex replaced the 13-probe binary search; round
+    // 11: mapPartitions with a partition-local accumulator replaced the
+    // treeAggregate seqOp, hoisting the broadcast reads and the
+    // per-element closure dispatch out of the row loop)
+    val hist: Array[Long] = internal.mapPartitions { it =>
+      val gx = gidxB.value
+      val off = flatOff // closure-captured, ~k ints
+      val acc = new Array[Long](off(k))
+      while (it.hasNext) {
+        val row = it.next()
         var ci = 0
         while (ci < k) {
           if (!row.isNullAt(ci)) {
-            val b = gx(ci).search(row.getDouble(ci))
-            acc(flatOff(ci) + b) += 1
+            acc(off(ci) + gx(ci).search(row.getDouble(ci))) += 1
           }
           ci += 1
         }
-        acc
-      },
-      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      }
+      Iterator.single(acc)
+    }.treeReduce { (a, b) =>
+      var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+    }
     val tHist = phase("hist", tSample)
     // cumulative counts -> (bucket, in-bucket offset) for every needed pos
     val cums: Array[Array[Long]] = cols.indices.map { ci =>
