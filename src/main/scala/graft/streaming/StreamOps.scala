@@ -364,12 +364,8 @@ object StreamOps {
     // fixture churns ~1 session per event — 8 partitions (right for the
     // small fixtures' fixed commit overhead) left 3/4 of the cores idle
     // at the 100x probe (39.8 -> 33.3 s at 32).
-    // per-batch rows = what one staged FILE actually carries (round-10
-    // advisor item: `min(stagedRows, pace)` understates this once the
-    // MaxPaceBatches cap makes files larger than the pace — exactly the
-    // large-corpus regime the derivation targets)
     val sessParts = stateParts(statePartsFor(
-      (stagedRows + stagedFiles - 1) / stagedFiles,
+      perBatchRows(stagedRows, stagedFiles),
       spark.sparkContext.defaultParallelism))
     val ss = streamingSession(spark, sessParts)
     val raw = ss.readStream.schema(stagedSchema)
@@ -507,6 +503,14 @@ object StreamOps {
   private[graft] def statePartsFor(batchRows: Long, cores: Int): Int =
     math.max(DefaultStateParts.toLong,
       math.min(cores.toLong, batchRows / 250000L)).toInt
+
+  /** Rows one staged file actually carries = the real micro-batch size
+    * under `maxFilesPerTrigger = 1` (round-10 advisor item: the old
+    * `min(stagedRows, pace)` understated this once the [[MaxPaceBatches]]
+    * cap makes files larger than the pace — exactly the large-corpus
+    * regime the state-partition sizing targets). Spec-pinned. */
+  private[graft] def perBatchRows(stagedRows: Long, stagedFiles: Int): Long =
+    (stagedRows + stagedFiles - 1) / stagedFiles
 
   /** Cached max event timestamp (µs) per input dir — see sentinel drain. */
   private val maxEventUs =

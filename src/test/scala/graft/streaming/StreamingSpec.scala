@@ -364,6 +364,13 @@ class StreamingSpec extends SparkSpec {
     assert(StreamOps.statePartsFor(100000000L, 32) == 32, "cores cap")
     assert(StreamOps.statePartsFor(10000000L, 4) == StreamOps.DefaultStateParts,
       "the floor wins below it even on small-core boxes")
+    // per-batch rows = what one staged file carries (round-10 advisor
+    // item: NOT min(staged, pace) — once the MaxPaceBatches cap binds,
+    // files are larger than the pace)
+    assert(StreamOps.perBatchRows(10000000L, 3) == 3333334L)
+    assert(StreamOps.perBatchRows(1000L, 1) == 1000L)
+    assert(StreamOps.perBatchRows(640000000L, 64) == 10000000L,
+      "capped staging: real batches exceed the pace and the sizing must see it")
   }
 
   test("paced session drain evicts sessions INCREMENTALLY (state plateaus below the corpus)") {
