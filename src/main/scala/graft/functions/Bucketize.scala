@@ -27,9 +27,15 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * codegen: the generated Java is a tight branch-free-ish binary-search loop
   * over a referenced `double[]`, O(log bins) per value, zero allocation.
   *
-  * Null -> null. NaN -> bin 0 (no boundary compares less-than NaN), the same
-  * result the HOF formulation yields; the reference has no NaN policy
-  * (SURVEY §2A fine print), ours is explicit and total.
+  * Null -> null. NaN -> the TOP bin, `bins - 1` (round 12 — previously bin
+  * 0, the accidental result of IEEE `<` never holding for NaN). NaN-last is
+  * the np.digitize convention (NaN treated as larger than every boundary)
+  * and, decisively, Spark's OWN sort/agg ordering — the engine's quantile
+  * boundary paths (Tokenize.quantileBoundsSelect and friends, round 12)
+  * rank NaN last, so the tokenizer must agree or a NaN-bearing column
+  * would bucket its NaN opposite to where the boundary computation counted
+  * them. The reference has no NaN policy (SURVEY §2A fine print); ours is
+  * explicit, total, and property-tested (TokenizeSpec).
   */
 case class BucketizeExpr(child: Expression, bounds: Seq[Double], bins: Int,
                          rightClosed: Boolean = true)
@@ -50,13 +56,17 @@ case class BucketizeExpr(child: Expression, bounds: Seq[Double], bins: Int,
     val hi = ctx.freshName("hi")
     val mid = ctx.freshName("mid")
     val cmp = if (rightClosed) "<" else "<="
+    // NaN ranks last (class doc): count := all boundaries, clamped to the
+    // top bin — the loop alone would leave lo = 0 (IEEE compares are false)
     nullSafeCodeGen(ctx, ev, v =>
       s"""
          |int $lo = 0;
          |int $hi = $b.length;
-         |while ($lo < $hi) {
-         |  int $mid = ($lo + $hi) >>> 1;
-         |  if ($b[$mid] $cmp $v) { $lo = $mid + 1; } else { $hi = $mid; }
+         |if ($v != $v) { $lo = $hi; } else {
+         |  while ($lo < $hi) {
+         |    int $mid = ($lo + $hi) >>> 1;
+         |    if ($b[$mid] $cmp $v) { $lo = $mid + 1; } else { $hi = $mid; }
+         |  }
          |}
          |${ev.value} = $lo > ${bins - 1} ? ${bins - 1} : $lo;
        """.stripMargin)
@@ -68,11 +78,13 @@ case class BucketizeExpr(child: Expression, bounds: Seq[Double], bins: Int,
 
 object BucketizeExpr {
   /** lower_bound: #bounds strictly less than v, clamped to [0, bins-1]
-    * (right-closed intervals: boundary-equal values take the lower bin). */
+    * (right-closed intervals: boundary-equal values take the lower bin).
+    * NaN counts EVERY boundary as below it — NaN-last, class doc. */
   def search(bounds: Array[Double], v: Double, bins: Int): Int = {
     var lo = 0
     var hi = bounds.length
-    while (lo < hi) {
+    if (v != v) lo = hi
+    else while (lo < hi) {
       val mid = (lo + hi) >>> 1
       if (bounds(mid) < v) lo = mid + 1 else hi = mid
     }
@@ -80,11 +92,13 @@ object BucketizeExpr {
   }
 
   /** upper_bound: #bounds <= v, clamped (right-open intervals: boundary-equal
-    * values take the upper bin — the Numba kernel's convention). */
+    * values take the upper bin — the Numba kernel's convention). Same
+    * NaN-last policy as [[search]]. */
   def searchRightOpen(bounds: Array[Double], v: Double, bins: Int): Int = {
     var lo = 0
     var hi = bounds.length
-    while (lo < hi) {
+    if (v != v) lo = hi
+    else while (lo < hi) {
       val mid = (lo + hi) >>> 1
       if (bounds(mid) <= v) lo = mid + 1 else hi = mid
     }

@@ -20,9 +20,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
   * NTILE buckets 1..bins-1: the count of boundary rows at-or-below a key IS
   * the key's NTILE token (keys are unique — the tiebreak is a total order).
   *
-  * Null in any child -> null. NaN unsupported (same caveat as the selection
-  * quantiles: IEEE compares would order NaN inconsistently with Spark's
-  * sort; the driver corpus has none).
+  * Null in any child -> null. NaN in a key field is a PRECONDITION
+  * violation, rejected LOUDLY upstream: the lexicographic compare treats
+  * NaN as tying every threshold (IEEE `<`/`>` both false), which is not an
+  * order, so Tokenize.tokenizeRankSelect's pass-1 histogram counts NaN sort
+  * fields and aborts before this expression ever sees one (the scalar
+  * paths define NaN-last instead — see Tokenize's NaN policy — but a
+  * composite key has no single "last": NaN in a middle field would make
+  * ordering non-transitive).
   */
 case class VectorBucketizeExpr(children: Seq[Expression], thresholds: Array[Double])
     extends Expression {
@@ -162,7 +167,13 @@ object VectorBucketizeExpr {
     * continuous first field the bracket is a couple of entries; for a
     * low-cardinality first field it is that value's tie run — the lex
     * search then starts where the field-0 probes would have ended.
-    * Degenerate spans (inv non-finite) fall back to the full range. */
+    * Degenerate spans (inv non-finite) fall back to the full range, and
+    * so does a NaN first field (round-11 advisor item: the range tests
+    * `v0 < lo0` / `v0 > hi0` are both false for NaN, so without the
+    * guard the grid would hand back an arbitrary interior bracket that
+    * disagrees with the full-range search — unreachable from
+    * tokenizeRankSelect, whose pass 1 rejects NaN, but this class is
+    * package-public). */
   final class CompositeGridIndex(flat: Array[Double], m: Int) extends Serializable {
     private val t = flat.length / m
     private val lo0 = if (t > 0) flat(0) else 0.0
@@ -197,6 +208,7 @@ object VectorBucketizeExpr {
       * lex > it, so searchRowIn(lo, hi) equals the full-range search. */
     def bracket(v0: Double): Long = {
       if (t == 0) return 0L
+      if (v0 != v0) return t.toLong // NaN: full range (0, t)
       if (v0 < lo0) return 0L // all rows have first >= lo0 > v0
       if (v0 > hi0) return (t.toLong << 32) | t.toLong // all rows lex < key
       if (!gridOk) return t.toLong // (0, t)

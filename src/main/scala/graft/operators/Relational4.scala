@@ -108,10 +108,27 @@ object Relational4 {
     * before verify is the standard exact rewrite. If names were fully
     * unique this degrades to all-pairs, which IS the complexity of exact
     * edit distance; corpora like that take the banded MinHash/SimHash
-    * family (Dedup.scala) instead. */
-  private def nameDistances(names: DataFrame): DataFrame =
+    * family (Dedup.scala) instead.
+    *
+    * The closed-vocabulary assumption is ENFORCED, not just documented
+    * (round-11 advisor item): both callers broadcast the D² table to every
+    * executor, so an open-vocabulary name column must fail with a
+    * direction, not a broadcast OOM. The guard costs one
+    * limit-short-circuited count over the (already tiny) distinct-name
+    * side and makes query CONSTRUCTION eager — the same posture
+    * [[qFuzzyBest]]'s localCheckpoints already take. */
+  private[operators] val MaxFuzzyDistinctNames = 2048L
+
+  private def nameDistances(names: DataFrame): DataFrame = {
+    val probe = names.limit(MaxFuzzyDistinctNames.toInt + 1).count()
+    require(probe <= MaxFuzzyDistinctNames,
+      s"fuzzy funnel: > $MaxFuzzyDistinctNames distinct names — the D² " +
+        "levenshtein table would not broadcast; an open-vocabulary name " +
+        "column belongs to the banded MinHash/SimHash near-dup family " +
+        "(graft.operators.Dedup) instead")
     names.toDF("name_x").crossJoin(names.toDF("name_y"))
       .withColumn("d", levenshtein(col("name_x"), col("name_y")))
+  }
 
   /** Edit-distance near-duplicate part names, blocked by (brand, size):
     * candidate pairs only within a block, verified by levenshtein <= 5.
@@ -191,7 +208,14 @@ object Relational4 {
     * map-only broadcast join; levenshtein runs D² times total. Exact for
     * any data (pure algebraic regrouping — the oracle SQL is unchanged);
     * fast whenever the name column has duplicates, which is what "near-
-    * duplicate corpus" means. */
+    * duplicate corpus" means.
+    *
+    * Side effect (round-11 advisor item): `localCheckpoint(true)` makes
+    * CONSTRUCTION of this DataFrame eagerly execute the two corpus
+    * scan+agg passes and truncates their lineage — the result is not
+    * recomputable after executor loss, acceptable for a batch report
+    * whose caller re-invokes on failure. Use eager persist+count instead
+    * if recomputability under executor loss ever matters. */
   def qFuzzyBest(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand", "p_size")
     // (1) per-(block, name) profile: cnt, min key k1, second-min key k2.

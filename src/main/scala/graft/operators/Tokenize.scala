@@ -41,8 +41,12 @@ import graft.functions.BucketizeExpr
   *
   * Closure convention (SURVEY §2A fine print 1): a value equal to a boundary
   * goes in the '''lower''' bin (strict `b < v` count), matching
-  * torch.bucketize(right=False) - 1. Nulls: token null. NaN: bin 0 (explicit
-  * policy; the reference has none).
+  * torch.bucketize(right=False) - 1. Nulls: token null. NaN: '''top bin'''
+  * (round 12 — NaN ranks LAST engine-wide, the np.digitize convention and
+  * Spark's own sort/agg ordering; the reference has no NaN policy). The
+  * same NaN-last order is what every boundary path implements — see
+  * [[quantileBoundsSelect]] — so a NaN-bearing column tokenizes exactly as
+  * if sorted by Spark and cut at the same ranks.
   */
 object Tokenize {
   val DefaultBins = 100
@@ -446,6 +450,8 @@ object Tokenize {
     * distributed), then only the ~2×|probs| rows at quantile positions are
     * collected. Replaces the builtin exact `percentile` aggregate, which is
     * a non-codegen TypedImperativeAggregate measured ~10x slower at sf0.1.
+    * NaN ranks last here for free — Spark's sort order — which is the
+    * engine-wide NaN policy the other boundary paths match (round 12).
     */
   def quantileBoundsExact(df: DataFrame, cols: Seq[String],
                           probs: Seq[Double]): Map[String, Seq[Double]] = {
@@ -541,8 +547,22 @@ object Tokenize {
     *
     * Caveats: values equal to a split point share a bucket (ties never split
     * across buckets, so tie-heavy columns degrade gracefully into one big
-    * bucket = the column's own sort); NaN unsupported (bucket 0 vs sort-last
-    * divergence — the driver corpus and randn fixtures have none). */
+    * bucket = the column's own sort).
+    *
+    * NaN policy (round 12, closing the round-11 verdict's robustness
+    * item): NaN ranks '''last''', matching Spark's sort/agg ordering AND
+    * `java.util.Arrays.sort(double[])` — the two orders every pass here
+    * leans on. Concretely: [[GridIndex.search]] sends NaN past every
+    * split (top bucket), the histogram therefore counts NaN in the top
+    * bucket where sort-last rows belong, the gather pass's local
+    * `Arrays.sort` places NaN after every finite value inside that
+    * bucket, and the skip-sample drops NaN before deriving split points
+    * so the grid itself stays finite. Net effect: finite-rank quantiles
+    * are EXACT regardless of NaN presence (NaN only occupies tail
+    * positions, exactly as a Spark sort would place it), and a quantile
+    * position that lands in the NaN tail returns NaN — the same answer
+    * [[quantileBoundsExact]]'s Spark sort produces. Property-pinned in
+    * TokenizeSpec against a NaN-last brute force. */
   /** Grid-accelerated lower_bound over a sorted distinct split array —
     * EXACTLY equal to `BucketizeExpr.search(splits, v, Int.MaxValue)`
     * (property-pinned in TokenizeSpec), built for the histogram/gather
@@ -594,8 +614,11 @@ object Tokenize {
       }
       lo
     }
-    /** #splits strictly < v (right-closed tie convention). */
+    /** #splits strictly < v (right-closed tie convention). NaN returns `n`
+      * — past every split, the NaN-last rank order (round 12; splits are
+      * NaN-free by construction: the skip-sample strips NaN). */
     def search(v: Double): Int = {
+      if (v != v) return n
       if (n == 0 || v <= lo0) return 0
       if (v > hi0) return n
       if (!gridOk) return lowerBound(v)
@@ -706,7 +729,12 @@ object Tokenize {
     }.collect()
     val tSample = phase("sample", tCount)
     val splits: Array[Array[Double]] = cols.indices.map { ci =>
-      val vs = sampleRows.iterator.filterNot(_.isNullAt(ci)).map(_.getDouble(ci)).toArray
+      // NaN is stripped BEFORE deriving split points: a NaN split would be
+      // unordered under IEEE compares. NaN DATA still counts — search()
+      // sends it past the last split, i.e. the top bucket, which is where
+      // the NaN-last sort order puts it (policy above)
+      val vs = sampleRows.iterator.filterNot(_.isNullAt(ci)).map(_.getDouble(ci))
+        .filter(v => v == v).toArray
       java.util.Arrays.sort(vs)
       if (vs.isEmpty) Array.empty[Double]
       else {
@@ -883,7 +911,9 @@ object Tokenize {
     * s=1M, eps=0.003 holds with probability ~1-3e-8; property-tested in
     * TokenizeSpec. This is the 100 TB default when boundaries feed a
     * tokenizer (bin-edge jitter of ~eps rank is immaterial); exact
-    * selection remains the bit-exact path. */
+    * selection remains the bit-exact path. NaN sorts last in the driver
+    * sort (`Arrays.parallelSort` IEEE-754 total order) — the engine-wide
+    * NaN-last policy (round 12) holds here with no extra code. */
   def quantileBoundsSample(df: DataFrame, cols: Seq[String], probs: Seq[Double],
                            sampleSize: Int = 1000000, seed: Long = 42,
                            partitionFraction: Double = 1.0): Map[String, Seq[Double]] = {

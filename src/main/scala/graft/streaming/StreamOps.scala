@@ -509,8 +509,13 @@ object StreamOps {
     * `min(stagedRows, pace)` understated this once the [[MaxPaceBatches]]
     * cap makes files larger than the pace — exactly the large-corpus
     * regime the state-partition sizing targets). Spec-pinned. */
-  private[graft] def perBatchRows(stagedRows: Long, stagedFiles: Int): Long =
+  private[graft] def perBatchRows(stagedRows: Long, stagedFiles: Int): Long = {
+    // ≥ 1 today only by construction of stagedEvents (parquet always writes
+    // at least one part file); a future staging change must surface as a
+    // clear error, not an ArithmeticException (round-11 advisor item)
+    require(stagedFiles > 0, s"perBatchRows: stagedFiles must be > 0, got $stagedFiles")
     (stagedRows + stagedFiles - 1) / stagedFiles
+  }
 
   /** Cached max event timestamp (µs) per input dir — see sentinel drain. */
   private val maxEventUs =

@@ -72,7 +72,12 @@ class VectorBucketizeSpec extends SparkSpec {
         firsts.iterator.map(f => Array(math.nextUp(f), 0.0, 0.0)) ++
         firsts.iterator.map(f => Array(math.nextDown(f), 1.0, 1.0)) ++
         Iterator(Array(Double.NegativeInfinity, 0.0, 0.0),
-          Array(Double.PositiveInfinity, 0.0, 0.0))
+          Array(Double.PositiveInfinity, 0.0, 0.0),
+          // round-11 advisor item: a NaN first field must take the
+          // full-range fallback — the grid's range tests are both false
+          // for NaN and an interior bracket would disagree with the
+          // full-range search
+          Array(Double.NaN, 0.5, 0.5))
       for (key <- probes) {
         val row = new GenericInternalRow(key.map(v => v: Any))
         val full = VectorBucketizeExpr.searchRow(flat, m, row, idx)

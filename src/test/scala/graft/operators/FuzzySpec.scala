@@ -91,4 +91,18 @@ class FuzzySpec extends SparkSpec {
         r.getInt(4), r.getLong(5), r.getLong(6)))
     assert(got == expected)
   }
+
+  test("open-vocabulary name column fails loudly, not with a broadcast OOM (round 12)") {
+    // round-11 advisor item: the funnel broadcasts a D² distance table, so
+    // D past the cap must be a clear error pointing at the banded family
+    val dir = java.nio.file.Files.createTempDirectory("fuzzyspec3").toString
+    spark.range(Relational4.MaxFuzzyDistinctNames + 10)
+      .selectExpr("id AS p_partkey", "concat('unique name ', id) AS p_name",
+        "'B1' AS p_brand", "'t' AS p_type", "1 AS p_size",
+        "1.0 AS p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val e = intercept[IllegalArgumentException](
+      Relational4.qFuzzyPairs(spark, dir).collect())
+    assert(e.getMessage.contains("MinHash"), e.getMessage)
+  }
 }

@@ -91,7 +91,7 @@ class TokenizeSpec extends SparkSpec {
     assert(nBins < 10, s"expected collapsed bins, got $nBins")
   }
 
-  test("null tokenizes to null; NaN to bin 0") {
+  test("null tokenizes to null; NaN to the top bin (NaN-last, round 12)") {
     val df = spark.range(100).select(col("id"),
       when(col("id") === 0, lit(Double.NaN))
         .when(col("id") === 1, lit(null).cast("double"))
@@ -99,8 +99,15 @@ class TokenizeSpec extends SparkSpec {
     val bounds = quantileBoundsExact(df.filter(col("id") >= 2), Seq("c"), innerProbs(100))
     val toks = df.select(col("id"), discretize(col("c"), bounds("c")).as("t"))
       .filter(col("id") <= 1).orderBy("id").collect()
-    assert(toks(0).getInt(1) == 0) // NaN
+    assert(toks(0).getInt(1) == 99) // NaN ranks past every boundary -> bins-1
     assert(toks(1).isNullAt(1)) // null
+    // both closure conventions, interpreted and codegen
+    assert(BucketizeExpr.search(Array(1.0, 2.0), Double.NaN, 10) == 2)
+    assert(BucketizeExpr.searchRightOpen(Array(1.0, 2.0), Double.NaN, 10) == 2)
+    val viaCodegen = df.filter(col("id") === 0)
+      .select(BucketizeExpr.bucketize(col("c"), Seq(1.0, 2.0), 10, rightClosed = false).as("t"))
+      .head().getInt(0)
+    assert(viaCodegen == 2)
   }
 
   test("rank and bucketize tokenizers agree on continuous data (>=99%)") {
@@ -226,7 +233,8 @@ class TokenizeSpec extends SparkSpec {
         splits.iterator.map(v => math.nextUp(v)) ++
         splits.iterator.map(v => math.nextDown(v)) ++
         Iterator(Double.NegativeInfinity, Double.PositiveInfinity,
-          -1e308, 1e308, 0.0, -0.0)
+          -1e308, 1e308, 0.0, -0.0,
+          Double.NaN) // round 12: both sides send NaN past every split
       for (v <- probes)
         assert(gx.search(v) == BucketizeExpr.search(splits, v, Int.MaxValue),
           s"mismatch at v=$v n=${splits.length}")
@@ -291,5 +299,52 @@ class TokenizeSpec extends SparkSpec {
       numBuckets = 16, smallCollect = 10000, maxCollect = 100000)
     val exact = quantileBoundsExact(df, Seq("a", "b"), probs)
     Seq("a", "b").foreach(c => assert(sel(c) == exact(c), s"mostly-null $c"))
+  }
+
+  test("NaN ranks last in every boundary path; finite quantiles stay exact (round 12)") {
+    import org.apache.spark.sql.functions._
+    // ~10% NaN, ~10% null, the rest a permuted continuous ramp — large
+    // enough that NaN occupies whole tail buckets in the selection pass
+    val df = spark.range(30000).select(col("id"),
+      when(pmod(col("id"), lit(10)) === 3, lit(Double.NaN))
+        .when(pmod(col("id"), lit(10)) === 7, lit(null).cast("double"))
+        .otherwise(pmod(col("id") * 2654435761L, lit(1000000)).cast("double")).as("v"))
+    val probs = (0 to 20).map(_.toDouble / 20)
+    // brute force: NaN-last total order (Arrays.sort) + the shared
+    // pos = p*(n-1) interpolation — NaN counts as a (tail) value
+    val vs = df.filter(col("v").isNotNull).select("v").collect().map(_.getDouble(0))
+    java.util.Arrays.sort(vs) // IEEE-754 total order: NaN last
+    val brute = probs.map { p =>
+      val pos = p * (vs.length - 1)
+      val l = vs(math.floor(pos).toInt)
+      val h = vs(math.ceil(pos).toInt)
+      l + (h - l) * (pos - math.floor(pos))
+    }
+    def sameSeq(a: Seq[Double], b: Seq[Double], label: String): Unit = {
+      assert(a.size == b.size, label)
+      a.zip(b).foreach { case (x, y) =>
+        assert(x == y || (x.isNaN && y.isNaN), s"$label: $x != $y")
+      }
+    }
+    // p=1.0 lands in the NaN tail -> NaN; p<=0.85 positions are finite and
+    // must be EXACT despite the NaN presence (the round-11 verdict's
+    // silent-wrong-bucket scenario: pre-fix, NaN fell in bucket 0 of the
+    // histogram and shifted every finite rank)
+    assert(brute.last.isNaN && !brute(17).isNaN)
+    sameSeq(quantileBoundsExact(df, Seq("v"), probs)("v"), brute, "sort path")
+    sameSeq(quantileBoundsSelect(df, Seq("v"), probs, numBuckets = 16,
+      smallCollect = 0)("v"), brute, "selection path (bucketed)")
+    sameSeq(quantileBoundsSelect(df, Seq("v"), probs)("v"), brute,
+      "selection path (small-collect)")
+    sameSeq(quantileBoundsSelect(df, Seq("v"), probs, numBuckets = 16,
+      smallCollect = 0, maxCollect = 0)("v"), brute,
+      "selection path (distributed gather fallback)")
+    // the sample path's full-keep regime (n <= sampleSize) is deterministic
+    // and shares the same NaN-last driver sort
+    sameSeq(quantileBoundsSample(df, Seq("v"), probs)("v"), brute, "sample path")
+    // all-NaN column: every quantile is NaN, no crash (degenerate but total)
+    val allNaN = spark.range(5000).select(lit(Double.NaN).as("v"))
+    quantileBoundsSelect(allNaN, Seq("v"), Seq(0.5), numBuckets = 8, smallCollect = 0)("v")
+      .foreach(q => assert(q.isNaN))
   }
 }

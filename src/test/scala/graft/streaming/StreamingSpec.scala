@@ -371,6 +371,10 @@ class StreamingSpec extends SparkSpec {
     assert(StreamOps.perBatchRows(1000L, 1) == 1000L)
     assert(StreamOps.perBatchRows(640000000L, 64) == 10000000L,
       "capped staging: real batches exceed the pace and the sizing must see it")
+    // round-11 advisor item: zero staged files is a staging bug and must
+    // surface as a clear error, not an ArithmeticException
+    val e = intercept[IllegalArgumentException](StreamOps.perBatchRows(1000L, 0))
+    assert(e.getMessage.contains("stagedFiles"))
   }
 
   test("paced session drain evicts sessions INCREMENTALLY (state plateaus below the corpus)") {
