@@ -195,6 +195,39 @@ object Relational3 {
       .orderBy("l_returnflag")
   }
 
+  /** The exact core of [[qApproxSketches]]' self-gate, surfaced as its own
+    * oracle-checkable query (round-12 verdict item 5). The sketch query
+    * stays rows-only — HLL/GK internals are engine-specific — but the
+    * gate it carries is built from two EXACT computations that any engine
+    * can reproduce: the two-level distinct count and the rank-selection
+    * percentile brackets. This query emits exactly those, so the exact
+    * half of the sketch machinery is hash-checked against DuckDB instead
+    * of only self-gated. Brackets are the discrete rank VALUES
+    * (floor(0.498·(n−1)) / ceil(0.502·(n−1)), 0-based) rather than the
+    * interpolated doubles the gate uses internally: a raw data value is
+    * byte-identical cross-engine where an interpolation is two different
+    * float rounding paths. */
+  def qSketchGateExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    def ranks(n: Long): Seq[Long] =
+      Seq(math.floor(0.498 * (n - 1)).toLong, math.ceil(0.502 * (n - 1)).toLong)
+    val sel = GroupedQuantiles.selectByRank(
+      li, "l_returnflag", "l_extendedprice", ranksOf = n => ranks(n).distinct)
+    val bounds = sel.toSeq.map { case (key, (n, byRank)) =>
+      val Seq(lo, hi) = ranks(n)
+      (key.asInstanceOf[String], n, byRank(lo), byRank(hi))
+    }.toDF("l_returnflag", "n", "bracket_lo", "bracket_hi")
+    val exact = li.select(col("l_returnflag"), col("l_partkey"))
+      .filter(col("l_partkey").isNotNull && col("l_returnflag").isNotNull)
+      .distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
+    exact.join(broadcast(bounds), "l_returnflag")
+      .select(col("l_returnflag"), col("n"), col("exact_parts"),
+        col("bracket_lo"), col("bracket_hi"))
+      .orderBy("l_returnflag")
+  }
+
   /** Exact per-group median via rank selection ([[GroupedQuantiles]]) —
     * NO per-group total sort: a 3-value partition key would funnel the
     * whole fact table into 3 single-task window sorts. Instead the two
@@ -250,7 +283,8 @@ object Relational3 {
     "q_stats_agg" -> qStatsAgg,
     "q_grouping_sets" -> qGroupingSets,
     "q_argmax" -> qArgMax,
-    "q_approx_sketches" -> qApproxSketches
+    "q_approx_sketches" -> qApproxSketches,
+    "q_sketch_gate_exact" -> qSketchGateExact
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -341,8 +375,29 @@ object Relational3 {
         |  CAST(arg_max(o_orderkey, o_totalprice * 1000000000.0 + o_orderkey) AS BIGINT) AS top_order,
         |  CAST(arg_min(o_orderkey, o_totalprice * 1000000000.0 + o_orderkey) AS BIGINT) AS bottom_order,
         |  MAX(o_totalprice) AS max_price
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // q_approx_sketches: intentionally no oracle (engine-specific sketches);
-    // rows-only check + ApproxSpec error bounds.
+    // rows-only check + ApproxSpec error bounds. Its exact gate core is
+    // hash-checked as q_sketch_gate_exact below.
+    "q_sketch_gate_exact" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag, CAST(MAX(cnt) AS BIGINT) AS n,
+        |    MAX(CASE WHEN rn = CAST(floor(0.498 * (cnt - 1)) AS BIGINT) + 1
+        |        THEN l_extendedprice END) AS bracket_lo,
+        |    MAX(CASE WHEN rn = CAST(ceil(0.502 * (cnt - 1)) AS BIGINT) + 1
+        |        THEN l_extendedprice END) AS bracket_hi
+        |  FROM r GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+        |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_returnflag IS NOT NULL
+        |  GROUP BY l_returnflag)
+        |SELECT d.l_returnflag, b.n, d.exact_parts, b.bracket_lo, b.bracket_hi
+        |FROM d JOIN b USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -18,4 +18,22 @@ class ApproxSpec extends SparkSpec {
       assert(r.getBoolean(5), s"median_within_bound false: $r")
     }
   }
+
+  test("q_sketch_gate_exact exposes the gate's exact core (round 12)") {
+    val gate = Relational3.qSketchGateExact(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(gate.nonEmpty)
+    // the exact columns agree with the sketch query's own embedded gate,
+    // and the brackets straddle its approx median (both derive from the
+    // same rank-selection machinery — the bracket VALUES at the discrete
+    // ranks bound the interpolated gate bounds by monotonicity)
+    Relational3.qApproxSketches(spark, sf).collect().foreach { r =>
+      val g = gate(r.getString(0))
+      assert(g.getLong(2) == r.getLong(2),
+        s"exact_parts mismatch: gate=$g sketch=$r")
+      assert(g.getDouble(3) <= g.getDouble(4), s"bracket inverted: $g")
+      assert(r.getDouble(3) >= g.getDouble(3) && r.getDouble(3) <= g.getDouble(4),
+        s"approx median outside exact bracket: sketch=$r gate=$g")
+    }
+  }
 }
