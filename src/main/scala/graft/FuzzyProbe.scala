@@ -42,9 +42,18 @@ object FuzzyProbe {
     spark.sparkContext.setLogLevel("WARN")
     require(new java.io.File(s"$dir/part.parquet").exists(),
       s"no 100x corpus at $dir - run ScaleProbe with SPARK_GRAFT_PROBE_REPLICAS=100 first")
+    ScaleProbe.warmDir(dir) // untimed page-cache warm, verdict r12 item 6
 
+    // round 12: the contract query is now Project(decode, Sort(narrow)) —
+    // strip the Sort but KEEP the decode projection, so nosort still does
+    // all the per-row compute of the full query minus the exchange+sort
     def noSort(df: DataFrame): DataFrame = df.queryExecution.analyzed match {
       case s: Sort => Bridge.ofRows(spark, s.child)
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.child match {
+          case s: Sort => Bridge.ofRows(spark, p.copy(child = s.child))
+          case c => sys.error(s"expected Project(Sort(...)), got Project(${c.nodeName})")
+        }
       case p => sys.error(s"expected a top-level Sort, got ${p.nodeName}")
     }
     def time(mk: () => DataFrame): Double = {
@@ -52,6 +61,10 @@ object FuzzyProbe {
       mk().write.format("noop").mode("overwrite").save()
       (System.nanoTime() - s0) / 1e9
     }
+    // (the round-12 A/B also timed the ordering at 256/1024-partition
+    // range sorts: indistinguishable from the 32-partition plan in a clean
+    // pass — spill depth is not the wall, shuffle volume is, which is what
+    // motivated the narrow dictionary-coded sort row now in the query)
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "full" -> (() => SparkEntry.queries("q_fuzzy_pairs")(spark, dir)),
       "nosort" -> (() => noSort(SparkEntry.queries("q_fuzzy_pairs")(spark, dir))))
@@ -63,7 +76,9 @@ object FuzzyProbe {
     }
     val f = best("full"); val n = best("nosort")
     println(f"[fuzzyprobe] min full=$f%.2fs nosort=$n%.2fs sortShare=${100 * (f - n) / f}%.0f%%")
-    println(s"""{"probe":"fuzzy-pairs-100x","full_s":$f,"nosort_s":$n}""")
+    val extra = best.toSeq.filterNot(kv => kv._1 == "full" || kv._1 == "nosort")
+      .sortBy(_._1).map { case (k, v) => f""","$k%s_s":$v%.2f""" }.mkString
+    println(s"""{"probe":"fuzzy-pairs-100x","full_s":$f,"nosort_s":$n$extra}""")
     spark.stop()
   }
 }

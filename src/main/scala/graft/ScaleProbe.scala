@@ -106,6 +106,7 @@ object ScaleProbe {
     "q_having", "q_distinct_agg", "q_stats_agg", "q_conditional_agg",
     "q_collect_list", "q_mode_agg", "q_argmax", "q_typed_agg",
     "q_group_median", "q_percentile_disc", "q_approx_sketches",
+    "q_sketch_gate_exact",
     "q_grouping_sets", "q_rollup", "q_cube", "q_pivot", "q_unpivot",
     "q_join_star", "q_semi_join", "q_anti_join", "q_outer_join",
     "q_cross_join", "q_lateral_join", "q_asof_join", "q_range_join",
@@ -152,6 +153,12 @@ object ScaleProbe {
     // lineitem is written LAST overall — the generation sentinel; a probe
     // dir from before the TPC-H extension regenerates in full.
     if (!new java.io.File(s"$probe/$XN/lineitem.parquet").exists()) generate(spark, src, probe)
+    // Untimed page-cache warm (round-12 verdict item 6): pass 1 of a cold
+    // window burned 60–96 s per heavy query on first-touch reads of the
+    // corpus — min-of-passes absorbed it, but it cost ~half the probe's
+    // wall and made pass-1 numbers meaningless. One sequential read of
+    // both corpus dirs before timing starts.
+    Seq(s"$probe/x1", s"$probe/$XN").foreach(warmDir)
 
     // A query may legitimately refuse a scale (e.g. q_quantile_bounds_sample
     // `require`s n <= 1M — its hash-oracle regime — and x10 lineitem is 6M):
@@ -209,6 +216,21 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     println(s"""{"probe":"contract-10x","replicas":$Replicas,"queries":$json,"failed":$failJson}""")
     spark.stop()
+  }
+
+  /** Sequentially read every byte under `dir` so timed passes start from a
+    * warm page cache (probe hosts have RAM ≫ corpus; the first touch is
+    * the only cold one). Untimed by construction — called before the pass
+    * loop. */
+  private[graft] def warmDir(dir: String): Unit = {
+    val buf = new Array[Byte](1 << 20)
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(walk) }
+      else if (f.isFile) {
+        val in = new java.io.FileInputStream(f)
+        try { while (in.read(buf) >= 0) () } finally in.close()
+      }
+    walk(new java.io.File(dir))
   }
 
   /** Derive both corpora (documents + embeddings + events — the tables

@@ -384,6 +384,20 @@ class PlanSpec extends SparkSpec {
     // side must never cartesian
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
       s"distance table is a tiny cross join:\n$plan")
+    // round 12: the contract ORDER BY is ~80% of the 100× wall and scales
+    // with shuffle VOLUME — the sort row must stay the narrow
+    // dictionary-coded form (no strings through the exchange; names
+    // decode in the projection ABOVE the Sort)
+    // (executedPlan is an unexecuted AdaptiveSparkPlanExec here, so read
+    // the formatted detail sections instead of collecting SortExec nodes)
+    val sortInputs = plan.split("""\n\n""").toSeq
+      .filter(_.linesIterator.nextOption.exists(_.matches("""\(\d+\) Sort.*""")))
+      .flatMap(_.linesIterator.filter(_.trim.startsWith("Input")))
+    assert(sortInputs.nonEmpty, s"expected a Sort detail section:\n$plan")
+    sortInputs.foreach { in =>
+      assert(!in.contains("name"),
+        s"sort row must be string-free (dictionary-coded names), got: $in")
+    }
   }
 
   test("q_bucketed_join merge-joins co-located buckets with no pre-join exchange") {
