@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-12 verdict item 4: decompose `q_pagerank`'s 100× wall (judge-run
+  * 12.0 s ratio 7.5 — the last double-digit pure-compute row) and A/B the
+  * two iteration strategies over their native checkpoint layouts:
+  *
+  *  - `shj`   = src-partitioned checkpoint + per-round shuffle-hash joins +
+  *    the dst-aggregation exchange (the round-8..11 shape; scales to any
+  *    |V|);
+  *  - `bcast` = dst-partitioned checkpoint + broadcast contribution fan-out
+  *    + exchange-free aggregation (round 12; |V| must be broadcast-sized,
+  *    see `Graph.vertexBroadcastable` — 1.6 M nodes at 100×).
+  *
+  * Phases are timed separately: checkpoint build (once per strategy — the
+  * two layouts cannot coexist, ~12 GB deserialized each against a ~19 GB
+  * unified pool, so strategies run sequentially with an unpersist between,
+  * not round-robin interleaved) and N iterate+sort passes per strategy.
+  * Expects the 100× corpus at `probeDir/x100` (ScaleProbe generates it).
+  */
+object PagerankProbe {
+  def main(args: Array[String]): Unit = {
+    val probe = args.headOption.getOrElse("/root/repo/tmp/sfprobe100")
+    val dir = s"$probe/x100"
+    val passes = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    require(new java.io.File(s"$dir/lineitem.parquet").exists(),
+      s"no 100x corpus at $dir - run ScaleProbe with SPARK_GRAFT_PROBE_REPLICAS=100 first")
+    ScaleProbe.warmDir(dir)
+
+    def sec(f: => Unit): Double = {
+      val s0 = System.nanoTime(); f; (System.nanoTime() - s0) / 1e9
+    }
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (variant <- Seq("shj", "bcast")) {
+      val bcast = variant == "bcast"
+      var built: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        Long, Seq[org.apache.spark.rdd.RDD[_]]) = null
+      val tBuild = sec { built = operators.Graph.buildCheckpoint(spark, dir, bcast) }
+      val (e, d, n, rdds) = built
+      println(f"[pgprobe] $variant%-5s build   $tBuild%7.2fs  (|V|=$n)")
+      results(s"${variant}_build") = tBuild
+      val iters = (1 to passes).map { p =>
+        val t = sec {
+          operators.Graph.iterate(e, d, n, bcast)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[pgprobe] $variant%-5s pass=$p  $t%7.2fs")
+        t
+      }
+      results(s"${variant}_iter") = iters.min
+      rdds.foreach(_.unpersist(blocking = true))
+    }
+    val body = results.map { case (k, v) => f""""$k%s":$v%.2f""" }.mkString(",")
+    println(s"""{"probe":"pagerank-100x","passes":$passes,$body}""")
+    spark.stop()
+  }
+}

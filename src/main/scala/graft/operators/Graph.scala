@@ -43,7 +43,12 @@ import graft.Tables
   * the round's ONE exchange, map-side combined down to ≤ |V| long rows per
   * task. At cluster scale both checkpoints bucket by node id; the rank
   * frame is |V| rows — orders of magnitude smaller than the |E|-row edge
-  * list that dominates the join.
+  * list that dominates the join. When |V| itself is broadcast-sized
+  * (round 12, [[vertexBroadcastable]] — the common case: vertex sets are
+  * typically orders of magnitude smaller than edge sets), the checkpoint
+  * partitions by dst instead and each round runs with ZERO shuffle
+  * exchanges: broadcast contribution fan-out + an aggregation that
+  * inherits the checkpoint's dst-partitioning.
   */
 object Graph {
 
@@ -133,6 +138,31 @@ object Graph {
 
   private val TargetEdgesPerPartition = 1000000L
 
+  /** Whether the per-round contribution frame (|V| rows of two longs)
+    * should be BROADCAST instead of shuffle-hash-joined (round 12, verdict
+    * item 4). When it is, the edge checkpoint partitions by DST and every
+    * iteration becomes exchange-free: the fan-out is a map-side broadcast
+    * join streamed over the checkpoint in place, and the dst-aggregation's
+    * required distribution is already the checkpoint's partitioning — so
+    * the per-round shuffle of partially-combined (dst, c) rows disappears
+    * entirely (at 100× that exchange carried ~32 tasks × up-to-|V|
+    * combiner rows ≈ half the edge count per round). Broadcast is only
+    * sound while every executor can hold a |V|-row hashed relation:
+    * ~64 B/entry (dense long-key slot + 2-long UnsafeRow + headers),
+    * capped at 1/8 of the unified pool so the relation never crowds the
+    * join/aggregation working set, and at 64 M rows absolute (well under
+    * Spark's 512 M-row / 8 GB broadcast hard limits). Above that the
+    * src-partitioned shuffle-hash shape takes over — it scales to any |V|.
+    * vUpper is the customer+supplier footer row-count sum: every node is
+    * one customer or one supplier, so it bounds |V| with no job. Pure
+    * function of (rows, heap) — spec-pinned, re-invocations agree by
+    * construction (the [[edgeSerializedFor]] convention). */
+  private[graft] def vertexBroadcastable(vUpper: Long, maxHeapBytes: Long): Boolean = {
+    val estBytes = vUpper * 64L
+    val unified = ((maxHeapBytes - (300L << 20)) * 0.6).toLong
+    vUpper <= (64L << 20) && estBytes <= unified / 8
+  }
+
   /** Whether the edge checkpoint should store SERIALIZED blocks: true iff
     * the estimated deserialized footprint (~100 B per edge row: UnsafeRow
     * object + backing byte[] + array-slot headers around 24 payload bytes)
@@ -165,7 +195,7 @@ object Graph {
     * — and with it the previous "prior results are invalidated by
     * re-invocation" API landmine: returned frames now stay valid). */
   private val liveCkpt = scala.collection.concurrent.TrieMap
-    .empty[String, (DataFrame, DataFrame, Long, Seq[org.apache.spark.rdd.RDD[_]])]
+    .empty[String, (DataFrame, DataFrame, Long, Boolean, Seq[org.apache.spark.rdd.RDD[_]])]
 
   /** PageRank after [[PrRounds]] quantized power iterations. */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
@@ -182,47 +212,82 @@ object Graph {
     // materializations, Bridge.localCheckpointed preserves the clean
     // partitioning and the per-round joins consume both frames in place.
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val (eCkpt, degD, n) = liveCkpt.synchronized {
+    val (eCkpt, degD, n, bcast) = liveCkpt.synchronized {
       // drop entries left by a stopped context (round-8 advisor item);
       // the unpersist is best-effort — a dead context's blocks died with
       // its BlockManager
       graft.ModelState.evictStale(liveCkpt, spark)(
-        _._4.foreach(_.unpersist(blocking = false)))
-      val (e, d, nn, _) = liveCkpt.getOrElseUpdate(ckptKey, {
-        val prevCoalesce = spark.conf.get(coalesceKey)
-        try {
-          spark.conf.set(coalesceKey, "false")
-          // Storage format is FOOTPRINT-derived (see [[edgeSerializedFor]]):
-          // serialized blocks when the deserialized edge list would crowd
-          // the unified pool, the zero-copy deserialized form otherwise;
-          // the partition count follows the format (see
-          // [[edgePartitionsFor]]). The degree frame below stays
-          // deserialized: |V| rows.
-          val liRows = Tables.rowCount(spark, dir, "lineitem") // footer metadata, no job
-          val serialized = edgeSerializedFor(liRows, Runtime.getRuntime.maxMemory)
-          val parts = edgePartitionsFor(liRows,
-            spark.sparkContext.defaultParallelism, serialized)
-          val (e, eRdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(
-            edges(spark, dir).repartition(parts, col("src")), serialized)
-          // degrees read the checkpointed blocks (no exchange: the groupBy
-          // key IS the carried partitioning key), never the source join
-          val (d, dRdd) = org.apache.spark.sql.graft.Bridge
-            .localCheckpointed(e.groupBy("src").agg(count(lit(1)).as("deg")))
-          (e, d, dRdd.count(), Seq(eRdd, dRdd)) // |V|: one row per distinct src
-        } finally spark.conf.set(coalesceKey, prevCoalesce)
+        _._5.foreach(_.unpersist(blocking = false)))
+      val (e, d, nn, bc, _) = liveCkpt.getOrElseUpdate(ckptKey, {
+        val vUpper = Tables.rowCount(spark, dir, "customer") +
+          Tables.rowCount(spark, dir, "supplier") // footer metadata, no job
+        val bc = vertexBroadcastable(vUpper, Runtime.getRuntime.maxMemory)
+        val (e, d, nn, rdds) = buildCheckpoint(spark, dir, bc)
+        (e, d, nn, bc, rdds)
       })
-      (e, d, nn)
+      (e, d, nn, bc)
     }
-    iterate(eCkpt, degD, n)
+    iterate(eCkpt, degD, n, bcast)
+  }
+
+  /** Materialize the (edge checkpoint, degree frame, |V|) triple for one
+    * iteration strategy. Storage format is FOOTPRINT-derived (see
+    * [[edgeSerializedFor]]): serialized blocks when the deserialized edge
+    * list would crowd the unified pool, the zero-copy deserialized form
+    * otherwise; the partition count follows the format (see
+    * [[edgePartitionsFor]]). The iteration STRATEGY fixes the checkpoint's
+    * partitioning key (see [[vertexBroadcastable]]): dst under broadcast so
+    * every round's aggregation is exchange-free, src for the shuffle-hash
+    * shape. The degree frame stays deserialized (|V| rows): under
+    * src-partitioning its groupBy key IS the carried partitioning key (no
+    * exchange); under dst-partitioning the build pays ONE
+    * map-side-combined |V|-bounded exchange — a one-time cost the
+    * per-round savings repay [[PrRounds]]-fold. Split from [[qPagerank]]
+    * so PagerankProbe can A/B both strategies over their native layouts. */
+  private[graft] def buildCheckpoint(spark: SparkSession, dir: String, bcast: Boolean)
+      : (DataFrame, DataFrame, Long, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val liRows = Tables.rowCount(spark, dir, "lineitem") // footer metadata, no job
+      val serialized = edgeSerializedFor(liRows, Runtime.getRuntime.maxMemory)
+      val parts = edgePartitionsFor(liRows,
+        spark.sparkContext.defaultParallelism, serialized)
+      val (e, eRdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(
+        edges(spark, dir).repartition(parts, col(if (bcast) "dst" else "src")), serialized)
+      val (d, dRdd) = org.apache.spark.sql.graft.Bridge
+        .localCheckpointed(e.groupBy("src").agg(count(lit(1)).as("deg")))
+      (e, d, dRdd.count(), Seq(eRdd, dRdd)) // |V|: one row per distinct src
+    } finally spark.conf.set(coalesceKey, prevCoalesce)
   }
 
   /** The [[PrRounds]] power iterations + final projection over an already
     * materialized (edge checkpoint, degree frame, |V|) triple. Split from
     * [[qPagerank]] so the spec can drive the SAME iteration over a
-    * checkpoint built with either storage format and assert result
-    * equality end-to-end (the format must be invisible to the values). */
-  private[graft] def iterate(eCkpt: DataFrame, degD: DataFrame, n: Long): DataFrame = {
+    * checkpoint built with either storage format or partitioning and
+    * assert result equality end-to-end (format and strategy must be
+    * invisible to the values — both paths compute the identical exact
+    * micro-unit long sums, associative under any row order).
+    *
+    * `bcast = false` (any |V|): the checkpoint carries
+    * hashpartitioning(src); each round shuffle-hash-joins the |V|-row
+    * contribution frame against it (edge side streamed in place, never
+    * sorted) and pays one map-side-combined exchange for the
+    * dst-aggregation.
+    *
+    * `bcast = true` (broadcast-sized |V|, see [[vertexBroadcastable]]):
+    * the checkpoint carries hashpartitioning(dst); the contribution frame
+    * broadcasts, the fan-out join is map-side over the checkpoint in
+    * place, and the dst-aggregation inherits the checkpoint's partitioning
+    * — ZERO shuffle exchanges per round (the round-12 probe's per-round
+    * decomposition put the combiner exchange at ~32 × |V| rows ≈ half the
+    * edge count; the one-time degree-build exchange repays it threefold at
+    * [[PrRounds]] = 3). */
+  private[graft] def iterate(eCkpt: DataFrame, degD: DataFrame, n: Long,
+      bcast: Boolean = false): DataFrame = {
     val teleport = TeleportNum / n
+    val deg = if (bcast) broadcast(degD) else degD.hint("shuffle_hash")
     var ranks = degD.select(col("src").as("node"), round(lit(1.0 / n), 6).as("rank"))
     for (_ <- 1 to PrRounds) {
       // Per-NODE contribution: round(rank/deg, 6) is identical for every
@@ -232,13 +297,17 @@ object Graph {
       // a .5 knife edge), so the fan-out carries an 8-byte long and the
       // aggregation is an exact primitive sum — associative, shuffle-order
       // independent, equal to the oracle's DECIMAL(38,6) sum as a rational.
-      val contrib = ranks.join(degD.hint("shuffle_hash"), col("node") === col("src"))
+      // (broadcast(degD) is one relation reused across all rounds:
+      // identical subplans, ReuseExchange collapses them.)
+      val contrib = ranks.join(deg, col("node") === col("src"))
         .select(col("node"),
           round(round(col("rank") / col("deg"), 6) * 1e6, 0).cast("long").as("c"))
-      // Fan-out: the edge checkpoint is the PROBE side of a co-partitioned
-      // shuffle-hash join — streamed in place, never sorted (an SMJ would
-      // re-sort 2|E| rows every round), never re-shuffled.
-      ranks = eCkpt.join(contrib.hint("shuffle_hash"), col("src") === col("node"))
+      // Fan-out: the edge checkpoint is the streamed/probe side either
+      // way — never sorted (an SMJ would re-sort 2|E| rows every round),
+      // never re-shuffled (the join matches the carried partitioning, or
+      // is map-side under broadcast).
+      val fanIn = if (bcast) broadcast(contrib) else contrib.hint("shuffle_hash")
+      ranks = eCkpt.join(fanIn, col("src") === col("node"))
         .groupBy(col("dst").as("node"))
         // k.toDouble / 1e6 is one correctly-rounded IEEE divide — the same
         // double DuckDB's CAST(DECIMAL(38,6) AS DOUBLE) produces for the

@@ -295,21 +295,25 @@ class PlanSpec extends SparkSpec {
 
   test("pagerank iterations: edge checkpoint streams in place — no sort, no re-shuffle (round 8)") {
     // The returned frame's plan is everything AFTER the two checkpoints:
-    // PrRounds iterations + the final projection. Per round the ONLY
-    // exchange is the dst-aggregation (plus tiny |V|-row shuffles AQE may
-    // introduce on the contribution side) and the final ORDER BY is one
-    // range exchange; the 2|E|-row edge scan must appear as a shuffle-hash
-    // join PROBE side — never sorted (an SMJ would re-sort the edge list
-    // every round), never exchanged (the checkpoint carries
-    // hashpartitioning(src)).
+    // PrRounds iterations + the final projection. At fixture scale |V| is
+    // broadcast-sized, so the round-12 strategy applies: every per-round
+    // join is a map-side BROADCAST join over the dst-partitioned
+    // checkpoint, the dst-aggregation inherits that partitioning, and the
+    // ONLY shuffle exchange in the whole plan is the final ORDER BY's
+    // range partitioning over |V| rows. The edge scan is never sorted (an
+    // SMJ would re-sort the edge list every round) and never exchanged.
     val df = operators.Graph.qPagerank(spark, sf)
     val plan = formatted(df)
-    assert(plan.contains("ShuffledHashJoin"),
-      s"per-round joins must be shuffle-hash (edge side streamed, not sorted):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-round joins must be broadcast at fixture |V|:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"an SMJ would re-sort the edge checkpoint every round:\n$plan")
-    // LogicalRDD scan of the edge checkpoint must not feed an Exchange:
-    // every "Scan ExistingRDD" occurrence is consumed by a join directly.
+    // tree-node form "Exchange (<id>)" only — the formatted detail section
+    // repeats each node as "(<id>) Exchange", which would double-count
+    val shuffles = plan.linesIterator.count(l =>
+      l.matches(""".*[+:]- Exchange \(\d+\).*"""))
+    assert(shuffles <= 1,
+      s"only the final ORDER BY may shuffle (rounds are exchange-free), got $shuffles:\n$plan")
     val sorts = plan.linesIterator.count(l => l.contains(") Sort") && !l.contains("SortAggregate"))
     assert(sorts <= 1, s"only the final ORDER BY may sort, got $sorts:\n$plan")
   }

@@ -31,7 +31,12 @@ class GraphSpec extends SparkSpec {
     // run at probe scale. Drive Graph.iterate (the production iteration)
     // over a checkpoint built serialized via the same Bridge call and
     // assert the ranks equal the production path's exactly: the storage
-    // format must be invisible to the values.
+    // format must be invisible to the values. Since round 12 this is ALSO
+    // the cross-STRATEGY equality pin: iterate here runs the
+    // src-partitioned shuffle-hash shape (bcast = false) while the
+    // production path at fixture |V| runs the broadcast/dst-partitioned
+    // shape — the exact micro-unit long sums are associative under any
+    // row order, so both must produce identical bytes.
     import org.apache.spark.sql.functions._
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
     val prev = spark.conf.get(coalesceKey)
@@ -51,5 +56,20 @@ class GraphSpec extends SparkSpec {
       assert(fromSer == production,
         "serialized-format checkpoint must produce identical ranks")
     } finally Seq(eRdd, dRdd).foreach(_.unpersist(blocking = true))
+  }
+
+  test("iteration strategy derives from the vertex-set footprint (round 12)") {
+    // Broadcast iff the |V|-row hashed relation (~64 B/entry) fits in 1/8
+    // of the unified pool AND under a 64 M-row absolute cap — the same
+    // pure-function convention as edgeSerializedFor, so re-invocations
+    // agree by construction.
+    val heap32g = 32L << 30
+    val unified = ((heap32g - (300L << 20)) * 0.6).toLong
+    assert(Graph.vertexBroadcastable(1600000L, heap32g), "100x |V|=1.6M at 32g")
+    assert(Graph.vertexBroadcastable(16000L, 8L << 30), "fixture |V| at dev 8g")
+    assert(!Graph.vertexBroadcastable(100000000L, heap32g), "100M rows > 64M cap")
+    assert(!Graph.vertexBroadcastable(unified / 8 / 64 + 1, heap32g),
+      "bytes estimate crossing pool/8 must flip to shuffle-hash")
+    assert(Graph.vertexBroadcastable(unified / 8 / 64, heap32g))
   }
 }
