@@ -1122,6 +1122,37 @@ object Tokenize {
         .groupBy("token")
         .agg(count(lit(1)).as("n"))
         .orderBy("token")
+    },
+    "q_tokenize_nan" -> { (spark, dir) =>
+      // The NaN-last policy in the ORACLE LANE (round 12 — the policy was
+      // property-tested but no contract query could reach it: the driver
+      // fixtures carry no NaN). NaN is injected DETERMINISTICALLY into the
+      // tokenized value ((l_orderkey + l_linenumber) % 7 = 3, ~14% of
+      // rows); boundaries derive from the CLEAN column — by design, and
+      // provably necessarily: DuckDB's own quantile_cont over NaN-bearing
+      // input is unreliable (measured: [1,2,3,NaN] at p=0.5 returns NaN
+      // even though rank 1.5 interpolates two finite values), which is
+      // exactly why the engine's boundary paths strip NaN before deriving
+      // split points. Both tokenize conventions are exercised: Spark's
+      // codegen `v != v` branch sends NaN to the top bin; DuckDB reaches
+      // the same bin through its NaN total order (NaN > every finite
+      // boundary, verified: 'nan' > 1e308 is TRUE), with NO special-casing
+      // in the oracle SQL — the two engines agree because both define
+      // NaN-last, which is the point of the policy. Output order is the
+      // raw full tiebreak (the q_tokenize_rank convention: a unique total
+      // order of CLEAN columns, sorted below the projection).
+      val li = graft.Tables.lineitem(spark, dir)
+      val bounds = cachedLineitemBounds(spark, dir, LineitemCols, DefaultBins)
+      val injected = when(
+        pmod(col("l_orderkey") + col("l_linenumber"), lit(7)) === 3,
+        lit(Double.NaN)).otherwise(col("l_extendedprice"))
+      li.orderBy((LineitemKeys ++ LineitemCols).map(col): _*)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          discretize(injected, bounds("l_extendedprice"), DefaultBins)
+            .as("price_token"),
+          BucketizeExpr.bucketize(injected.cast("double"),
+            bounds("l_extendedprice"), DefaultBins, rightClosed = false)
+            .as("price_token_ro"))
     }
   )
 
@@ -1191,7 +1222,17 @@ object Tokenize {
         s"""WITH b AS (SELECT list_transform(quantile_cont(l_extendedprice, ${probsSql(DefaultBins, inner = true)}), x -> round(x, 6)) AS bs FROM lineitem),
            |t AS (SELECT CAST(least(greatest(len(list_filter(b.bs, x -> l.l_extendedprice > x)), 0), 99) AS INTEGER) AS token
            |      FROM lineitem l CROSS JOIN b)
-           |SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY token ORDER BY token""".stripMargin
+           |SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY token ORDER BY token""".stripMargin,
+      // q_tokenize_nan: NO NaN special-casing here — DuckDB's NaN total
+      // order (NaN > every finite boundary) must land the top bin on its
+      // own, mirroring the Spark side's codegen NaN-last branch.
+      "q_tokenize_nan" ->
+        s"""WITH b AS (SELECT list_transform(quantile_cont(l_extendedprice, ${probsSql(DefaultBins, inner = true)}), x -> round(x, 6)) AS bs FROM lineitem)
+           |SELECT l.l_orderkey, l.l_linenumber,
+           |  CAST(least(greatest(len(list_filter(b.bs, x -> (CASE WHEN (l.l_orderkey + l.l_linenumber) % 7 = 3 THEN 'nan'::DOUBLE ELSE l.l_extendedprice END) > x)), 0), 99) AS INTEGER) AS price_token,
+           |  CAST(least(len(list_filter(b.bs, x -> (CASE WHEN (l.l_orderkey + l.l_linenumber) % 7 = 3 THEN 'nan'::DOUBLE ELSE l.l_extendedprice END) >= x)), 99) AS INTEGER) AS price_token_ro
+           |FROM lineitem l CROSS JOIN b
+           |ORDER BY $fullTiebreak""".stripMargin
     )
   }
 }

@@ -347,4 +347,33 @@ class TokenizeSpec extends SparkSpec {
     quantileBoundsSelect(allNaN, Seq("v"), Seq(0.5), numBuckets = 8, smallCollect = 0)("v")
       .foreach(q => assert(q.isNaN))
   }
+
+  test("q_tokenize_nan: injected NaN lands the top bin, clean rows match the bucketize query (round 12)") {
+    val nan = Tokenize.queries("q_tokenize_nan")(spark, sf).collect()
+    assert(nan.nonEmpty)
+    val (injected, clean) = nan.partition(r =>
+      (r.getLong(0) + r.getInt(1)) % 7 == 3)
+    assert(injected.nonEmpty, "the % 7 = 3 predicate must select rows")
+    // every injected row: both closure conventions send NaN to bins - 1
+    injected.foreach { r =>
+      assert(r.getInt(2) == 99 && r.getInt(3) == 99, s"NaN row not top-binned: $r")
+    }
+    // every clean row carries a token q_tokenize_bucketize /
+    // q_tokenize_rightopen assigns to the same key — (l_orderkey,
+    // l_linenumber) is NOT unique (round-8 note), so compare per-key token
+    // MULTISETS, which the key-dup rows must match exactly
+    def byKey(rows: Array[org.apache.spark.sql.Row], tok: Int) =
+      rows.groupBy(r => (r.getLong(0), r.getInt(1)))
+        .map { case (k, rs) => k -> rs.map(_.getInt(tok)).sorted.toSeq }
+    val rc = byKey(Tokenize.queries("q_tokenize_bucketize")(spark, sf).collect(), 3)
+    val ro = byKey(Tokenize.queries("q_tokenize_rightopen")(spark, sf).collect(), 3)
+    val cleanRc = byKey(clean, 2)
+    val cleanRo = byKey(clean, 3)
+    cleanRc.foreach { case (k, toks) =>
+      assert(rc(k) == toks, s"right-closed tokens diverged at $k: ${rc(k)} vs $toks")
+    }
+    cleanRo.foreach { case (k, toks) =>
+      assert(ro(k) == toks, s"right-open tokens diverged at $k: ${ro(k)} vs $toks")
+    }
+  }
 }
