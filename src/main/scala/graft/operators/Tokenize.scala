@@ -443,6 +443,34 @@ object Tokenize {
   /** Inner quantile probabilities 1/bins … (bins-1)/bins. */
   def innerProbs(bins: Int): Seq[Double] = (1 until bins).map(_.toDouble / bins)
 
+  /** ORDER BY keys ++ token columns with the tokens riding the sort
+    * exchange as ONE packed long, decoded in the projection ABOVE the Sort
+    * (round 12 — the q_fuzzy_pairs narrow-sort convention). An UnsafeRow
+    * spends a full 8-byte slot per field, so 4 token ints cost 32 B of
+    * sort row where one packed long costs 8: the 60 M-row contract sorts
+    * shrink ~56 → 32 B/row, and the comparator walks 3 fields, not 6.
+    *
+    * Order is IDENTICAL to `orderBy(keys ++ toks)` by construction: each
+    * token occupies its own 16-bit lane (disjoint bit ranges → lex order
+    * over lanes == numeric order of the packed long) as `token + 1`, with
+    * 0 reserved for null — 0 sorts below every real lane value, matching
+    * Spark's ASC NULLS FIRST. Preconditions: ≤ 4 token columns, each an
+    * integer in [0, 65533] (token ids; bins ≤ 100 everywhere here). */
+  private[operators] def orderByKeysThenPackedTokens(df: DataFrame,
+      keys: Seq[String], toks: Seq[String]): DataFrame = {
+    require(toks.nonEmpty && toks.size <= 4, s"1..4 token columns, got ${toks.size}")
+    val enc = toks.zipWithIndex.map { case (c, i) =>
+      shiftleft(coalesce(col(c).cast("long") + 1L, lit(0L)), 16 * (toks.size - 1 - i))
+    }.reduce(_ + _).as("__tok")
+    df.select(keys.map(col) :+ enc: _*)
+      .orderBy(keys.map(col) :+ col("__tok"): _*)
+      .select(keys.map(col) ++ toks.zipWithIndex.map { case (c, i) =>
+        val lane = shiftright(col("__tok"), 16 * (toks.size - 1 - i))
+          .bitwiseAND(lit(0xFFFFL))
+        when(lane === 0, lit(null)).otherwise((lane - 1).cast("int")).as(c)
+      }: _*)
+  }
+
   /** Phase 1, exact: distributed sort + select-by-position quantiles with
     * linear interpolation at pos = p*(n-1) — the same definition as
     * np.percentile / torch.quantile (etl_benchmark.py:74) and DuckDB
@@ -1089,8 +1117,8 @@ object Tokenize {
       val li = graft.Tables.lineitem(spark, dir)
       val bounds = cachedLineitemBounds(spark, dir, LineitemCols, DefaultBins)
       val tokens = LineitemCols.map(c => discretize(col(c), bounds(c), DefaultBins).as(s"${c}_token"))
-      li.select(LineitemKeys.map(col) ++ tokens: _*)
-        .orderBy((LineitemKeys ++ LineitemCols.map(c => s"${c}_token")).map(col): _*)
+      orderByKeysThenPackedTokens(li.select(LineitemKeys.map(col) ++ tokens: _*),
+        LineitemKeys, LineitemCols.map(c => s"${c}_token"))
     },
     "q_tokenize_rightopen" -> { (spark, dir) =>
       // the Numba kernel's closure (etl_benchmark_numba.py:47): a value
@@ -1101,8 +1129,8 @@ object Tokenize {
       val tokens = LineitemCols.map(c =>
         BucketizeExpr.bucketize(col(c).cast("double"), bounds(c), DefaultBins,
           rightClosed = false).as(s"${c}_token"))
-      li.select(LineitemKeys.map(col) ++ tokens: _*)
-        .orderBy((LineitemKeys ++ LineitemCols.map(c => s"${c}_token")).map(col): _*)
+      orderByKeysThenPackedTokens(li.select(LineitemKeys.map(col) ++ tokens: _*),
+        LineitemKeys, LineitemCols.map(c => s"${c}_token"))
     },
     "q_tokenize_qcut" -> { (spark, dir) =>
       // duplicates='drop' collapse on the low-cardinality measures
@@ -1110,8 +1138,9 @@ object Tokenize {
       val li = graft.Tables.lineitem(spark, dir)
       val edges = boundsCache.getOrElseUpdate((dir + "#qcut", LineitemCols, DefaultBins),
         qcutDropEdges(li, LineitemCols, DefaultBins))
-      tokenizeQcutDrop(li, LineitemCols, LineitemKeys, edgesOverride = edges)
-        .orderBy((LineitemKeys ++ LineitemCols.map(c => s"${c}_token")).map(col): _*)
+      orderByKeysThenPackedTokens(
+        tokenizeQcutDrop(li, LineitemCols, LineitemKeys, edgesOverride = edges),
+        LineitemKeys, LineitemCols.map(c => s"${c}_token"))
     },
     "q_token_histogram" -> { (spark, dir) =>
       // Downstream sanity aggregate: bin mass per token for one column —

@@ -118,6 +118,25 @@ class PlanSpec extends SparkSpec {
       "the selection rank tokenizer must never funnel through one partition")
   }
 
+  test("tokenize trio: token columns ride the contract sort as one packed long (round 12)") {
+    // The q_fuzzy_pairs narrow-sort convention: an UnsafeRow spends a full
+    // 8-byte slot per field, so the 4 token ints must be packed into one
+    // long below the Sort (sort row ~56 -> 32 B at 60 M rows) and decoded
+    // in the projection above it. The Sort's input schema must carry no
+    // *_token column.
+    for (q <- Seq("q_tokenize_bucketize", "q_tokenize_rightopen", "q_tokenize_qcut")) {
+      val plan = formatted(SparkEntry.queries(q)(spark, sf))
+      val sortInputs = plan.split("""\n\n""").toSeq
+        .filter(_.linesIterator.nextOption.exists(_.matches("""\(\d+\) Sort.*""")))
+        .flatMap(_.linesIterator.filter(_.trim.startsWith("Input")))
+      assert(sortInputs.nonEmpty, s"$q: expected a Sort detail section:\n$plan")
+      sortInputs.foreach { in =>
+        assert(!in.contains("_token"),
+          s"$q: sort row must carry the packed long, not token columns: $in")
+      }
+    }
+  }
+
   test("q_kmeans_step: map-only cell assignment, one combined aggregation") {
     val plan = formatted(operators.Similarity.qKmeansStep(spark, sf))
     // exchanges: the (cell, dim) aggregation shuffle + the output sort only —
