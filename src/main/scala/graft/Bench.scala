@@ -110,7 +110,28 @@ object Bench {
       // null, not 0.0, when q1 was skipped or errored: a zero denominator
       // would silently poison any total/q1_norm arithmetic downstream
       val q1n = best.get("q1_pricing_summary").map(v => r3(v).toString).getOrElse("null")
-      println(s"""{"metric":"detail","value":$total,"unit":"sec","q1_norm":$q1n,"queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}""")
+      val detail = s"""{"metric":"detail","value":$total,"unit":"sec","q1_norm":$q1n,"queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}"""
+      println(detail)
+      // Round-13 verdict item 5: the driver's BENCH_r{N}.json carries only a
+      // 2000-char stdout tail, which cuts the ~3 KB detail line mid-dict
+      // (~69 of 118 per-query entries survived in r12) — and 118 full query
+      // names cannot fit any encoding of a 2000-char line. So the FULL
+      // detail JSON is also written to a file in the repo on every emit
+      // (atomic: temp + rename; crash-safe at any kill point, same contract
+      // as the provisional stdout lines). The driver's end-of-round commit
+      // picks it up, making the round-over-round per-query diff a tracked
+      // artifact instead of stdout scrollback.
+      try {
+        val path = java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json"))
+        val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp, (detail + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] WARN detail-file write failed: $e")
+      }
       // "queries" on the compact line carries only the 5 slowest (contract
       // shape preserved, line stays ~400 bytes); the full map is one line up.
       val top5 = best.toSeq.sortBy(-_._2).take(5)

@@ -21,25 +21,40 @@ import org.apache.spark.sql.graft.Bridge
   *
   * Round-robin passes with per-variant min, the ScaleProbe convention
   * (this host's hypervisor-steal windows outlast back-to-back samples).
-  * Expects the 100× corpus already derived at `probeDir/x100`
-  * (ScaleProbe generates it).
+  * Each timed run prints its window's measured contention
+  * ([[HostMeter]] — round-13: loadavg + hypervisor steal%%, so the SURVEY
+  * row can cite its window instead of asserting "clean"). Expects the
+  * 100× corpus already derived at `probeDir/x100` (ScaleProbe generates
+  * it).
+  *
+  * Round-13 verdict item 2 — shuffle-compression codec A/B: the full
+  * query's wall is dominated by a ~20 GB volume-bound sort exchange, so
+  * `SPARK_GRAFT_FUZZY_CODECS=lz4,zstd` runs every pass once per codec
+  * (`spark.io.compression.codec` is a core setting fixed at context
+  * creation, so the probe RESTARTS the SparkContext on codec change —
+  * JIT'd classes and the static codegen cache survive the restart, only
+  * the ~1 s context bring-up is repaid, untimed). Keys become
+  * `full@zstd` etc.; with a single codec the plain `full`/`nosort` keys
+  * are kept for continuity with the round-12 records.
   */
 object FuzzyProbe {
   def main(args: Array[String]): Unit = {
     val probe = args.headOption.getOrElse("/root/repo/tmp/sfprobe100")
     val dir = s"$probe/x100"
     val passes = if (args.length > 1) args(1).toInt else 3
+    val codecs = sys.env.getOrElse("SPARK_GRAFT_FUZZY_CODECS", "lz4")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
-    val spark = SparkSession.builder()
+    def session(codec: String): SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.cleaner.periodicGC.interval", "60s")
+      .config("spark.io.compression.codec", codec)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     require(new java.io.File(s"$dir/part.parquet").exists(),
       s"no 100x corpus at $dir - run ScaleProbe with SPARK_GRAFT_PROBE_REPLICAS=100 first")
     ScaleProbe.warmDir(dir) // untimed page-cache warm, verdict r12 item 6
@@ -47,38 +62,52 @@ object FuzzyProbe {
     // round 12: the contract query is now Project(decode, Sort(narrow)) —
     // strip the Sort but KEEP the decode projection, so nosort still does
     // all the per-row compute of the full query minus the exchange+sort
-    def noSort(df: DataFrame): DataFrame = df.queryExecution.analyzed match {
-      case s: Sort => Bridge.ofRows(spark, s.child)
-      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-        p.child match {
-          case s: Sort => Bridge.ofRows(spark, p.copy(child = s.child))
-          case c => sys.error(s"expected Project(Sort(...)), got Project(${c.nodeName})")
-        }
-      case p => sys.error(s"expected a top-level Sort, got ${p.nodeName}")
-    }
-    def time(mk: () => DataFrame): Double = {
-      val s0 = System.nanoTime()
-      mk().write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - s0) / 1e9
-    }
+    def noSort(spark: SparkSession, df: DataFrame): DataFrame =
+      df.queryExecution.analyzed match {
+        case s: Sort => Bridge.ofRows(spark, s.child)
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.child match {
+            case s: Sort => Bridge.ofRows(spark, p.copy(child = s.child))
+            case c => sys.error(s"expected Project(Sort(...)), got Project(${c.nodeName})")
+          }
+        case p => sys.error(s"expected a top-level Sort, got ${p.nodeName}")
+      }
     // (the round-12 A/B also timed the ordering at 256/1024-partition
     // range sorts: indistinguishable from the 32-partition plan in a clean
     // pass — spill depth is not the wall, shuffle volume is, which is what
     // motivated the narrow dictionary-coded sort row now in the query)
-    val variants: Seq[(String, () => DataFrame)] = Seq(
-      "full" -> (() => SparkEntry.queries("q_fuzzy_pairs")(spark, dir)),
-      "nosort" -> (() => noSort(SparkEntry.queries("q_fuzzy_pairs")(spark, dir))))
-    val best = scala.collection.mutable.Map.empty[String, Double]
-    for (p <- 1 to passes; (name, mk) <- variants) {
-      val t = time(mk)
-      println(f"[fuzzyprobe] pass=$p $name%-7s $t%8.2fs")
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+    def key(variant: String, codec: String): String =
+      if (codecs.size <= 1) variant else s"$variant@$codec"
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var spark: SparkSession = null
+    var liveCodec: String = null
+    for (p <- 1 to passes; codec <- codecs) {
+      if (codec != liveCodec) {
+        if (spark != null) spark.stop()
+        spark = session(codec); liveCodec = codec
+        spark.sparkContext.setLogLevel("WARN")
+        require(spark.sparkContext.getConf.get("spark.io.compression.codec") == codec,
+          s"context did not pick up codec $codec — stale SparkContext reuse?")
+      }
+      val s = spark
+      val variants: Seq[(String, () => DataFrame)] = Seq(
+        "full" -> (() => SparkEntry.queries("q_fuzzy_pairs")(s, dir)),
+        "nosort" -> (() => noSort(s, SparkEntry.queries("q_fuzzy_pairs")(s, dir))))
+      for ((name, mk) <- variants) {
+        val (t, host) = HostMeter.timed {
+          mk().write.format("noop").mode("overwrite").save()
+        }
+        val k = key(name, codec)
+        println(f"[fuzzyprobe] pass=$p $k%-12s $t%8.2fs  $host")
+        best(k) = math.min(best.getOrElse(k, Double.MaxValue), t)
+      }
     }
-    val f = best("full"); val n = best("nosort")
+    // headline decomposition uses the FIRST codec (the shipped default)
+    val f = best(key("full", codecs.head)); val n = best(key("nosort", codecs.head))
     println(f"[fuzzyprobe] min full=$f%.2fs nosort=$n%.2fs sortShare=${100 * (f - n) / f}%.0f%%")
-    val extra = best.toSeq.filterNot(kv => kv._1 == "full" || kv._1 == "nosort")
-      .sortBy(_._1).map { case (k, v) => f""","$k%s_s":$v%.2f""" }.mkString
-    println(s"""{"probe":"fuzzy-pairs-100x","full_s":$f,"nosort_s":$n$extra}""")
+    val body = best.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k%s_s":$v%.2f""" }.mkString(",")
+    println(s"""{"probe":"fuzzy-pairs-100x","passes":$passes,$body}""")
     spark.stop()
   }
 }

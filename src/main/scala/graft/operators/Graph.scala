@@ -156,7 +156,21 @@ object Graph {
     * vUpper is the customer+supplier footer row-count sum: every node is
     * one customer or one supplier, so it bounds |V| with no job. Pure
     * function of (rows, heap) — spec-pinned, re-invocations agree by
-    * construction (the [[edgeSerializedFor]] convention). */
+    * construction (the [[edgeSerializedFor]] convention).
+    *
+    * CLUSTER CAVEAT (round-13 advisor): the caller passes the DRIVER
+    * JVM's maxMemory, which in local mode IS the single pool every role
+    * shares — the bound is exact there. On a real cluster the relation
+    * must fit BOTH the driver (broadcast(contrib) collects |V| rows to
+    * the driver before rebroadcast) and every EXECUTOR's unified pool,
+    * which are configured independently — a deployment with a small
+    * driver and large executors (or the reverse) should derive the bound
+    * from min(driver heap, spark.executor.memory × memory fraction)
+    * instead of Runtime.maxMemory alone. The conservative 1/8-of-pool and
+    * 64 M-row absolute caps keep a margin precisely because the two pools
+    * can differ; unlike [[edgeSerializedFor]] (where total-vs-total is
+    * the identical inequality on a cluster) this check is per-JVM, not
+    * aggregate. */
   private[graft] def vertexBroadcastable(vUpper: Long, maxHeapBytes: Long): Boolean = {
     val estBytes = vUpper * 64L
     val unified = ((maxHeapBytes - (300L << 20)) * 0.6).toLong

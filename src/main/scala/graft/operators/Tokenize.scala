@@ -422,22 +422,26 @@ object Tokenize {
       val keyCols = (col(c) +: tiebreak.map(col)).map(_.cast("double"))
       VectorBucketizeExpr.vbucketize(keyCols, thresholds(ci)).as(s"${c}_token")
     }
-    // The output sort runs BELOW the token projection, on the FULL raw
-    // tiebreak (round 8): `tiebreak` is a unique total order of raw
-    // columns, so sorting by it is fully deterministic, both engines can
-    // order by it (the oracle ORDER BY carries the raw columns even
-    // though it projects only keys + tokens), and sorting first means
-    // (a) the range partitioner's sampling pass executes the bare pruned
-    // scan instead of re-evaluating k VectorBucketize searches per row —
-    // at the 100x probe that sampling pass was a full extra 60 M-row
-    // token evaluation — and (b) tokens are computed exactly once,
-    // map-only, AFTER the exchange. (A first cut sorted by the
-    // non-measure prefix alone; the driver fixture's (l_orderkey,
-    // l_linenumber) is NOT unique — 60k rows / 45.8k distinct pairs — so
-    // the tie rows came back in a different order than the oracle's.
-    // The full tiebreak has uniqueness as an asserted precondition.)
+    // The output sort is ORDER BY keys ++ tokens-as-one-packed-long
+    // (round 13 — the same convention as the bucketize/rightopen/qcut
+    // trio, closing the round-12 verdict's top item). Round 8 sorted by
+    // the full raw tiebreak BELOW the token projection so the range
+    // partitioner's sampling pass read the bare scan; that kept the
+    // tokens single-evaluation but left a 6–7-slot ≈ 56 B sort row — at
+    // the 100× probe ~9 s of the query's 11.4 s wall was that sort. The
+    // packed form sorts 3 fields ≈ 32 B (keys + one long) at the price
+    // of the sampling pass re-evaluating the 4 binary searches, which is
+    // map-only codegen and far cheaper than the wider exchange.
+    //
+    // Order equivalence vs the oracle: (l_orderkey, l_linenumber) is NOT
+    // unique (60k rows / 45.8k distinct pairs), so keys + tokens is not
+    // a total order — but every tie under (keys, all tokens) is a row
+    // whose ENTIRE OUTPUT is identical (the output projects exactly keys
+    // + tokens), so any tie order hashes the same. The oracle ORDER BY
+    // carries the same keys + token aliases.
     val outKeys = tiebreak.filterNot(cols.contains)
-    df.orderBy(tiebreak.map(col): _*).select(outKeys.map(col) ++ tokens: _*)
+    orderByKeysThenPackedTokens(df.select(outKeys.map(col) ++ tokens: _*),
+      outKeys, cols.map(c => s"${c}_token"))
   }
 
   /** Inner quantile probabilities 1/bins … (bins-1)/bins. */
@@ -451,22 +455,27 @@ object Tokenize {
     * shrink ~56 → 32 B/row, and the comparator walks 3 fields, not 6.
     *
     * Order is IDENTICAL to `orderBy(keys ++ toks)` by construction: each
-    * token occupies its own 16-bit lane (disjoint bit ranges → lex order
+    * token occupies its own 15-bit lane (disjoint bit ranges → lex order
     * over lanes == numeric order of the packed long) as `token + 1`, with
     * 0 reserved for null — 0 sorts below every real lane value, matching
-    * Spark's ASC NULLS FIRST. Preconditions: ≤ 4 token columns, each an
-    * integer in [0, 65533] (token ids; bins ≤ 100 everywhere here). */
+    * Spark's ASC NULLS FIRST. Lanes are 15 bits (round-13 advisor fix),
+    * not 16, so even 4 fully-loaded lanes occupy bits 0–59 and the long's
+    * SIGN BIT is structurally unreachable — with 16-bit lanes a first-lane
+    * `token + 1 ≥ 32768` would have set bit 63 and silently inverted the
+    * global order. Preconditions: ≤ 4 token columns, each an integer in
+    * [0, 32766] so `token + 1` fits its 15-bit lane (token ids; bins ≤ 100
+    * everywhere here, so the ceiling is ~327× clear). */
   private[operators] def orderByKeysThenPackedTokens(df: DataFrame,
       keys: Seq[String], toks: Seq[String]): DataFrame = {
     require(toks.nonEmpty && toks.size <= 4, s"1..4 token columns, got ${toks.size}")
     val enc = toks.zipWithIndex.map { case (c, i) =>
-      shiftleft(coalesce(col(c).cast("long") + 1L, lit(0L)), 16 * (toks.size - 1 - i))
+      shiftleft(coalesce(col(c).cast("long") + 1L, lit(0L)), 15 * (toks.size - 1 - i))
     }.reduce(_ + _).as("__tok")
     df.select(keys.map(col) :+ enc: _*)
       .orderBy(keys.map(col) :+ col("__tok"): _*)
       .select(keys.map(col) ++ toks.zipWithIndex.map { case (c, i) =>
-        val lane = shiftright(col("__tok"), 16 * (toks.size - 1 - i))
-          .bitwiseAND(lit(0xFFFFL))
+        val lane = shiftright(col("__tok"), 15 * (toks.size - 1 - i))
+          .bitwiseAND(lit(0x7FFFL))
         when(lane === 0, lit(null)).otherwise((lane - 1).cast("int")).as(c)
       }: _*)
   }
@@ -1215,13 +1224,13 @@ object Tokenize {
          |FROM b, generate_series(1, ${DefaultBins + 1}) t(gs)
          |ORDER BY col_name, p_idx""".stripMargin
     Map(
-      // ORDER BY the full raw tiebreak (not keys + tokens): matches the
-      // Spark side's below-projection sort — a unique total order both
-      // engines sort identically (round 8; raw columns may appear in
-      // ORDER BY without being projected).
+      // ORDER BY keys + token aliases (round 13, previously the full raw
+      // tiebreak): matches the Spark side's packed-token sort. Ties under
+      // (keys, tokens) are rows whose entire projected output is
+      // identical, so both engines hash the same regardless of tie order.
       "q_tokenize_rank" ->
         s"""SELECT l_orderkey, l_linenumber, $tokenCols
-           |FROM lineitem ORDER BY $fullTiebreak""".stripMargin,
+           |FROM lineitem ORDER BY $tokenOrder""".stripMargin,
       "q_quantile_bounds" -> boundsSql,
       "q_quantile_bounds_sample" -> boundsSql,
       "q_tokenize_bucketize" ->

@@ -118,13 +118,17 @@ class PlanSpec extends SparkSpec {
       "the selection rank tokenizer must never funnel through one partition")
   }
 
-  test("tokenize trio: token columns ride the contract sort as one packed long (round 12)") {
+  test("tokenize quartet: token columns ride the contract sort as one packed long (round 12/13)") {
     // The q_fuzzy_pairs narrow-sort convention: an UnsafeRow spends a full
     // 8-byte slot per field, so the 4 token ints must be packed into one
     // long below the Sort (sort row ~56 -> 32 B at 60 M rows) and decoded
     // in the projection above it. The Sort's input schema must carry no
-    // *_token column.
-    for (q <- Seq("q_tokenize_bucketize", "q_tokenize_rightopen", "q_tokenize_qcut")) {
+    // *_token column and exactly 3 fields (2 keys + the packed long) —
+    // round 13 extends the pin from the trio to q_tokenize_rank, whose
+    // sort previously carried the 6-column raw tiebreak (~9 s of its
+    // 11.4 s 100x wall).
+    for (q <- Seq("q_tokenize_rank", "q_tokenize_bucketize",
+        "q_tokenize_rightopen", "q_tokenize_qcut")) {
       val plan = formatted(SparkEntry.queries(q)(spark, sf))
       val sortInputs = plan.split("""\n\n""").toSeq
         .filter(_.linesIterator.nextOption.exists(_.matches("""\(\d+\) Sort.*""")))
@@ -133,6 +137,8 @@ class PlanSpec extends SparkSpec {
       sortInputs.foreach { in =>
         assert(!in.contains("_token"),
           s"$q: sort row must carry the packed long, not token columns: $in")
+        assert(in.trim.startsWith("Input [3]"),
+          s"$q: sort row must be exactly (key, key, packed long): $in")
       }
     }
   }
