@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 verdict item 3: decompose `q_approx_sketches`' 100× wall
+  * (r12 judge window 9.33 s; its exact gate alone, surfaced as
+  * `q_sketch_gate_exact`, read 8.40 s) into its three terms, each timed
+  * separately in ONE round-robin window:
+  *
+  *  - `brackets` = the rank-selection percentile pre-pass
+  *    ([[operators.GroupedQuantiles.selectByRank]] with the sketch's
+  *    4-rank set — driver-blocking construction, the term shared with the
+  *    gate query);
+  *  - `distinct` = the two-level exact distinct count (shuffle of deduped
+  *    (flag, partkey) partials);
+  *  - `sketch`   = the HLL + GK aggregation pass alone (the only
+  *    genuinely approximate term);
+  *  - `full` / `gate` = the two contract queries as shipped.
+  *
+  * If brackets + distinct ≈ full − sketch, the sketch query's wall is the
+  * exact gate run a second time and the fix is sharing, not a faster GK.
+  * Usage: tools/run.sh graft.SketchProbe [sfDir] [passes].
+  */
+object SketchProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/tmp/sfprobe100/x100")
+    val passes = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ScaleProbe.warmDir(dir)
+    def li = Tables.lineitem(spark, dir)
+    val ps = Seq(0.498, 0.502)
+    val variants: Seq[(String, () => Unit)] = Seq(
+      "full" -> (() => SparkEntry.queries("q_approx_sketches")(spark, dir)
+        .write.format("noop").mode("overwrite").save()),
+      "gate" -> (() => SparkEntry.queries("q_sketch_gate_exact")(spark, dir)
+        .write.format("noop").mode("overwrite").save()),
+      "brackets" -> (() => {
+        operators.GroupedQuantiles.selectByRank(
+          li, "l_returnflag", "l_extendedprice",
+          ranksOf = n => ps.flatMap { p =>
+            val r = p * (n - 1)
+            Seq(math.floor(r).toLong, math.ceil(r).toLong)
+          }.distinct)
+        ()
+      }),
+      "distinct" -> (() => li
+        .select(col("l_returnflag"), col("l_partkey"))
+        .filter(col("l_partkey").isNotNull && col("l_returnflag").isNotNull)
+        .distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
+        .write.format("noop").mode("overwrite").save()),
+      "sketch" -> (() => li.groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+        .write.format("noop").mode("overwrite").save()))
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (p <- 1 to passes; (name, run) <- variants) {
+      val (t, host) = HostMeter.timed(run())
+      println(f"[sketch] pass=$p $name%-9s $t%7.2fs  $host")
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+    }
+    val body = best.map { case (k, v) => f""""$k%s_s":$v%.2f""" }.mkString(",")
+    println(s"""{"probe":"sketch-100x","passes":$passes,$body}""")
+    spark.stop()
+  }
+}

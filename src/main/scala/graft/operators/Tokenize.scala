@@ -440,8 +440,14 @@ object Tokenize {
     // + tokens), so any tie order hashes the same. The oracle ORDER BY
     // carries the same keys + token aliases.
     val outKeys = tiebreak.filterNot(cols.contains)
-    orderByKeysThenPackedTokens(df.select(outKeys.map(col) ++ tokens: _*),
-      outKeys, cols.map(c => s"${c}_token"))
+    // probe-only A/B hook (RankProbe): -Dgraft.rank.rawsort=true rebuilds
+    // the round-8..12 shape (raw-tiebreak sort below the token projection)
+    // so the two sort shapes can be timed in ONE window at 100×
+    if (java.lang.Boolean.getBoolean("graft.rank.rawsort"))
+      df.orderBy(tiebreak.map(col): _*).select(outKeys.map(col) ++ tokens: _*)
+    else
+      orderByKeysThenPackedTokens(df.select(outKeys.map(col) ++ tokens: _*),
+        outKeys, cols.map(c => s"${c}_token"))
   }
 
   /** Inner quantile probabilities 1/bins … (bins-1)/bins. */
