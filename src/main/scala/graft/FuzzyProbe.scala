@@ -42,7 +42,9 @@ object FuzzyProbe {
     val probe = args.headOption.getOrElse("/root/repo/tmp/sfprobe100")
     val dir = s"$probe/x100"
     val passes = if (args.length > 1) args(1).toInt else 3
-    val codecs = sys.env.getOrElse("SPARK_GRAFT_FUZZY_CODECS", "lz4")
+    // default zstd = the shipped session standard (adopted after this
+    // probe's round-13 lz4-vs-zstd window; see Bench.scala)
+    val codecs = sys.env.getOrElse("SPARK_GRAFT_FUZZY_CODECS", "zstd")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
