@@ -4,8 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev-only A/B: time q_session_window_live at a given dir across
   * state-partition counts (the 100x probe showed per-batch state work is
-  * single-threaded per partition under paced eviction). Usage:
-  * tools/run.sh graft.SessAB <sfDir> <parts>... */
+  * single-threaded per partition under paced eviction), and — round 13 —
+  * across the sum's STATE-ROW WIDTH (Decimal(38,6) 16-byte slow-path
+  * buffer vs exact-micros 8-byte long; bit-identical output, see
+  * StreamOps.SessionSumStateLong). Variants interleave round-robin inside
+  * ONE window with per-pass host telemetry, the FuzzyProbe discipline.
+  * Usage: tools/run.sh graft.SessAB <sfDir> <parts>...
+  *   SPARK_GRAFT_SESSION_SUM=decimal,long   variants to interleave
+  *   SPARK_GRAFT_SESSAB_PASSES=N            passes per (parts, variant) */
 object SessAB {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -17,6 +23,7 @@ object SessAB {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.io.compression.codec", "zstd") // round-13 A/B, see Bench
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
@@ -26,14 +33,27 @@ object SessAB {
     // optional pace override (rows per paced micro-batch; 0 = derived)
     sys.env.get("SPARK_GRAFT_PACE").foreach(p =>
       graft.streaming.StreamOps.PaceRowsPerBatch = p.toLong)
-    def once(p: Int): Double = {
+    // round-13 state-row-width A/B: "long" sums exact micros in an 8-byte
+    // long state slot instead of Decimal(38,6); comma-list interleaves
+    val variants = sys.env.getOrElse("SPARK_GRAFT_SESSION_SUM", "long")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SESSAB_PASSES", "2").toInt
+    def once(p: Int, v: String): (Double, String) = {
       graft.streaming.StreamOps.StreamStatePartitions = p
-      val t0 = System.nanoTime()
-      graft.streaming.StreamOps.qSessionWindowLive(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      graft.streaming.StreamOps.SessionSumStateLong = v == "long"
+      HostMeter.timed {
+        graft.streaming.StreamOps.qSessionWindowLive(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
-    parts.foreach(p => println(f"parts=$p pass1=${once(p)}%.2f pass2=${once(p)}%.2f"))
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (pass <- 1 to passes; p <- parts; v <- variants) {
+      val (t, host) = once(p, v)
+      val k = f"parts=$p sum=$v"
+      println(f"[sessab] pass=$pass $k%-22s $t%7.2fs  $host")
+      best(k) = math.min(best.getOrElse(k, Double.MaxValue), t)
+    }
+    best.foreach { case (k, t) => println(f"[sessab] min $k%-22s $t%7.2fs") }
     spark.stop()
   }
 }

@@ -349,6 +349,29 @@ class StreamingSpec extends SparkSpec {
     } finally StreamOps.PaceRowsPerBatch = prev
   }
 
+  test("session sum's long-micros state shape is bit-identical to the Decimal(38,6) shape") {
+    // Round-13 adoption (SessAB A/B, verdict item 6): the sum rides the
+    // state store as an 8-byte long of exact micros instead of a 16-byte
+    // slow-path Decimal(38,6). Both shapes round each value HALF_UP to 6
+    // decimals BEFORE summing, and the micros stay far under 2^53, so the
+    // final doubles must be bitwise equal on every row — pinned here
+    // end-to-end through the paced multi-batch drain, not just argued.
+    val prevPace = StreamOps.PaceRowsPerBatch
+    val prevSum = StreamOps.SessionSumStateLong
+    try {
+      StreamOps.PaceRowsPerBatch = 100
+      StreamOps.SessionSumStateLong = true
+      val longRows = StreamOps.qSessionWindowLive(spark, sf).collect().map(_.toSeq).toSeq
+      StreamOps.SessionSumStateLong = false
+      val decRows = StreamOps.qSessionWindowLive(spark, sf).collect().map(_.toSeq).toSeq
+      assert(longRows.size == decRows.size && longRows == decRows,
+        "long-micros and Decimal(38,6) session sums must match on every row")
+    } finally {
+      StreamOps.PaceRowsPerBatch = prevPace
+      StreamOps.SessionSumStateLong = prevSum
+    }
+  }
+
   test("pace and state-partition derivations are pinned (round 10)") {
     // pace = cores × measured per-core throughput × fixed batch cost —
     // the trigger-amortization sizing, floored at 1 Mi rows; 32 cores
