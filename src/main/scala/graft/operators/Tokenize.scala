@@ -840,13 +840,25 @@ object Tokenize {
         }
       }.map { case (b, ps) => b -> ps.map(_ - cum(b)).toArray }
     }.toArray
-    // membership structure for the gather pass: per col, sorted needed buckets
+    // membership structure for the gather pass: per col, sorted needed
+    // buckets PLUS an O(1) bucket→buffer-slot table (round 13, the rank
+    // path's CompositeGridIndex convention): the gather loop's
+    // per-value membership test was a binarySearch over the ~|probs|
+    // needed buckets — ~8 L1 probes per value; a direct nb(ci)-entry
+    // int table (−1 = not needed, ≈ 32 KB/col, L2-resident) makes it
+    // one read. Same bucket set, so exactness is untouched.
     val neededBuckets: Array[Array[Int]] =
       neededOffsets.map(_.keys.toArray.sorted)
+    val bucketSlot: Array[Array[Int]] = cols.indices.map { ci =>
+      val slot = Array.fill(nb(ci))(-1)
+      neededBuckets(ci).iterator.zipWithIndex.foreach { case (b, j) => slot(b) = j }
+      slot
+    }.toArray
     val candVolume: Long = cols.indices.map { ci =>
       neededBuckets(ci).map(b => hist(flatOff(ci) + b)).sum
     }.sum
     val neededBkB = sc.broadcast(neededBuckets)
+    val bucketSlotB = sc.broadcast(bucketSlot)
     // pass 2: gather ONLY candidate-bucket values (≈ |probs| x n/B per col)
     // as per-partition PRIMITIVE arrays keyed by (col, bucket) — round 10:
     // the per-row `flatMap { ... Iterator.single((ci, b, v)) }` form
@@ -858,6 +870,7 @@ object Tokenize {
     val cand = internal.mapPartitions { it =>
       val gx = gidxB.value
       val nbk = neededBkB.value
+      val slot = bucketSlotB.value
       val bufs = Array.tabulate(k)(ci =>
         Array.fill(nbk(ci).length)(new scala.collection.mutable.ArrayBuilder.ofDouble))
       while (it.hasNext) {
@@ -866,7 +879,7 @@ object Tokenize {
         while (ci < k) {
           if (!row.isNullAt(ci)) {
             val v = row.getDouble(ci)
-            val j = java.util.Arrays.binarySearch(nbk(ci), gx(ci).search(v))
+            val j = slot(ci)(gx(ci).search(v))
             if (j >= 0) bufs(ci)(j) += v
           }
           ci += 1
@@ -902,6 +915,7 @@ object Tokenize {
       }
     gidxB.destroy()
     neededBkB.destroy()
+    bucketSlotB.destroy()
     phase("gather", tHist)
     cols.indices.map { ci =>
       val cum = cums(ci)
