@@ -52,6 +52,18 @@ object Pipeline {
     }
     val dataPath = s"$workDir/massive_data.parquet"
     val tokenPath = s"$workDir/tokens.parquet"
+    // Execution-stack warmup, reported as its OWN stage (round 13): the
+    // first job a fresh JVM runs pays SQL-stack class loading + codegen
+    // bootstrap — ScanProbe measured a 10-row `range().count()` at 3.6 s
+    // where the warm second one takes ~5 ms — and that one-time
+    // environment cost was landing inside whichever pipeline stage ran
+    // the first job (scan, usually), overstating it ~4×. The reference's
+    // timings exclude the equivalent term by construction: its clock
+    // starts after `import torch`/pandas have already loaded and JIT'd
+    // their native stacks (etl_benchmark.py:1-8 imports precede every
+    // timestamp). No data is touched here; the cost stays visible in the
+    // stage report under its honest name instead of inflating "scan".
+    stage("jvm_warmup") { spark.range(16).count() }
     stage("generate") {
       writeIgnore(syntheticTable(spark, rows, cols), dataPath)
     }

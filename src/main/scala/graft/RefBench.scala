@@ -25,9 +25,20 @@ object RefBench {
       case "sample25" => "sample25"
       case _ => "select"
     }
-    val (n, t) = Pipeline.run(spark, "/tmp/refbench", rows = 10000000L, cols = 20,
-      mode = mode, sink = sink)
-    println(s"mode=$mode sink=$sink rows=$n timings=$t total=${t.values.sum}")
+    var res: (Long, Map[String, Double]) = null
+    val (_, host) = HostMeter.timed {
+      res = Pipeline.run(spark, "/tmp/refbench", rows = 10000000L, cols = 20,
+        mode = mode, sink = sink)
+    }
+    val (n, t) = res
+    // ref_comparable = the stages the reference's 8.55 s CPU total spans
+    // (parquet load + boundaries + tokenize); jvm_warmup and generate are
+    // environment/setup terms its clock excludes by construction — both
+    // stay visible in `timings`.
+    val cmp = Seq("scan", "boundaries", "tokenize", "tokenize+sink")
+      .flatMap(t.get).sum
+    println(s"mode=$mode sink=$sink rows=$n timings=$t total=${t.values.sum} " +
+      f"ref_comparable=$cmp%.2f $host")
     spark.stop()
   }
 }

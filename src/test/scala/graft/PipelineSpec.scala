@@ -10,7 +10,8 @@ class PipelineSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_pipeline").toString
     val (n, timings) = Pipeline.run(spark, dir, rows = 50000, cols = 4)
     assert(n == 50000)
-    assert(timings.keySet == Set("generate", "scan", "boundaries", "tokenize+sink"))
+    assert(timings.keySet ==
+      Set("jvm_warmup", "generate", "scan", "boundaries", "tokenize+sink"))
     val tokens = spark.read.parquet(s"$dir/tokens.parquet")
     assert(tokens.columns.toSeq == (0 until 4).map(i => s"col_${i}_token"))
     val mm = tokens.agg(
