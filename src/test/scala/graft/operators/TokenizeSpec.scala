@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.functions.BucketizeExpr
+import graft.functions.{BucketizeExpr, BucketizeGrid}
 
 class TokenizeSpec extends SparkSpec {
   import Tokenize._
@@ -238,6 +238,43 @@ class TokenizeSpec extends SparkSpec {
       for (v <- probes)
         assert(gx.search(v) == BucketizeExpr.search(splits, v, Int.MaxValue),
           s"mismatch at v=$v n=${splits.length}")
+    }
+  }
+
+  test("BucketizeGrid == plain search for BOTH closure conventions on every input shape (round 13)") {
+    // the grid-bracketed search that BucketizeExpr's interpreted AND
+    // generated paths now share must be bit-for-bit the plain full-range
+    // search — including on DUPLICATE-heavy bounds (unlike GridIndex's
+    // distinct splits, quantile edges keep duplicates unless dropped:
+    // a run of equal boundaries must never escape the widened bracket,
+    // which is what makes one grid serve upper_bound too)
+    val rnd = new scala.util.Random(13)
+    val boundSets: Seq[Array[Double]] = Seq(
+      Array.fill(99)(rnd.nextGaussian()).sorted,
+      Array.fill(8191)(rnd.nextGaussian()).sorted,
+      Array.fill(200)(rnd.nextInt(8).toDouble).sorted, // massive duplicate runs
+      Array(1.0, 2.0, 2.0, 3.5),
+      Array.fill(64)(7.5), // all-equal bounds (zero span -> full-range path)
+      Array(0.0),
+      Iterator.iterate(1.0)(math.nextUp).take(64).toArray, // ulp-adjacent
+      Array(0.0, Double.MinPositiveValue), // denormal span
+      (1 until 100).map(_ / 100.0).toArray)
+    for (bounds <- boundSets; bins <- Seq(2, 100, Int.MaxValue)) {
+      val g = new BucketizeGrid(bounds)
+      val probes = Iterator.fill(20000)(rnd.nextGaussian() * 3) ++
+        bounds.iterator ++
+        bounds.iterator.map(math.nextUp) ++
+        bounds.iterator.map(math.nextDown) ++
+        Iterator(Double.NegativeInfinity, Double.PositiveInfinity,
+          -1e308, 1e308, 0.0, -0.0, Double.NaN)
+      for (v <- probes) {
+        assert(BucketizeGrid.search(g, v, bins) ==
+          BucketizeExpr.search(bounds, v, bins),
+          s"closed mismatch v=$v n=${bounds.length} bins=$bins")
+        assert(BucketizeGrid.searchRightOpen(g, v, bins) ==
+          BucketizeExpr.searchRightOpen(bounds, v, bins),
+          s"open mismatch v=$v n=${bounds.length} bins=$bins")
+      }
     }
   }
 
