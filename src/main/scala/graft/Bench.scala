@@ -47,33 +47,7 @@ object Bench {
     val hardcapS = sys.env.getOrElse("SPARK_GRAFT_BENCH_HARDCAP_S", (budgetS * 3).toString).toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // The generated-class cache defaults to 100 entries — a 115-query
-      // round-robin evicts every query's classes between passes, so EVERY
-      // pass pays full Janino recompilation (measured: q_pagerank 1.6 s
-      // isolated vs 3.3-3.5 s with just three other queries co-resident;
-      // raising the cache restored 1.8 s and shaved most queries ~10-20%).
-      // 5000 entries ≈ few hundred MB of class metadata at worst — cheap
-      // next to rerunning the compiler thousands of times.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // zstd shuffle/spill compression (round-13 A/B, FuzzyProbe one-window:
-      // the volume-bound ~20 GB fuzzy sort exchange ran 34.6/36.9 s vs
-      // 41.9/61.2 s on lz4 across the two clean passes — ~24% faster sort
-      // term; non-volume-bound variants codec-neutral within band)
-      .config("spark.io.compression.codec", "zstd")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // A multi-hundred-query run in one JVM accumulates broadcast/shuffle
-      // blocks that ContextCleaner only reaps when the DRIVER GCs — and a
-      // large heap may not GC for the whole run (default periodicGC is
-      // 30 min). Unreaped blocks fill block-manager memory and inflate
-      // later queries (measured: the same query 3 s clean vs 39-150 s in an
-      // accumulated session). Reap every minute instead.
-      .config("spark.cleaner.periodicGC.interval", "60s")
-      .getOrCreate()
+    val spark = Sessions.local(cpus) // the runner-session standard lives in Sessions
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()

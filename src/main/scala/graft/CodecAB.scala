@@ -28,16 +28,8 @@ object CodecAB {
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
-    def session(codec: String): SparkSession = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.cleaner.periodicGC.interval", "60s")
-      .config("spark.io.compression.codec", codec)
-      .getOrCreate()
+    def session(codec: String): SparkSession =
+      Sessions.local(cpus, extra = Seq("spark.io.compression.codec" -> codec))
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (p <- 1 to passes; codec <- codecs) {
       val spark = session(codec)

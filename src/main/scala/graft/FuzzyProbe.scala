@@ -43,20 +43,18 @@ object FuzzyProbe {
     val dir = s"$probe/x100"
     val passes = if (args.length > 1) args(1).toInt else 3
     // default zstd = the shipped session standard (adopted after this
-    // probe's round-13 lz4-vs-zstd window; see Bench.scala)
+    // probe's round-13 lz4-vs-zstd window; see Sessions.scala)
     val codecs = sys.env.getOrElse("SPARK_GRAFT_FUZZY_CODECS", "zstd")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // guard the decomposition's invariants up front: an empty codec list
+    // or zero passes would otherwise surface as a NoSuchElementException
+    // at the headline line (and an NPE at the final stop)
+    require(codecs.nonEmpty, "SPARK_GRAFT_FUZZY_CODECS parsed to zero codecs")
+    require(passes > 0, s"passes must be positive, got $passes")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
-    def session(codec: String): SparkSession = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.cleaner.periodicGC.interval", "60s")
-      .config("spark.io.compression.codec", codec)
-      .getOrCreate()
+    def session(codec: String): SparkSession =
+      Sessions.local(cpus, extra = Seq("spark.io.compression.codec" -> codec))
     require(new java.io.File(s"$dir/part.parquet").exists(),
       s"no 100x corpus at $dir - run ScaleProbe with SPARK_GRAFT_PROBE_REPLICAS=100 first")
     ScaleProbe.warmDir(dir) // untimed page-cache warm, verdict r12 item 6

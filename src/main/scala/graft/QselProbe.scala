@@ -17,13 +17,7 @@ object QselProbe {
     System.setProperty("graft.qsel.verbose", "true")
     val data = args.headOption.getOrElse("/tmp/refbench/massive_data.parquet")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     val df = spark.read.parquet(data)
     val cols = df.columns.toSeq

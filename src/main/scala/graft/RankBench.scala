@@ -9,12 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object RankBench {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = Sessions.local("32")
     spark.sparkContext.setLogLevel("ERROR")
     val modes = if (args.nonEmpty) args.toSeq else Seq("select", "melt", "window")
     val cols = Seq("col_0", "col_1", "col_2", "col_3")

@@ -6,13 +6,7 @@ package graft
   * (Greenwald-Khanna) boundary path. */
 object RefBench {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.io.compression.codec", "zstd") // round-13 A/B, see Bench
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
     // "-nosink" suffix: reference-parity run — tokens materialize through
     // the noop sink, not a parquet write the reference never pays

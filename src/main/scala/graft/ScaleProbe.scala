@@ -133,19 +133,7 @@ object ScaleProbe {
     val probe = if (args.length > 1) args(1) else "/root/repo/tmp/sfprobe"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.io.compression.codec", "zstd") // round-13 A/B, see Bench
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Reap broadcast/shuffle blocks promptly: with a large heap the
-      // driver may never GC, so ContextCleaner never runs and accumulated
-      // blocks inflate later queries (see Bench.scala).
-      .config("spark.cleaner.periodicGC.interval", "60s")
-      .getOrCreate()
+    val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
     // optional extra args: probe only these queries (dev loop / family split)

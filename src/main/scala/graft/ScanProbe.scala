@@ -11,14 +11,7 @@ object ScanProbe {
     val data = args.headOption.getOrElse("/tmp/refbench/massive_data.parquet")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val t00 = System.nanoTime()
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.io.compression.codec", "zstd")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     def t(tag: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()

@@ -18,15 +18,7 @@ object SessAB {
     val parts = args.drop(1).map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.io.compression.codec", "zstd") // round-13 A/B, see Bench
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     graft.streaming.StreamOps.StateProviderClass =
       sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "")

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** THE session standard for every graft runner main (round 13): the
+  * standard used to live as ~16 hand-copied builder blocks, and adding a
+  * session-wide setting meant a hand sweep that missed files — the zstd
+  * adoption landed in 10 mains but not BenchSome/TimeQueries/RankBench/
+  * QselProbe, leaving the dev edit-loop timers on lz4 while Bench ran
+  * zstd: up to ~24% apart on volume-bound sort exchanges (FuzzyProbe's
+  * own codec A/B), i.e. exactly the cross-window confound the round-13
+  * codec work existed to eliminate. One builder makes the next
+  * session-wide standard a one-line change that cannot silently miss a
+  * harness.
+  *
+  * The standard itself, and why each line is on it:
+  *  - `shuffle.partitions = cpus` — local[N] has no executor fan-out;
+  *    more partitions than threads just adds scheduling overhead.
+  *  - `codegen.cache.maxEntries = 5000` — the generated-class cache
+  *    defaults to 100 entries; a 118-query round-robin evicts every
+  *    query's classes between passes so EVERY pass pays full Janino
+  *    recompilation (measured: q_pagerank 1.6 s isolated vs 3.3-3.5 s
+  *    with three co-resident queries; raising the cache restored 1.8 s
+  *    and shaved most queries 10-20%). ~Few hundred MB of class
+  *    metadata at worst — cheap next to re-running the compiler.
+  *  - `io.compression.codec = zstd` — round-13 one-window A/B: the
+  *    volume-bound ~20 GB fuzzy sort exchange ran 34.6/36.9 s (zstd)
+  *    vs 41.9/61.2 s (lz4); CodecAB measured the small-shuffle sf0.1
+  *    regime neutral within the host band, so the tighter codec is
+  *    free where it doesn't win.
+  *  - `session.timeZone = UTC` — deterministic cross-engine timestamp
+  *    hashing vs the DuckDB oracle.
+  *  - `legacy.parquet.nanosAsLong = true` — the testdata's INT64(nanos)
+  *    event timestamps read as long micros-convertible values.
+  *  - `cleaner.periodicGC.interval = 60s` — with a large heap the
+  *    driver may never GC, so ContextCleaner never reaps broadcast/
+  *    shuffle blocks and accumulated state inflates later queries.
+  *  - UI off — headless runner.
+  *
+  * `extra` appends/overrides per-harness settings (Verify's parquet
+  * timestamp type, the codec-A/B harnesses' per-codec override). The
+  * driver's own contract session is built by the DRIVER, not here —
+  * contract queries must stay correct under a default session; this
+  * standard is about comparable MEASUREMENT, not correctness. */
+object Sessions {
+  val Standard: Seq[(String, String)] = Seq(
+    "spark.ui.enabled" -> "false",
+    "spark.sql.codegen.cache.maxEntries" -> "5000",
+    "spark.io.compression.codec" -> "zstd",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.cleaner.periodicGC.interval" -> "60s")
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+            extra: Seq[(String, String)] = Nil): SparkSession = {
+    var b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+    (Standard ++ extra).foreach { case (k, v) => b = b.config(k, v) }
+    b.getOrCreate()
+  }
+}

@@ -620,61 +620,20 @@ object Tokenize {
     * widened ±1 cell so fp rounding at a cell edge can never exclude
     * the true index — exactness never depends on the grid. */
   private[operators] final class GridIndex(val splits: Array[Double]) extends Serializable {
-    private val n = splits.length
-    private val lo0 = if (n > 0) splits(0) else 0.0
-    private val hi0 = if (n > 0) splits(n - 1) else 0.0
-    private val G = math.max(1, math.min(1 << 16, 4 * n))
-    private val inv = if (n > 0 && hi0 > lo0) G / (hi0 - lo0) else 0.0
-    // round-10 advisor item, sharpened in round 11 by a failing composite
-    // property case: the ±1-cell widening assumes a cell edge's fp
-    // rounding error (≤ 0.5 ulp of the edge's magnitude) is under one
-    // cell. That fails when the whole split span is within a few ulps —
-    // cell width ≪ ulp — where one 0.5-ulp round-up crosses several
-    // cells and the bracket can exclude the true index. Use the grid only
-    // when a cell is at least one ulp wide; otherwise (and for denormal
-    // spans, where inv overflows to Infinity) fall back to the plain
-    // full-range lower_bound, which is what search() reduces to anyway.
-    private val gridOk = java.lang.Double.isFinite(inv) && inv > 0.0 &&
-      (hi0 - lo0) / G >= math.ulp(math.max(math.abs(lo0), math.abs(hi0)))
-    // bnd(g) = lower_bound(splits, lower edge of cell g); bnd(G) is pinned
-    // to n UNCONDITIONALLY (round-10 advisor item: computing it as
-    // lowerBound(lo0 + G*(hi0-lo0)/G) lets fp division land a few ulps
-    // below hi0 and exclude the true top index when the largest splits are
-    // ulp-adjacent — by definition it is the lower bound of the top edge)
-    private val bnd: Array[Int] = {
-      val b = new Array[Int](G + 1)
-      var g = 0
-      while (g < G) { b(g) = lowerBound(lo0 + g * (hi0 - lo0) / G); g += 1 }
-      b(G) = n
-      b
-    }
-    private def lowerBound(v: Double): Int = {
-      var lo = 0
-      var hi = n
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (splits(mid) < v) lo = mid + 1 else hi = mid
-      }
-      lo
-    }
-    /** #splits strictly < v (right-closed tie convention). NaN returns `n`
-      * — past every split, the NaN-last rank order (round 12; splits are
-      * NaN-free by construction: the skip-sample strips NaN). */
-    def search(v: Double): Int = {
-      if (v != v) return n
-      if (n == 0 || v <= lo0) return 0
-      if (v > hi0) return n
-      if (!gridOk) return lowerBound(v)
-      var gi = ((v - lo0) * inv).toInt
-      if (gi < 0) gi = 0 else if (gi > G - 1) gi = G - 1
-      var lo = bnd(if (gi == 0) 0 else gi - 1)
-      var hi = bnd(if (gi + 2 > G) G else gi + 2)
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (splits(mid) < v) lo = mid + 1 else hi = mid
-      }
-      lo
-    }
+    // Round 13: the grid machinery (G sizing, the round-11 ulp-wide-cell
+    // guard, the bnd table with its unconditionally-pinned top edge, the
+    // ±1-cell bracket) moved to graft.functions.BucketizeGrid so the
+    // tokenizer expression and the selection passes share ONE hardened
+    // implementation — the round-11 fp-edge fix class must never have to
+    // be applied twice. GridIndex keeps its call-site shape (unclamped
+    // lower_bound) as a thin delegate.
+    private val g = new graft.functions.BucketizeGrid(splits)
+    /** #splits strictly < v (right-closed tie convention). NaN returns
+      * `splits.length` — past every split, the NaN-last rank order
+      * (round 12; splits are NaN-free by construction: the skip-sample
+      * strips NaN). */
+    def search(v: Double): Int =
+      graft.functions.BucketizeGrid.search(g, v, Int.MaxValue)
   }
 
   /** Dev-only phase timing for the selection passes — prints ONLY under
