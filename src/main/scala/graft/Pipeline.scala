@@ -60,9 +60,10 @@ object Pipeline {
     // the first job (scan, usually), overstating it ~4×. The reference's
     // timings exclude the equivalent term by construction: its clock
     // starts after `import torch`/pandas have already loaded and JIT'd
-    // their native stacks (etl_benchmark.py:1-8 imports precede every
-    // timestamp). No data is touched here; the cost stays visible in the
-    // stage report under its honest name instead of inflating "scan".
+    // their native stacks (etl_benchmark.py:1-5 imports; the first
+    // timestamp is t0 inside cpu_etl_pandas, :26). No data is touched
+    // here; the cost stays visible in the stage report under its honest
+    // name instead of inflating "scan".
     stage("jvm_warmup") { spark.range(16).count() }
     stage("generate") {
       writeIgnore(syntheticTable(spark, rows, cols), dataPath)
