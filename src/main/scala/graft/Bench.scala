@@ -45,8 +45,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toDouble
     val hardcapS = sys.env.getOrElse("SPARK_GRAFT_BENCH_HARDCAP_S", (budgetS * 3).toString).toDouble
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
     val spark = Sessions.local(cpus) // the runner-session standard lives in Sessions
     spark.sparkContext.setLogLevel("WARN")
 
@@ -101,8 +100,13 @@ object Bench {
       // picks it up, making the round-over-round per-query diff a tracked
       // artifact instead of stdout scrollback.
       try {
-        val path = java.nio.file.Paths.get(sys.env.getOrElse(
-          "SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json"))
+        // default derives from the working directory (round-13 advisor
+        // item: a hardcoded /root/repo would silently write into a
+        // foreign checkout); the driver launches Bench from the repo
+        // root, so the artifact lands in the same place as before
+        val path = sys.env.get("SPARK_GRAFT_BENCH_DETAIL")
+          .map(java.nio.file.Paths.get(_))
+          .getOrElse(java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath)
         val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
         java.nio.file.Files.write(tmp, (detail + "\n").getBytes("UTF-8"))
         java.nio.file.Files.move(tmp, path,

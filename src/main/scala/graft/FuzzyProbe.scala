@@ -51,8 +51,7 @@ object FuzzyProbe {
     // at the headline line (and an NPE at the final stop)
     require(codecs.nonEmpty, "SPARK_GRAFT_FUZZY_CODECS parsed to zero codecs")
     require(passes > 0, s"passes must be positive, got $passes")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
     def session(codec: String): SparkSession =
       Sessions.local(cpus, extra = Seq("spark.io.compression.codec" -> codec))
     require(new java.io.File(s"$dir/part.parquet").exists(),

@@ -24,6 +24,43 @@ private[graft] object ModelState {
                    (onEvict: V => Unit): Unit =
     evictStaleByApp(m, spark.sparkContext.applicationId)(onEvict)
 
+  /** Cheap content fingerprint of the file tree under `path`: relative
+    * path + size + mtime of every regular file, in sorted order, hashed.
+    * Metadata-only (no data read — a stat walk over the handful of
+    * parquet part-files a table dir holds), so it is safe to evaluate on
+    * EVERY model-state lookup. Round-13 advisor item (medium): the
+    * sketch-gate cache was keyed on (applicationId, dir) alone, so
+    * regenerating the parquet under `dir` within one Spark application
+    * silently served stale gate state; validating against this
+    * fingerprint turns that into a rebuild. mtime+size is the same
+    * freshness signal Spark's own FileStatusCache / HadoopFsRelation
+    * invalidation trusts. Errors (dir vanished mid-walk, permission)
+    * degrade to a distinct "unfingerprinted" token — never a crash, and
+    * never equal to a real fingerprint, so the cache REBUILDS (fails
+    * safe-fresh) rather than serving who-knows-what. */
+  def dirFingerprint(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    try {
+      val root = Paths.get(path)
+      if (!Files.exists(root)) return "absent"
+      val sb = new StringBuilder
+      val stream = Files.walk(root)
+      try {
+        stream.filter(p => Files.isRegularFile(p)).sorted()
+          .forEach { p =>
+            sb.append(root.relativize(p).toString).append(':')
+              .append(Files.size(p)).append(':')
+              .append(Files.getLastModifiedTime(p).toMillis).append('\n')
+          }
+      } finally stream.close()
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(sb.toString))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        "unfingerprinted-" + System.nanoTime()
+    }
+  }
+
   /** Pure core (spec-pinned): drop entries whose key prefix is not
     * `appId|`; the eviction callback is best-effort. */
   private[graft] def evictStaleByApp[V](

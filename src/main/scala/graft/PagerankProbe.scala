@@ -24,8 +24,7 @@ object PagerankProbe {
     val probe = args.headOption.getOrElse("/root/repo/tmp/sfprobe100")
     val dir = s"$probe/x100"
     val passes = if (args.length > 1) args(1).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     require(new java.io.File(s"$dir/lineitem.parquet").exists(),

@@ -28,8 +28,7 @@ object RankProbe {
     System.setProperty("graft.qsel.verbose", "true")
     val dir = args.headOption.getOrElse("/root/repo/tmp/sfprobe100/x100")
     val passes = if (args.length > 1) args(1).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     ScaleProbe.warmDir(dir)

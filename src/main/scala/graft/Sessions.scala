@@ -51,11 +51,37 @@ object Sessions {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.cleaner.periodicGC.interval" -> "60s")
 
-  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+  /** Default thread count: min(host cores, 32) — round-13 advisor item:
+    * a literal "32" default meant every runner that did NOT hand-clamp
+    * (ScanProbe, RefBench, …) got local[32] + 32 shuffle partitions on a
+    * smaller host, oversubscribing it and skewing dev timings. The 32
+    * ceiling matches the driver's contract environment (local[32],
+    * 32 shuffle partitions) so big-host runs stay comparable. */
+  def defaultCpus: String =
+    math.min(Runtime.getRuntime.availableProcessors, 32).toString
+
+  /** `SPARK_GRAFT_MASTER` overrides the master URL (round-14: the
+    * multi-executor proof runs the same harnesses under
+    * `local-cluster[2,16,8192]` — 2 executor JVMs — without forking any
+    * runner). When the override is a local-cluster/standalone master the
+    * executor JVMs are NOT this JVM: they need the graft classes on their
+    * own classpath (`spark.executor.extraClassPath`; dev classpath is
+    * passed through by tools/run.sh convention) and enough heap for the
+    * 100× probe partitions. Plain `local[*]` ignores both settings. */
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus),
             extra: Seq[(String, String)] = Nil): SparkSession = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     var b = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    if (!master.startsWith("local[")) {
+      b = b.config("spark.executor.extraClassPath",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_CP",
+          "/root/repo/target/scala-2.13/classes"))
+      sys.env.get("SPARK_GRAFT_EXEC_MEM").foreach { m =>
+        b = b.config("spark.executor.memory", m)
+      }
+    }
     (Standard ++ extra).foreach { case (k, v) => b = b.config(k, v) }
     b.getOrCreate()
   }

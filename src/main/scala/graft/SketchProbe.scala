@@ -19,15 +19,25 @@ import org.apache.spark.sql.functions._
   *
   * If brackets + distinct ≈ full − sketch, the sketch query's wall is the
   * exact gate run a second time and the fix is sharing, not a faster GK.
+  *
+  * CACHING CAVEAT (round-13 advisor item): since the gate share landed
+  * (`Relational3.sketchGateState`), `full` and `gate` read per-(context,
+  * dir) cached gate state — pass 1's `full` (whichever runs first) pays
+  * the gate build, and every later `full`/`gate` sample times only the
+  * post-gate work. So min-of-passes on those two rows measures the
+  * STEADY STATE by design, and the original decomposition (gate terms vs
+  * sketch term) must be read from the `brackets`/`distinct`/`sketch`
+  * rows, which bypass the cache and re-run their term every pass. To
+  * decompose an UNCACHED `full`, restart the JVM per pass. Pass-1 raw
+  * samples are printed per pass, so the build cost is still visible in
+  * the output (`pass=1 full=…`).
   * Usage: tools/run.sh graft.SketchProbe [sfDir] [passes].
   */
 object SketchProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/tmp/sfprobe100/x100")
     val passes = if (args.length > 1) args(1).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
-    val spark = Sessions.local(cpus)
+    val spark = Sessions.local() // clamp now lives in Sessions.defaultCpus
     spark.sparkContext.setLogLevel("ERROR")
     ScaleProbe.warmDir(dir)
     def li = Tables.lineitem(spark, dir)

@@ -79,6 +79,25 @@ class BucketedCountSpec extends AnyFunSuite {
     assert(m2.isEmpty, "app-10 is NOT app-1's entry and must be evicted")
   }
 
+  test("dirFingerprint: stable on unchanged tree, moves on size/mtime, absent-safe (round-13 advisor)") {
+    import java.nio.file.{Files, Paths}
+    val d = Files.createTempDirectory("fpspec")
+    val f = d.resolve("part-0.parquet")
+    Files.writeString(f, "aaaa")
+    val fp1 = graft.ModelState.dirFingerprint(d.toString)
+    assert(fp1 == graft.ModelState.dirFingerprint(d.toString),
+      "fingerprint must be deterministic on an unchanged tree")
+    Files.writeString(f, "bbbbbbbb") // size changes
+    assert(fp1 != graft.ModelState.dirFingerprint(d.toString),
+      "size change must move the fingerprint")
+    val fp2 = graft.ModelState.dirFingerprint(d.toString)
+    Files.setLastModifiedTime(f, // same size, mtime-only change
+      java.nio.file.attribute.FileTime.fromMillis(1234567890000L))
+    assert(fp2 != graft.ModelState.dirFingerprint(d.toString),
+      "mtime-only change must move the fingerprint")
+    assert(graft.ModelState.dirFingerprint(d.resolve("gone").toString) == "absent")
+  }
+
   test("scratch sweep reclaims dead-pid roots, never the live process's") {
     val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     // a root whose pid cannot be alive (pid_max is < 2^22 on Linux)

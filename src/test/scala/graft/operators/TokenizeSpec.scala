@@ -413,4 +413,39 @@ class TokenizeSpec extends SparkSpec {
       assert(ro(k) == toks, s"right-open tokens diverged at $k: ${ro(k)} vs $toks")
     }
   }
+
+  test("packed-token sort equals the raw multi-column sort across the full lane range (incl. nulls)") {
+    // property pin for orderByKeysThenPackedTokens: random tokens spanning
+    // the ENTIRE legal lane range [0, 32766] (not just bins<=100) plus
+    // nulls must order identically to orderBy(keys ++ toks); full-row
+    // comparison, so tie reordering among identical rows cannot flake
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    def tok(): Option[Int] = if (r.nextInt(10) == 0) None else Some(r.nextInt(32767))
+    val rows = Seq.fill(4000)((r.nextInt(40), r.nextInt(15), tok(), tok(), tok(), tok()))
+    val df = rows.toDF("k1", "k2", "a_token", "b_token", "c_token", "d_token")
+    val keys = Seq("k1", "k2")
+    val toks = Seq("a_token", "b_token", "c_token", "d_token")
+    val packed = Tokenize.orderByKeysThenPackedTokens(df, keys, toks).collect().toSeq
+    val raw = df.select((keys ++ toks).map(col): _*)
+      .orderBy((keys ++ toks).map(col): _*).collect().toSeq
+    assert(packed == raw)
+  }
+
+  test("packed-token pack raises on out-of-range token ids (round-13 verdict item 2)") {
+    // the lanes combine with +, so an unchecked token >= 32767 would CARRY
+    // into the neighboring lane and silently mis-order; the pack must fail
+    // loudly instead. Both overflow directions.
+    import spark.implicits._
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    for (bad <- Seq(32767, -1)) {
+      val df = Seq((1, 5), (2, bad)).toDF("k", "t_token")
+      val e = intercept[Throwable] {
+        Tokenize.orderByKeysThenPackedTokens(df, Seq("k"), Seq("t_token")).collect()
+      }
+      assert(messages(e).exists(_.contains("packed-token lane overflow")),
+        s"token=$bad must trip the lane guard, got: ${messages(e).mkString(" | ")}")
+    }
+  }
 }
