@@ -101,8 +101,46 @@ object Graph {
   private[graft] def edgePartitions(spark: SparkSession, dir: String): Int = {
     val liRows = Tables.rowCount(spark, dir, "lineitem") // footer metadata, no job
     edgePartitionsFor(liRows, spark.sparkContext.defaultParallelism,
-      edgeSerializedFor(liRows, Runtime.getRuntime.maxMemory))
+      edgeSerializedForPool(liRows, clusterPools(spark)._1))
   }
+
+  /** The memory pools the footprint heuristics must respect, read from the
+    * context's block-manager registry ([[org.apache.spark.sql.graft.Bridge
+    * .memoryPools]]) instead of the driver JVM's Runtime.maxMemory
+    * (round-13 advisor caveat, made real by round-14's multi-executor
+    * runs — under `local-cluster[2,16,8192]` the driver's 32 g heap says
+    * nothing about the two 7 g executor pools that actually store the
+    * checkpoint):
+    *  - `aggregate` = sum of EXECUTOR pools — what the spread-out edge
+    *    checkpoint competes for ([[edgeSerializedForPool]] compares
+    *    total-vs-total);
+    *  - `minPerJvm` = min over driver AND executors — a broadcast relation
+    *    must fit each executor's pool AND the driver (which collects the
+    *    rows before rebroadcast), so the binding constraint is the
+    *    smallest JVM ([[vertexBroadcastablePool]]).
+    * In local mode the registry holds exactly the driver entry, whose
+    * registered pool is the same (heap − 300 MB) × 0.6 derivation the old
+    * code computed — both values collapse to it and behavior is unchanged.
+    * Split is a pure function ([[poolSplit]], spec-pinned); the fallback
+    * (registry briefly empty at startup) derives the driver pool locally,
+    * which under-estimates a cluster and thus fails CONSERVATIVE
+    * (serialized storage, no broadcast). */
+  private[graft] def clusterPools(spark: SparkSession): (Long, Long) =
+    poolSplit(org.apache.spark.sql.graft.Bridge.memoryPools(spark),
+      unifiedPoolOf(Runtime.getRuntime.maxMemory))
+
+  private[graft] def poolSplit(pools: Seq[(String, Long)], fallback: Long): (Long, Long) = {
+    val execs = pools.collect { case (id, m) if id != "driver" => m }
+    val driver = pools.collectFirst { case ("driver", m) => m }.getOrElse(fallback)
+    if (execs.isEmpty) (driver, driver)
+    else (execs.sum, math.min(driver, execs.min))
+  }
+
+  /** (heap − 300 MB reserved) × 0.6 — Spark's default unified-pool size for
+    * a JVM of `heapBytes`; the registered block-manager max is this same
+    * number, so heap-based spec pins and registry-based call sites agree. */
+  private[graft] def unifiedPoolOf(heapBytes: Long): Long =
+    ((heapBytes - (300L << 20)) * 0.6).toLong
 
   /** Edge-checkpoint partition count. In the memory-comfortable
     * (deserialized) regime the count is simply the cluster-parallelism
@@ -170,11 +208,19 @@ object Graph {
     * 64 M-row absolute caps keep a margin precisely because the two pools
     * can differ; unlike [[edgeSerializedFor]] (where total-vs-total is
     * the identical inequality on a cluster) this check is per-JVM, not
-    * aggregate. */
-  private[graft] def vertexBroadcastable(vUpper: Long, maxHeapBytes: Long): Boolean = {
+    * aggregate. Round 14: the caveat is retired — the call site now passes
+    * [[clusterPools]]' minPerJvm (min over driver and every registered
+    * executor pool) to [[vertexBroadcastablePool]]; this heap-based form
+    * remains as the local-mode spec pin. */
+  private[graft] def vertexBroadcastable(vUpper: Long, maxHeapBytes: Long): Boolean =
+    vertexBroadcastablePool(vUpper, unifiedPoolOf(maxHeapBytes))
+
+  /** Pool-based core: `minJvmPoolBytes` is the SMALLEST unified pool the
+    * hashed relation must fit (every executor, plus the driver that
+    * collects the rows before rebroadcast). */
+  private[graft] def vertexBroadcastablePool(vUpper: Long, minJvmPoolBytes: Long): Boolean = {
     val estBytes = vUpper * 64L
-    val unified = ((maxHeapBytes - (300L << 20)) * 0.6).toLong
-    vUpper <= (64L << 20) && estBytes <= unified / 8
+    vUpper <= (64L << 20) && estBytes <= minJvmPoolBytes / 8
   }
 
   /** Whether the edge checkpoint should store SERIALIZED blocks: true iff
@@ -191,11 +237,20 @@ object Graph {
     * "cluster"; a cluster deployment compares the same two totals in
     * aggregate (the checkpoint spreads across executors, so total bytes
     * vs summed executor pools is the identical inequality). Pure function
-    * of (rows, heap) — spec-pinned, re-invocations agree by construction. */
-  private[graft] def edgeSerializedFor(lineitemRows: Long, maxHeapBytes: Long): Boolean = {
+    * of (rows, heap) — spec-pinned, re-invocations agree by construction.
+    * Round 14: call sites pass [[clusterPools]]' aggregate executor pool
+    * to [[edgeSerializedForPool]] (the summed-pools inequality, now read
+    * from the block-manager registry); this heap-based form remains as
+    * the local-mode spec pin. */
+  private[graft] def edgeSerializedFor(lineitemRows: Long, maxHeapBytes: Long): Boolean =
+    edgeSerializedForPool(lineitemRows, unifiedPoolOf(maxHeapBytes))
+
+  /** Pool-based core: `aggregatePoolBytes` is the summed unified pools of
+    * the JVMs that store checkpoint blocks (executors; the driver in
+    * local mode). */
+  private[graft] def edgeSerializedForPool(lineitemRows: Long, aggregatePoolBytes: Long): Boolean = {
     val estDeserialized = 2 * lineitemRows * 100L // upper bound: 2|E| <= 2*|lineitem|
-    val unified = ((maxHeapBytes - (300L << 20)) * 0.6).toLong
-    estDeserialized > unified * 8 / 10
+    estDeserialized > aggregatePoolBytes * 8 / 10
   }
 
   /** Checkpointed (edge frame, degree frame, |V|) per (context, dir) —
@@ -235,7 +290,7 @@ object Graph {
       val (e, d, nn, bc, _) = liveCkpt.getOrElseUpdate(ckptKey, {
         val vUpper = Tables.rowCount(spark, dir, "customer") +
           Tables.rowCount(spark, dir, "supplier") // footer metadata, no job
-        val bc = vertexBroadcastable(vUpper, Runtime.getRuntime.maxMemory)
+        val bc = vertexBroadcastablePool(vUpper, clusterPools(spark)._2)
         val (e, d, nn, rdds) = buildCheckpoint(spark, dir, bc)
         (e, d, nn, bc, rdds)
       })
@@ -265,7 +320,7 @@ object Graph {
     try {
       spark.conf.set(coalesceKey, "false")
       val liRows = Tables.rowCount(spark, dir, "lineitem") // footer metadata, no job
-      val serialized = edgeSerializedFor(liRows, Runtime.getRuntime.maxMemory)
+      val serialized = edgeSerializedForPool(liRows, clusterPools(spark)._1)
       val parts = edgePartitionsFor(liRows,
         spark.sparkContext.defaultParallelism, serialized)
       val (e, eRdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(

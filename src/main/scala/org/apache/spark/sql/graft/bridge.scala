@@ -104,6 +104,23 @@ object Bridge {
     (org.apache.spark.sql.classic.Dataset.ofRows(spark, logical), rdd)
   }
 
+  /** (executorId, unified-pool bytes) for every block manager REGISTERED
+    * with this context — the driver plus each executor JVM. The reported
+    * max is what the JVM registered at startup (execution pool empty), i.e.
+    * ≈ (heap − 300 MB reserved) × memoryFraction — exactly the derivation
+    * graft's footprint heuristics used to re-compute from the DRIVER's
+    * Runtime.maxMemory, which is wrong the moment executors are separate
+    * JVMs with their own heaps (round-13 advisor caveat on
+    * `Graph.vertexBroadcastable`, made real by the round-14 multi-executor
+    * runs). Reading the registry instead means the heuristics see the
+    * actual per-JVM pools on ANY deployment: local (one driver entry),
+    * local-cluster, or a standalone/YARN/K8s cluster.
+    * `BlockManagerMaster.getMemoryStatus` is `private[spark]` — same
+    * public-bytecode technique as the rest of this bridge. */
+  def memoryPools(spark: org.apache.spark.sql.SparkSession): Seq[(String, Long)] =
+    org.apache.spark.SparkEnv.get.blockManager.master.getMemoryStatus.toSeq
+      .map { case (id, (max, _)) => (id.executorId, max) }
+
   /** Wrap an analyzed logical plan back into a DataFrame (classic
     * backend). Probe tooling only: lets FuzzyProbe time a contract query
     * with its top-level Sort (the contract's ORDER BY) stripped without

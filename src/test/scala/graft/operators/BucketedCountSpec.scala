@@ -79,6 +79,23 @@ class BucketedCountSpec extends AnyFunSuite {
     assert(m2.isEmpty, "app-10 is NOT app-1's entry and must be evicted")
   }
 
+  test("poolSplit: local collapses to the driver pool; cluster sums executors and takes the min JVM") {
+    // local mode: the registry holds exactly the driver entry — aggregate
+    // and min are both that pool (old Runtime.maxMemory behavior)
+    assert(Graph.poolSplit(Seq("driver" -> 100L), 7L) == (100L, 100L))
+    // registry briefly empty at startup: the fallback (driver-derived)
+    // stands in, which under-estimates a cluster -> conservative
+    assert(Graph.poolSplit(Nil, 7L) == (7L, 7L))
+    // cluster: aggregate = SUM of executor pools (what the spread-out
+    // checkpoint competes for); min = smallest of driver AND executors
+    // (what a broadcast relation must fit)
+    assert(Graph.poolSplit(
+      Seq("driver" -> 100L, "0" -> 40L, "1" -> 60L), 7L) == (100L, 40L))
+    // small driver binds the broadcast even when executors are large
+    assert(Graph.poolSplit(
+      Seq("driver" -> 10L, "0" -> 40L, "1" -> 60L), 7L) == (100L, 10L))
+  }
+
   test("dirFingerprint: stable on unchanged tree, moves on size/mtime, absent-safe (round-13 advisor)") {
     import java.nio.file.{Files, Paths}
     val d = Files.createTempDirectory("fpspec")
