@@ -23,9 +23,22 @@ import org.apache.spark.sql.functions._
   *    unigrams, inflates cross-doc Jaccard within a replica, and blows the
   *    candidate set up quadratically — a derivation artifact, not an
   *    engine property.)
-  *  - embeddings: replica r > 0 adds a small deterministic per-(row, dim)
-  *    perturbation, decorrelating exact equality while preserving the
-  *    vector distribution the LSH planes and IVF cells see.
+  *  - embeddings: replica r > 0 applies a deterministic per-replica SIGN
+  *    FLIP pattern (dim i negated iff murmur3(r, i) is odd) — the
+  *    embedding analog of the documents word-suffixing. A ±1 diagonal is
+  *    an ORTHOGONAL transform: within a replica every pairwise cosine is
+  *    preserved EXACTLY ((Dx)·(Dy) = x·y, norms unchanged), so the
+  *    near-dup structure and the per-replica LSH candidate rate mirror
+  *    the original corpus; across replicas the patterns differ in ~half
+  *    of 64 dims, so cross-replica cosines concentrate near 0 (~1/√64
+  *    std) and replicas do NOT form near-dup cliques. This replaced the
+  *    round-5..13 derivation (per-dim jitter plus a −0.03·r uniform
+  *    shift): at r ≈ 100 the shift term dominated every coordinate, all
+  *    high-r vectors collapsed toward the −1⃗ direction (mutual cosine
+  *    ≈ 1, one giant LSH bucket), and q_dedup_embedding's CORRECT output
+  *    became ~300 M derivation-artifact pairs — which is why its 100×
+  *    row was the table's one "—" (round-13 verdict item 3). Under sign
+  *    flips output and candidates scale Θ(N) and the row is measurable.
   *
   * Both scales are materialized as 32-file parquet (the 1x side is a plain
   * repartitioned copy of src): the sf0.1 fixtures are single part-files,
@@ -250,16 +263,20 @@ object ScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$probe/$XN/documents.parquet")
     // replica 0 is the x1 corpus verbatim (same contract as documents);
-    // replicas > 0 get a per-(row, dim) perturbation so exact equality
-    // decorrelates while the vector distribution is preserved.
+    // replicas > 0 get a per-replica orthogonal sign-flip pattern (see the
+    // file doc): dim i negated iff murmur3(r, i) is odd. Depends on (r, i)
+    // only — every vector within a replica shares ONE ±1 diagonal, so
+    // within-replica cosines (the near-dup structure) are preserved
+    // exactly while cross-replica patterns differ in ~32 of 64 dims
+    // (identical patterns for two replicas would need a 2^-64 murmur
+    // collision). All-Spark-side `hash` (murmur3), fully deterministic.
     emb.select(col("vec_id"), col("embedding"), col("label"), reps)
       .select(
         (col("vec_id") * Replicas + col("r")).as("vec_id"),
         when(col("r") === 0, col("embedding"))
           .otherwise(transform(col("embedding"), (x, i) =>
-            (x + ((col("vec_id") * lit(97) + col("r") * lit(31) + i) % lit(7))
-              .cast("float") * lit(0.01f)
-              - lit(0.03f) * col("r").cast("float")).cast("float")))
+            when(pmod(hash(col("r"), i), lit(2)) === 0, x)
+              .otherwise(-x).cast("float")))
           .as("embedding"),
         col("label"))
       .repartition(32)

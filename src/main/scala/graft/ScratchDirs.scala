@@ -6,11 +6,32 @@ package graft
   * per-dir model state — built once per JVM, joined/scanned many times —
   * so the scratch lives as long as the session that amortizes it.
   * (Streaming scratch stays in StreamOps: its lifecycle is per-invocation,
-  * not per-JVM.) */
+  * not per-JVM.)
+  *
+  * CLUSTER CAVEAT (round-14 multi-executor audit): a derived layout is
+  * parquet that EXECUTOR tasks write and later scan, so the scratch root
+  * must resolve to the SAME storage from every JVM. The default —
+  * java.io.tmpdir — satisfies that on local and local-cluster (one host,
+  * where the round-14 battery ran green) and on any deployment whose
+  * executors mount shared storage at the same path; a multi-host
+  * shared-nothing cluster must point `SPARK_GRAFT_SCRATCH` at a shared
+  * mount or the layout files scatter across hosts. */
 private[graft] object ScratchDirs {
 
   private val roots =
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  /** Scratch base: `SPARK_GRAFT_SCRATCH` (a shared mount on multi-host
+    * deployments) or the JVM tmpdir. `overridden` gates [[sweepStale]]:
+    * ProcessHandle pid-liveness is a PER-HOST signal, so on a shared
+    * mount a LIVE remote owner's pid can look dead locally and its files
+    * must not be swept — stale dirs lingering beats deleting a live
+    * owner's layout mid-query. */
+  private lazy val (scratchBase, overridden): (java.nio.file.Path, Boolean) =
+    sys.env.get("SPARK_GRAFT_SCRATCH") match {
+      case Some(p) if p.nonEmpty => (java.nio.file.Paths.get(p), true)
+      case _ => (java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), false)
+    }
 
   private lazy val hook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -36,9 +57,8 @@ private[graft] object ScratchDirs {
     hook
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$tag|$key".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    sweepStale(tag, digest)
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
+    if (!overridden) sweepStale(tag, digest)
+    val root = scratchBase.resolve(
       s"graft_${tag}_${digest}_p${ProcessHandle.current.pid}")
     deleteRecursively(root)
     java.nio.file.Files.createDirectories(root)
@@ -52,7 +72,7 @@ private[graft] object ScratchDirs {
     * lingers until that process exits; never deleted from under a live
     * owner. */
   private def sweepStale(tag: String, digest: String): Unit = {
-    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val tmp = scratchBase
     val pat = s"graft_${tag}_${digest}_p(\\d+)".r
     val self = ProcessHandle.current.pid
     val listing = java.nio.file.Files.list(tmp)

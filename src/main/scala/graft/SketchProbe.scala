@@ -66,7 +66,18 @@ object SketchProbe {
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
-        .write.format("noop").mode("overwrite").save()))
+        .write.format("noop").mode("overwrite").save()),
+      // The first-invocation gate build, repeatable in a JIT-warm JVM
+      // (round-13 verdict item 5): clear the cache, then run the cheap
+      // gate query so the timed wall ≈ the OVERLAPPED build (brackets ∥
+      // distinct on separate scheduler threads) + ~0.2 s post-processing.
+      // Compare against brackets + distinct (the serial sum) to read the
+      // overlap's saving from the same window.
+      "build" -> (() => {
+        operators.Relational3.clearGateStateForProbe()
+        SparkEntry.queries("q_sketch_gate_exact")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }))
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (p <- 1 to passes; (name, run) <- variants) {
       val (t, host) = HostMeter.timed(run())

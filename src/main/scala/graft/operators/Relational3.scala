@@ -232,6 +232,14 @@ object Relational3 {
   private val gateState = scala.collection.concurrent.TrieMap
     .empty[String, (String, (Seq[(String, (Long, Map[Long, Double]))], Seq[(String, Long)]))]
 
+  /** Probe hook (SketchProbe's `build` row only): drop every cached gate so
+    * the next [[sketchGateState]] call re-runs the overlapped build — the
+    * only way to time the first-invocation build repeatedly in one
+    * JIT-warm JVM (a fresh JVM conflates it with class-load/codegen
+    * bootstrap, measured separately by ScanProbe). Never called by
+    * contract queries. */
+  private[graft] def clearGateStateForProbe(): Unit = gateState.clear()
+
   /** Round-13 advisor item (medium): entries are VALIDATED against a
     * metadata fingerprint of `dir`/lineitem.parquet (sizes + mtimes — see
     * [[ModelState.dirFingerprint]]) on every lookup, so regenerating the
