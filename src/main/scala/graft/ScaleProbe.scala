@@ -244,6 +244,19 @@ object ScaleProbe {
     * salted 10x replica set. 32 files each: a single part-file reads back
     * as ONE input partition, which would serialize the probe onto one
     * core — real corpora at either scale are always multi-file. */
+  /** Per-replica orthogonal sign flip for the derived embedding corpus:
+    * dim i negated iff murmur3(r, i) is odd — a ±1 diagonal depending on
+    * (r, i) ONLY, so every vector in replica r shares one transform.
+    * Exactness (spec-pinned in DedupSimilaritySpec): (dᵢxᵢ)(dᵢyᵢ) = xᵢyᵢ
+    * PER TERM in float arithmetic (negation is exact), so within-replica
+    * dot products — and thus cosines and the near-dup structure — are
+    * BIT-IDENTICAL to the base corpus, while cross-replica patterns
+    * differ in ~half the dims and cosines concentrate near 0. */
+  private[graft] def signFlip(emb: org.apache.spark.sql.Column,
+      r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(emb, (x, i) =>
+      when(pmod(hash(r, i), lit(2)) === 0, x).otherwise(-x).cast("float"))
+
   private def generate(spark: SparkSession, src: String, probe: String): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
@@ -274,9 +287,7 @@ object ScaleProbe {
       .select(
         (col("vec_id") * Replicas + col("r")).as("vec_id"),
         when(col("r") === 0, col("embedding"))
-          .otherwise(transform(col("embedding"), (x, i) =>
-            when(pmod(hash(col("r"), i), lit(2)) === 0, x)
-              .otherwise(-x).cast("float")))
+          .otherwise(signFlip(col("embedding"), col("r")))
           .as("embedding"),
         col("label"))
       .repartition(32)

@@ -58,8 +58,18 @@ private[graft] object ScratchDirs {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$tag|$key".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     if (!overridden) sweepStale(tag, digest)
-    val root = scratchBase.resolve(
-      s"graft_${tag}_${digest}_p${ProcessHandle.current.pid}")
+    // On a SHARED mount (overridden) a bare pid is not unique across
+    // hosts — two drivers on different machines can share (tag, digest,
+    // pid) and wipe each other on create; qualify the root with the
+    // hostname there. The local default keeps the bare-pid form that
+    // sweepStale's liveness regex understands.
+    val owner =
+      if (overridden) {
+        val host = try java.net.InetAddress.getLocalHost.getHostName
+          catch { case scala.util.control.NonFatal(_) => "unknownhost" }
+        s"h${host.replaceAll("[^A-Za-z0-9.-]", "_")}_p${ProcessHandle.current.pid}"
+      } else s"p${ProcessHandle.current.pid}"
+    val root = scratchBase.resolve(s"graft_${tag}_${digest}_$owner")
     deleteRecursively(root)
     java.nio.file.Files.createDirectories(root)
     roots.put(s"$tag|$key", root)

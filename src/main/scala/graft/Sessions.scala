@@ -75,9 +75,12 @@ object Sessions {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
     if (!master.startsWith("local[")) {
+      // default: ship THIS JVM's classpath (the dev classes dir + spark
+      // jars the executor already has — harmless duplicates) instead of a
+      // hardcoded checkout path that breaks on any other clone location
       b = b.config("spark.executor.extraClassPath",
         sys.env.getOrElse("SPARK_GRAFT_EXEC_CP",
-          "/root/repo/target/scala-2.13/classes"))
+          System.getProperty("java.class.path")))
       sys.env.get("SPARK_GRAFT_EXEC_MEM").foreach { m =>
         b = b.config("spark.executor.memory", m)
       }

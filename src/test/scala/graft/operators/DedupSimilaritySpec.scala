@@ -274,4 +274,41 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(nb == 1L, s"cluster split across $nb buckets at np=$np")
     }
   }
+
+  test("probe sign-flip derivation: within-replica dot products bit-identical, patterns distinct (round 14)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the 100x-corpus claim (ScaleProbe.signFlip doc): a per-replica ±1
+    // diagonal preserves every within-replica pairwise dot product
+    // EXACTLY in float arithmetic — (dᵢxᵢ)(dᵢyᵢ) = xᵢyᵢ per term, same
+    // order — so the derived corpus's near-dup structure mirrors the
+    // base corpus per replica; and the per-replica sign patterns differ,
+    // so replicas cannot form cross-replica near-dup cliques.
+    val r = new scala.util.Random(11)
+    val vecs = Seq.fill(6)(Array.fill(Similarity.Dim)(r.nextFloat() - 0.5f))
+    val base = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    def dots(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] = {
+      val x = df.as("x"); val y = df.as("y")
+      val dot = (0 until Similarity.Dim).map(d =>
+        col("x.embedding")(d).cast("double") * col("y.embedding")(d).cast("double"))
+        .reduce(_ + _)
+      x.join(y, col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id"), col("y.vec_id"), dot.as("dot"))
+        .collect().toSeq.map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+    }
+    val baseDots = dots(base)
+    val patterns = (1 to 5).map { rep =>
+      val flipped = base.select(col("vec_id"),
+        graft.ScaleProbe.signFlip(col("embedding"), lit(rep)).as("embedding"))
+      // exact equality: not approx — the transform must be a pure ±1
+      // diagonal with no arithmetic on the magnitudes
+      assert(dots(flipped) == baseDots, s"replica $rep changed a dot product")
+      flipped.orderBy("vec_id").limit(1).select("embedding")
+        .as[Array[Float]].head().map(v => v > 0).toSeq
+    }
+    assert(patterns.distinct.size == patterns.size,
+      "two replicas drew the same sign pattern")
+  }
 }
