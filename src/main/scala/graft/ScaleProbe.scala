@@ -168,6 +168,18 @@ object ScaleProbe {
     val failed = scala.collection.mutable.Map.empty[(String, String), String]
     def timeOnce(name: String, dir: String): Option[Double] =
       try {
+        // Pay the GC debt UNTIMED before each sample (round 14, measured):
+        // the session's 60 s periodic-GC tick phase-locks with a ~60 s
+        // deterministic multi-query pass and lands a full 32 g-heap
+        // System.gc() in the SAME query's slot on every pass — q_ann_recall
+        // read a constant 7.0 s across passes vs 0.94 s in the identical
+        // window with the tick moved (SPARK_GRAFT_PERIODIC_GC=100000s
+        // A/B). Collecting the prior samples' garbage here makes any tick
+        // that does land inside a timed region near-free, without
+        // disabling the cleaner semantics long probes rely on. A tick can
+        // still land inside a single > 60 s sample — disclosed, and
+        // min-of-N absorbs it since the phase drifts per pass.
+        System.gc()
         val s0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - s0) / 1e9)

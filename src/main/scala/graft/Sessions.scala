@@ -49,7 +49,12 @@ object Sessions {
     "spark.io.compression.codec" -> "zstd",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.cleaner.periodicGC.interval" -> "60s")
+    // env-overridable (SPARK_GRAFT_PERIODIC_GC) so probe A/Bs can move or
+    // disable the tick: round 14 caught it landing in the SAME SLOT of a
+    // deterministic multi-query probe pass (~60 s/pass), charging one
+    // query a constant ~5 s on every pass — see SURVEY's family-slot note
+    "spark.cleaner.periodicGC.interval" ->
+      sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "60s"))
 
   /** Default thread count: min(host cores, 32) — round-13 advisor item:
     * a literal "32" default meant every runner that did NOT hand-clamp
