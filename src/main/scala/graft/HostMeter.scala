@@ -43,8 +43,16 @@ object HostMeter {
     f"load=${after.load}%.1f steal=$stealPct%.1f%%"
   }
 
-  /** Time `f`, returning (seconds, contention description of the window). */
+  /** Time `f`, returning (seconds, contention description of the window).
+    *
+    * Collects UNTIMED first (round 14, the ScaleProbe/Bench convention —
+    * mechanism measured there): the session's 60 s periodic-GC tick
+    * phase-locks with deterministic multi-variant probe passes and lands
+    * a full-heap System.gc() in the SAME variant's timed slot every
+    * pass; paying the debt here keeps cleaner semantics while any tick
+    * that still lands inside a timed region collects a near-empty heap. */
   def timed(f: => Unit): (Double, String) = {
+    System.gc()
     val b = sample(); val s0 = System.nanoTime()
     f
     val t = (System.nanoTime() - s0) / 1e9

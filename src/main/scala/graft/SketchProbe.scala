@@ -80,11 +80,7 @@ object SketchProbe {
       }))
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (p <- 1 to passes; (name, run) <- variants) {
-      // untimed GC before each sample — the ScaleProbe/Bench convention
-      // (round 14): a multi-variant ~40 s pass phase-locks with the 60 s
-      // periodic-GC tick and charges one variant's slot a full-heap
-      // collection every pass
-      System.gc()
+      // untimed GC before each sample now lives in HostMeter.timed itself
       val (t, host) = HostMeter.timed(run())
       println(f"[sketch] pass=$p $name%-9s $t%7.2fs  $host")
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
