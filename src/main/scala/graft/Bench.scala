@@ -45,7 +45,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toDouble
     val hardcapS = sys.env.getOrElse("SPARK_GRAFT_BENCH_HARDCAP_S", (budgetS * 3).toString).toDouble
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
+    val cpus = Sessions.cpus
     val spark = Sessions.local(cpus) // the runner-session standard lives in Sessions
     spark.sparkContext.setLogLevel("WARN")
 
@@ -88,7 +88,14 @@ object Bench {
       // null, not 0.0, when q1 was skipped or errored: a zero denominator
       // would silently poison any total/q1_norm arithmetic downstream
       val q1n = best.get("q1_pricing_summary").map(v => r3(v).toString).getOrElse("null")
-      val detail = s"""{"metric":"detail","value":$total,"unit":"sec","q1_norm":$q1n,"queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}"""
+      // gcConvention marks the TIMING CONVENTION of every number on this
+      // line (round-14 advisor item): "untimed-presample-gc" = each sample
+      // pays accumulated GC debt before its timer starts (adopted round
+      // 14). Rounds ≤ 13 carried no marker and no pre-sample GC, so
+      // regression/record claims must only compare same-convention
+      // artifacts — the field makes a cross-convention diff detectable
+      // instead of silently biased toward the newer runs.
+      val detail = s"""{"metric":"detail","value":$total,"unit":"sec","q1_norm":$q1n,"gcConvention":"untimed-presample-gc","queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}"""
       println(detail)
       // Round-13 verdict item 5: the driver's BENCH_r{N}.json carries only a
       // 2000-char stdout tail, which cuts the ~3 KB detail line mid-dict

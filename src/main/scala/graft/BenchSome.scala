@@ -9,7 +9,7 @@ object BenchSome {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args.drop(1).toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
+    val cpus = Sessions.cpus
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     def once(name: String): Double = {

@@ -26,7 +26,7 @@ object CodecAB {
     require(names.nonEmpty, "pass query names")
     val codecs = sys.env.getOrElse("SPARK_GRAFT_FUZZY_CODECS", "lz4,zstd")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
+    val cpus = Sessions.cpus
     def session(codec: String): SparkSession =
       Sessions.local(cpus, extra = Seq("spark.io.compression.codec" -> codec))
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]

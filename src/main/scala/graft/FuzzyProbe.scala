@@ -51,11 +51,12 @@ object FuzzyProbe {
     // at the headline line (and an NPE at the final stop)
     require(codecs.nonEmpty, "SPARK_GRAFT_FUZZY_CODECS parsed to zero codecs")
     require(passes > 0, s"passes must be positive, got $passes")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
+    val cpus = Sessions.cpus
     def session(codec: String): SparkSession =
       Sessions.local(cpus, extra = Seq("spark.io.compression.codec" -> codec))
     require(new java.io.File(s"$dir/part.parquet").exists(),
       s"no 100x corpus at $dir - run ScaleProbe with SPARK_GRAFT_PROBE_REPLICAS=100 first")
+    ScaleProbe.requireCurrentDerivation(dir) // refuse a stale-derivation corpus
     ScaleProbe.warmDir(dir) // untimed page-cache warm, verdict r12 item 6
 
     // round 12: the contract query is now Project(decode, Sort(narrow)) —

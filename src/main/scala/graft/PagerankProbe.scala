@@ -24,11 +24,12 @@ object PagerankProbe {
     val probe = args.headOption.getOrElse("/root/repo/tmp/sfprobe100")
     val dir = s"$probe/x100"
     val passes = if (args.length > 1) args(1).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
+    val cpus = Sessions.cpus
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     require(new java.io.File(s"$dir/lineitem.parquet").exists(),
       s"no 100x corpus at $dir - run ScaleProbe with SPARK_GRAFT_PROBE_REPLICAS=100 first")
+    ScaleProbe.requireCurrentDerivation(dir) // refuse a stale-derivation corpus
     ScaleProbe.warmDir(dir)
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]

@@ -16,7 +16,7 @@ object QselProbe {
     // verdict item 3); this harness is their one consumer
     System.setProperty("graft.qsel.verbose", "true")
     val data = args.headOption.getOrElse("/tmp/refbench/massive_data.parquet")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
+    val cpus = Sessions.cpus
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     val df = spark.read.parquet(data)

@@ -28,9 +28,10 @@ object RankProbe {
     System.setProperty("graft.qsel.verbose", "true")
     val dir = args.headOption.getOrElse("/root/repo/tmp/sfprobe100/x100")
     val passes = if (args.length > 1) args(1).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
+    val cpus = Sessions.cpus
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    ScaleProbe.requireCurrentDerivation(dir) // refuse a stale-derivation corpus
     ScaleProbe.warmDir(dir)
     def noSort(df: DataFrame): DataFrame = df.queryExecution.analyzed match {
       case p @ Project(_, s: Sort) => Bridge.ofRows(spark, p.copy(child = s.child))

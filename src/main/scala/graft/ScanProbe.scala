@@ -9,7 +9,7 @@ package graft
 object ScanProbe {
   def main(args: Array[String]): Unit = {
     val data = args.headOption.getOrElse("/tmp/refbench/massive_data.parquet")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
+    val cpus = Sessions.cpus
     val t00 = System.nanoTime()
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")

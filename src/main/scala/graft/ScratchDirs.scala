@@ -33,6 +33,15 @@ private[graft] object ScratchDirs {
       case _ => (java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), false)
     }
 
+  /** One random token per JVM for overridden-mount owner suffixes: drawn
+    * once at class init (SecureRandom-free — collision here is a
+    * convenience property, not security), 8 hex chars ≈ 2^32 space, so
+    * two drivers sharing (tag, digest, host, pid) — possible in
+    * containers with generic hostnames and small pid namespaces — still
+    * get distinct roots. Exposed for the spec. */
+  private[graft] lazy val jvmToken: String =
+    f"${new java.util.Random().nextInt() & 0x7fffffff}%08x"
+
   private lazy val hook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       roots.values.foreach(deleteRecursively)))
@@ -61,13 +70,20 @@ private[graft] object ScratchDirs {
     // On a SHARED mount (overridden) a bare pid is not unique across
     // hosts — two drivers on different machines can share (tag, digest,
     // pid) and wipe each other on create; qualify the root with the
-    // hostname there. The local default keeps the bare-pid form that
+    // hostname AND a per-JVM random token there (round-14 advisor item:
+    // containerized drivers commonly share a generic hostname like
+    // "localhost", so (host, pid) can still collide across containers —
+    // the token makes the owner suffix unique regardless of hostname
+    // quality). The local default keeps the bare-pid form that
     // sweepStale's liveness regex understands.
     val owner =
       if (overridden) {
         val host = try java.net.InetAddress.getLocalHost.getHostName
           catch { case scala.util.control.NonFatal(_) => "unknownhost" }
-        s"h${host.replaceAll("[^A-Za-z0-9.-]", "_")}_p${ProcessHandle.current.pid}"
+        // sanitize to [A-Za-z0-9_] ONLY: the bucketed layout derives Spark
+        // CATALOG table names from this root's file name, where a dot is a
+        // namespace separator and a dash is not an identifier char
+        s"h${host.replaceAll("[^A-Za-z0-9]", "_")}_p${ProcessHandle.current.pid}_j$jvmToken"
       } else s"p${ProcessHandle.current.pid}"
     val root = scratchBase.resolve(s"graft_${tag}_${digest}_$owner")
     deleteRecursively(root)

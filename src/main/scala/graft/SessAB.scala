@@ -16,7 +16,7 @@ object SessAB {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val parts = args.drop(1).map(_.toInt)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
+    val cpus = Sessions.cpus
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     graft.streaming.StreamOps.StateProviderClass =

@@ -53,8 +53,21 @@ object Sessions {
     // disable the tick: round 14 caught it landing in the SAME SLOT of a
     // deterministic multi-query probe pass (~60 s/pass), charging one
     // query a constant ~5 s on every pass — see SURVEY's family-slot note
-    "spark.cleaner.periodicGC.interval" ->
-      sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "60s"))
+    "spark.cleaner.periodicGC.interval" -> env("SPARK_GRAFT_PERIODIC_GC", "60s"))
+
+  /** Env lookup that treats an EMPTY value as unset (round-14 advisor
+    * item: `SPARK_GRAFT_PERIODIC_GC=""` passed "" straight into Spark's
+    * interval parser and failed session build; the shell idiom `VAR= cmd`
+    * should mean "default", not "crash"). */
+  private def env(name: String, default: String): String =
+    envOpt(name).getOrElse(default)
+
+  private def envOpt(name: String): Option[String] =
+    sys.env.get(name).filter(_.trim.nonEmpty)
+
+  /** The SPARK_GRAFT_CPUS override every runner shares (empty = unset,
+    * same convention as the other env knobs). */
+  def cpus: String = env("SPARK_GRAFT_CPUS", defaultCpus)
 
   /** Default thread count: min(host cores, 32) — round-13 advisor item:
     * a literal "32" default meant every runner that did NOT hand-clamp
@@ -73,24 +86,39 @@ object Sessions {
     * own classpath (`spark.executor.extraClassPath`; dev classpath is
     * passed through by tools/run.sh convention) and enough heap for the
     * 100× probe partitions. Plain `local[*]` ignores both settings. */
-  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus),
+  def local(cpus: String = env("SPARK_GRAFT_CPUS", defaultCpus),
             extra: Seq[(String, String)] = Nil): SparkSession = {
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val master = env("SPARK_GRAFT_MASTER", s"local[$cpus]")
     var b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
     if (!master.startsWith("local[")) {
       // default: ship THIS JVM's classpath (the dev classes dir + spark
       // jars the executor already has — harmless duplicates) instead of a
-      // hardcoded checkout path that breaks on any other clone location
+      // hardcoded checkout path that breaks on any other clone location.
+      // Entries are ABSOLUTIZED (round-14 advisor item): sbt/IDE launches
+      // put relative entries (e.g. target/scala-2.13/classes) on
+      // java.class.path, which would resolve against each EXECUTOR's own
+      // working directory on a non-local master and silently drop the
+      // graft classes there.
       b = b.config("spark.executor.extraClassPath",
-        sys.env.getOrElse("SPARK_GRAFT_EXEC_CP",
-          System.getProperty("java.class.path")))
-      sys.env.get("SPARK_GRAFT_EXEC_MEM").foreach { m =>
+        envOpt("SPARK_GRAFT_EXEC_CP").getOrElse(absolutizedClassPath()))
+      envOpt("SPARK_GRAFT_EXEC_MEM").foreach { m =>
         b = b.config("spark.executor.memory", m)
       }
     }
     (Standard ++ extra).foreach { case (k, v) => b = b.config(k, v) }
     b.getOrCreate()
   }
+
+  /** This JVM's classpath with every entry made absolute (pure core,
+    * spec-pinned): relative entries resolve against the READER's cwd, and
+    * an executor JVM's cwd is its own work dir, not the driver's. */
+  private[graft] def absolutizedClassPath(
+      raw: String = System.getProperty("java.class.path"),
+      sep: String = java.io.File.pathSeparator): String =
+    raw.split(java.util.regex.Pattern.quote(sep))
+      .filter(_.nonEmpty)
+      .map(e => new java.io.File(e).getAbsolutePath)
+      .mkString(sep)
 }

@@ -39,6 +39,7 @@ object SketchProbe {
     val passes = if (args.length > 1) args(1).toInt else 3
     val spark = Sessions.local() // clamp now lives in Sessions.defaultCpus
     spark.sparkContext.setLogLevel("ERROR")
+    ScaleProbe.requireCurrentDerivation(dir) // refuse a stale-derivation corpus
     ScaleProbe.warmDir(dir)
     def li = Tables.lineitem(spark, dir)
     val ps = Seq(0.498, 0.502)
@@ -74,7 +75,7 @@ object SketchProbe {
       // Compare against brackets + distinct (the serial sum) to read the
       // overlap's saving from the same window.
       "build" -> (() => {
-        operators.Relational3.clearGateStateForProbe()
+        operators.Relational3.clearGateStateForProbe(dir)
         SparkEntry.queries("q_sketch_gate_exact")(spark, dir)
           .write.format("noop").mode("overwrite").save()
       }))

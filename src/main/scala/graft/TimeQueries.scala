@@ -15,7 +15,7 @@ object TimeQueries {
     val dir = args(0)
     val names = args(1).split(',').toSeq
     val passes = if (args.length > 2) args(2).toInt else 2
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
+    val cpus = Sessions.cpus
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")

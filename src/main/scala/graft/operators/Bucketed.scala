@@ -79,13 +79,19 @@ object Bucketed {
     }
   }
 
-  /** (ordersTable, lineitemTable) catalog names per input dir. */
+  /** (ordersTable, lineitemTable) catalog names per input dir.
+    * Fingerprint-validated against the SOURCE tables (round-14 verdict
+    * item 2 — the registry's value is a derived on-disk layout, so
+    * validating against the layout's own files would always pass; the
+    * freshness signal is the data it was derived FROM): regenerated
+    * orders/lineitem rebuild the bucketed copies. */
   private val registry =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+    scala.collection.concurrent.TrieMap.empty[String, (String, (String, String))]
 
-  /** Cached max order key per input dir — see [[qMergeUpsert]]. */
+  /** Cached max order key per input dir — see [[qMergeUpsert]]. Validated
+    * against the orders dir like every model-state registry. */
   private val maxKeyCache =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
 
   /** Build (once per JVM per dir) the bucketed copies and return their
     * catalog names. Only the join/agg columns of the layout's consumers
@@ -103,7 +109,9 @@ object Bucketed {
       // SharedState — drop them (round-8 advisor item); nothing to release
       // here, the scratch files are reclaimed by ScratchDirs
       graft.ModelState.evictStale(registry, spark)(_ => ())
-      registry.getOrElseUpdate(ctxKey, {
+      graft.ModelState.validated(registry, ctxKey,
+          Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet"),
+          "Bucketed.layout")({
         // scratch NAME = (tag, dir) digest + owning pid (round-9): stable
         // per (dir, process) so re-creation within a JVM reclaims in
         // place, while a second JVM on the same dir gets its OWN root
@@ -177,8 +185,10 @@ object Bucketed {
     val src = Tables.orders(spark, dir)
     // per-dir model state, cached for the JVM (a pure data property, same
     // convention as StreamOps.maxEventUs / Similarity.nEmbCache) — the
-    // previous per-invocation agg paid a full orders scan per call
-    val maxKey = maxKeyCache.getOrElseUpdate(dir,
+    // previous per-invocation agg paid a full orders scan per call;
+    // fingerprint-validated like every model-state registry (round 15)
+    val maxKey = graft.ModelState.validated(maxKeyCache, dir,
+      Seq(s"$dir/orders.parquet"), "Bucketed.maxOrderKey")(
       src.agg(max(col("o_orderkey"))).head().getLong(0))
     val upd = src.filter(col("o_orderkey") % 10 === 3)
       .select(col("o_orderkey").as("d_key"),

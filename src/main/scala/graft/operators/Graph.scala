@@ -263,8 +263,16 @@ object Graph {
     * ≤ 1 bound and deletes the rebuild — the dominant per-invocation cost
     * — and with it the previous "prior results are invalidated by
     * re-invocation" API landmine: returned frames now stay valid). */
-  private val liveCkpt = scala.collection.concurrent.TrieMap
-    .empty[String, (DataFrame, DataFrame, Long, Boolean, Seq[org.apache.spark.rdd.RDD[_]])]
+  private val liveCkpt = scala.collection.concurrent.TrieMap.empty[String,
+    (String, (DataFrame, DataFrame, Long, Boolean, Seq[org.apache.spark.rdd.RDD[_]]))]
+
+  /** Source tables the checkpoint derives from — the fingerprint scope of
+    * the registry entry ([[graft.ModelState.validated]], round-14 verdict
+    * item 2): edges read lineitem⋈orders; the format/strategy heuristics
+    * read customer+supplier row counts. Regenerating any of the four
+    * rebuilds the checkpoint (and unpersists the stale blocks). */
+  private def ckptSources(dir: String): Seq[String] =
+    Seq("lineitem", "orders", "customer", "supplier").map(t => s"$dir/$t.parquet")
 
   /** PageRank after [[PrRounds]] quantized power iterations. */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
@@ -286,14 +294,15 @@ object Graph {
       // the unpersist is best-effort — a dead context's blocks died with
       // its BlockManager
       graft.ModelState.evictStale(liveCkpt, spark)(
-        _._5.foreach(_.unpersist(blocking = false)))
-      val (e, d, nn, bc, _) = liveCkpt.getOrElseUpdate(ckptKey, {
+        _._2._5.foreach(_.unpersist(blocking = false)))
+      val (e, d, nn, bc, _) = graft.ModelState.validated(
+          liveCkpt, ckptKey, ckptSources(dir), "Graph.checkpoint")({
         val vUpper = Tables.rowCount(spark, dir, "customer") +
           Tables.rowCount(spark, dir, "supplier") // footer metadata, no job
         val bc = vertexBroadcastablePool(vUpper, clusterPools(spark)._2)
         val (e, d, nn, rdds) = buildCheckpoint(spark, dir, bc)
         (e, d, nn, bc, rdds)
-      })
+      }, onStale = _._5.foreach(_.unpersist(blocking = false)))
       (e, d, nn, bc)
     }
     iterate(eCkpt, degD, n, bcast)

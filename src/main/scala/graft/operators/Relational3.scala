@@ -232,18 +232,22 @@ object Relational3 {
   private val gateState = scala.collection.concurrent.TrieMap
     .empty[String, (String, (Seq[(String, (Long, Map[Long, Double]))], Seq[(String, Long)]))]
 
-  /** Probe hook (SketchProbe's `build` row only): drop every cached gate so
-    * the next [[sketchGateState]] call re-runs the overlapped build — the
-    * only way to time the first-invocation build repeatedly in one
-    * JIT-warm JVM (a fresh JVM conflates it with class-load/codegen
-    * bootstrap, measured separately by ScanProbe). Never called by
-    * contract queries. */
-  private[graft] def clearGateStateForProbe(): Unit = gateState.clear()
+  /** Probe hook (SketchProbe's `build` row only): drop the cached gate for
+    * ONE dir so the next [[sketchGateState]] call there re-runs the
+    * overlapped build — the only way to time the first-invocation build
+    * repeatedly in one JIT-warm JVM (a fresh JVM conflates it with
+    * class-load/codegen bootstrap, measured separately by ScanProbe).
+    * Dir-scoped (round-14 advisor item): a global clear() would silently
+    * re-charge the build to OTHER dirs' `full`/`gate` rows if a probe ever
+    * times multiple dirs in one JVM. Never called by contract queries. */
+  private[graft] def clearGateStateForProbe(dir: String): Unit =
+    gateState.keys.filter(_.endsWith("|" + dir)).foreach(gateState.remove)
 
   /** Round-13 advisor item (medium): entries are VALIDATED against a
-    * metadata fingerprint of `dir`/lineitem.parquet (sizes + mtimes — see
-    * [[ModelState.dirFingerprint]]) on every lookup, so regenerating the
-    * parquet within one Spark application rebuilds the gate instead of
+    * metadata fingerprint of `dir`/lineitem.parquet (sizes + mtimes) on
+    * every lookup — since round 15 via the shared
+    * [[ModelState.validated]] helper every registry uses — so regenerating
+    * the parquet within one Spark application rebuilds the gate instead of
     * silently serving stale brackets/counts. Foreign-context entries are
     * evicted per the registry convention ([[ModelState.evictStale]]).
     * Timing semantics (disclosed, deliberate): the first invocation per
@@ -254,7 +258,6 @@ object Relational3 {
       : (Seq[(String, (Long, Map[Long, Double]))], Seq[(String, Long)]) = {
     ModelState.evictStale(gateState, spark)(_ => ())
     val key = spark.sparkContext.applicationId + "|" + dir
-    val fp = ModelState.dirFingerprint(s"$dir/lineitem.parquet")
     def build() = {
       val li = Tables.lineitem(spark, dir)
       val ps = Seq(0.498, 0.502)
@@ -286,13 +289,8 @@ object Relational3 {
       (sel.toSeq.map { case (k, v) => (k.asInstanceOf[String], v) }.sortBy(_._1),
         exact)
     }
-    gateState.get(key) match {
-      case Some((cachedFp, state)) if cachedFp == fp => state
-      case _ =>
-        val fresh = build()
-        gateState.put(key, (fp, fresh))
-        fresh
-    }
+    ModelState.validated(gateState, key,
+      Seq(s"$dir/lineitem.parquet"), "Relational3.sketchGate")(build())
   }
 
   /** Exact per-group median via rank selection ([[GroupedQuantiles]]) —

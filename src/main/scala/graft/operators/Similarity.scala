@@ -118,11 +118,17 @@ object Similarity {
 
   /** Corpus size per input dir — a pure data property cached for the JVM
     * (round 8; same convention as StreamOps.maxEventUs), so the four LSH
-    * consumers stop paying a count job per invocation. */
-  private val nEmbCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+    * consumers stop paying a count job per invocation. Fingerprint-
+    * validated on every lookup ([[graft.ModelState.validated]], round-14
+    * verdict item 2): a regenerated embeddings table re-counts instead of
+    * sizing the LSH plane count for a corpus that no longer exists. */
+  private val nEmbCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
 
   private def nEmbeddings(spark: SparkSession, dir: String): Long =
-    nEmbCache.getOrElseUpdate(dir, Tables.embeddings(spark, dir).count())
+    graft.ModelState.validated(nEmbCache, dir,
+      Seq(s"$dir/embeddings.parquet"), "Similarity.nEmbeddings")(
+      Tables.embeddings(spark, dir).count())
 
   /** Bucket ids for an arbitrary embedding frame at an explicit plane count
     * (spec hook: proves the recall property survives higher plane counts). */
@@ -203,11 +209,15 @@ object Similarity {
     * JVM (round 9, same convention as [[nEmbCache]] — the per-invocation
     * collect was a small but repeated scan job charged to qAnnIvf,
     * qKmeansStep and qAnnRecall on every bench pass). */
-  private val centCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Float])]]
+  private val centCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Array[(Int, Array[Float])])]
 
   private def ivfCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Float])] =
-    centCache.getOrElseUpdate(dir,
+    // fingerprint-validated (round-14 verdict item 2): regenerated
+    // embeddings re-collect the seed centroids instead of assigning cells
+    // against a dead corpus's vectors
+    graft.ModelState.validated(centCache, dir,
+      Seq(s"$dir/embeddings.parquet"), "Similarity.ivfCentroids")(
       Tables.embeddings(spark, dir)
         .filter(col("vec_id") < NSeeds)
         .select(col("vec_id"), col("embedding"))

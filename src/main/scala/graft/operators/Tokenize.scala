@@ -906,14 +906,18 @@ object Tokenize {
 
   /** Memo cache for driver-contract queries: the same (sfDir, cols, bins)
     * boundary vectors are reused across q_tokenize_bucketize /
-    * q_token_histogram / repeated bench invocations within a JVM (the test
-    * tables are immutable). */
-  private val boundsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Seq[String], Int), Map[String, Seq[Double]]]
+    * q_token_histogram / repeated bench invocations within a JVM.
+    * Fingerprint-validated against the lineitem dir on every lookup
+    * ([[graft.ModelState.validated]], round-14 verdict item 2): regenerated
+    * parquet rebuilds the boundaries instead of tokenizing new data with
+    * old split points. */
+  private val boundsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Seq[String], Int), (String, Map[String, Seq[Double]])]
 
   private def cachedLineitemBounds(spark: SparkSession, dir: String, cols: Seq[String],
                                    bins: Int): Map[String, Seq[Double]] =
-    boundsCache.getOrElseUpdate((dir, cols, bins), {
+    graft.ModelState.validated(boundsCache, (dir, cols, bins),
+        Seq(s"$dir/lineitem.parquet"), "Tokenize.bounds")({
       quantileBoundsSelect(graft.Tables.lineitem(spark, dir), cols, innerProbs(bins))
         .map { case (c, bs) => c -> bs.map(round6d) }
     })
@@ -1139,7 +1143,9 @@ object Tokenize {
       // duplicates='drop' collapse on the low-cardinality measures
       // (l_discount: 11 distinct values -> 11 surviving bins of 100)
       val li = graft.Tables.lineitem(spark, dir)
-      val edges = boundsCache.getOrElseUpdate((dir + "#qcut", LineitemCols, DefaultBins),
+      val edges = graft.ModelState.validated(boundsCache,
+          (dir + "#qcut", LineitemCols, DefaultBins),
+          Seq(s"$dir/lineitem.parquet"), "Tokenize.qcutEdges")(
         qcutDropEdges(li, LineitemCols, DefaultBins))
       orderByKeysThenPackedTokens(
         tokenizeQcutDrop(li, LineitemCols, LineitemKeys, edgesOverride = edges),

@@ -157,7 +157,7 @@ object TrainPrep {
     * decontamination job builds the filter once when the benchmark suite
     * changes, not once per corpus scan. */
   private val bloomCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Array[Byte])]
 
   def qDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
@@ -169,7 +169,11 @@ object TrainPrep {
     // they are plain byte arrays, but one per dead (context, dir) pair
     // accumulates in a context-restarting JVM
     graft.ModelState.evictStale(bloomCache, spark)(_ => ())
-    val bloom = bloomCache.getOrElseUpdate(bloomKey,
+    // fingerprint-validated (round-14 verdict item 2): the benchmark set
+    // derives from the documents table, so regenerated documents rebuild
+    // the filter instead of bloom-gating against a dead benchmark set
+    val bloom = graft.ModelState.validated(bloomCache, bloomKey,
+      Seq(s"$dir/documents.parquet"), "TrainPrep.benchBloom")(
       graft.functions.Bloom.build(bench, col("g"), BloomCapacity))
     grams.filter(col("doc_id") % BenchMod =!= 0)
       .filter(graft.functions.Bloom.mightContain(bloom, col("g")))

@@ -339,8 +339,10 @@ object StreamOps {
     // watermark past every real session's end.
     // per-dir model state (one tiny agg, cached for the JVM — the corpus
     // max is a property of the input dir, same convention as boundaries)
-    val maxUs = maxEventUs.getOrElseUpdate(dir, graft.Tables.events(spark, dir)
-      .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0))
+    val maxUs = graft.ModelState.validated(maxEventUs, dir,
+      Seq(s"$dir/events.parquet"), "StreamOps.maxEventUs")(
+      graft.Tables.events(spark, dir)
+        .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0))
     val sentinelUs = maxUs + 10 * graft.operators.PipelineOps.SessionGapUs
     val sentinelVals: Seq[Any] = stagedSchema.fields.toSeq.map {
       case StructField("user_id", LongType, _, _) => -1L
@@ -544,7 +546,7 @@ object StreamOps {
 
   /** Cached max event timestamp (µs) per input dir — see sentinel drain. */
   private val maxEventUs =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
 
   // ------------------------------------------------- paced bounded replay
 
@@ -617,14 +619,18 @@ object StreamOps {
     * same convention as the bucketed layouts). Modtimes sit ~1 h in the
     * past so a per-invocation sentinel file (written at drain time) is
     * always the newest, i.e. the last batch. */
-  private val stagedCache =
-    scala.collection.concurrent.TrieMap.empty[String, (java.nio.file.Path, Int, Long)]
+  private val stagedCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, (java.nio.file.Path, Int, Long))]
 
   /** (staged dir, file count, total rows). */
   private def stagedEvents(spark: SparkSession, dir: String): (java.nio.file.Path, Int, Long) =
     stagedCache.synchronized {
       val pace = paceRows(spark)
-      stagedCache.getOrElseUpdate(s"$dir|$pace", {
+      // fingerprint-validated against the SOURCE events dir (round-14
+      // verdict item 2 — the value is a derived staged layout; freshness
+      // is the source's): regenerated events restage the replay files
+      graft.ModelState.validated(stagedCache, s"$dir|$pace",
+          Seq(s"$dir/events.parquet"), "StreamOps.stagedEvents")({
         val ev = spark.read.parquet(s"$dir/events.parquet")
           .select("event_id", "ts", "user_id", "event_type", "value")
         val rows = graft.Tables.rowCount(spark, dir, "events") // footer metadata, no job
