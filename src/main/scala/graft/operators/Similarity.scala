@@ -535,6 +535,32 @@ object Similarity {
       .select("query_id", "vec_id", "adc_dist", "rn")
   }
 
+  /** The PQ self-gate's exact core surfaced as its own oracle-checked
+    * query (round-14 verdict item 3 — the `q_sketch_gate_exact` pattern
+    * from round 12): exact squared-L2 top-k over the PQ query range, the
+    * ground-truth frame [[qAnnPq]]'s recall gate joins against, now
+    * hash-checked cell-by-cell against DuckDB instead of living only
+    * inside a rows-only query's self-gate. Same plan shape as
+    * [[bruteTopKIn]] (broadcast query side, one map-only corpus scan, rank
+    * window) but KEEPS the distance and rank columns the recall join
+    * drops — that projection difference is why this is a sibling, not a
+    * call. Scale: linear in queries × corpus, the canonical ground-truth
+    * scan shape. */
+  def qPqGateExact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") >= PqQueryLo && col("vec_id") < PqQueryLo + NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id").orderBy(col("l2_dist").asc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        l2Sq(col("q_emb"), col("embedding")).as("l2_dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select("query_id", "vec_id", "l2_dist", "rn")
+      .orderBy("query_id", "rn")
+  }
+
   def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
     val pqTop = pqAdcTop(spark, dir)
     // Self-gate (the q_approx_sketches pattern, verdict r4 #7): exact float
@@ -567,6 +593,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_step" -> qKmeansStep,
     "q_ann_pq" -> qAnnPq,
+    "q_pq_gate_exact" -> qPqGateExact,
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_ann_lsh_probe" -> qAnnLshProbe,
@@ -605,7 +632,20 @@ object Similarity {
   def oracleSql: Map[String, String] = {
     val simSql =
       s"round(${dotSql("q.q_emb", "e.embedding")} / (sqrt(${dotSql("q.q_emb", "q.q_emb")}) * sqrt(${dotSql("e.embedding", "e.embedding")})), 6)"
+    // exact fp mirror of l2Sq: ((e·e + q·q) − 2·q·e), round 6 — same
+    // association order as the Column expression, fixed-order dot sums
+    val l2Sql =
+      s"round((${dotSql("e.embedding", "e.embedding")} + ${dotSql("q.q_emb", "q.q_emb")}) - 2.0 * ${dotSql("q.q_emb", "e.embedding")}, 6)"
     Map(
+      "q_pq_gate_exact" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+           |           WHERE vec_id >= $PqQueryLo AND vec_id < ${PqQueryLo + NQueries}),
+           |s AS (
+           |  SELECT q.query_id, e.vec_id, $l2Sql AS l2_dist
+           |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2_dist ASC NULLS FIRST, vec_id) AS rn FROM s)
+           |SELECT query_id, vec_id, l2_dist, CAST(rn AS INTEGER) AS rn FROM r
+           |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin,
       "q_cosine_topk" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NQueries),
            |s AS (

@@ -215,6 +215,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expect >= Similarity.PqRecallFloor)
   }
 
+  test("pq gate exact: the oracle-checked ground truth agrees with qAnnPq's self-gate flags") {
+    // q_pq_gate_exact (round-14 verdict item 3) surfaces the self-gate's
+    // exact-L2 top-k as a hash-checked query; consistency contract: a PQ
+    // top-k row is flagged in_exact_topk by qAnnPq IFF its (query_id,
+    // vec_id) appears in q_pq_gate_exact's rows — the two plans compute
+    // the same ground truth or the gate is lying.
+    val exact = Similarity.qPqGateExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == Similarity.NQueries * Similarity.TopK,
+      s"expected full top-k per query, got ${exact.size}")
+    val pq = Similarity.qAnnPq(spark, sf).collect()
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getBoolean(4) == exact.contains(key),
+        s"self-gate flag disagrees with the exact query at $key")
+    }
+    // ranks are 1..TopK per query and distances non-decreasing in rank
+    val byQ = Similarity.qPqGateExact(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to Similarity.TopK))
+      assert(sorted.map(_.getDouble(2)).sliding(2).forall(p => p(0) <= p(1)))
+    }
+  }
+
   test("ann recall full query set: gate ids are the pinned md5 subset and " +
       "the FULL-set recall property still holds at spec level") {
     // the contract query gates a deterministic md5 subsample (round-9);
