@@ -89,13 +89,17 @@ object Bench {
       // would silently poison any total/q1_norm arithmetic downstream
       val q1n = best.get("q1_pricing_summary").map(v => r3(v).toString).getOrElse("null")
       // gcConvention marks the TIMING CONVENTION of every number on this
-      // line (round-14 advisor item): "untimed-presample-gc" = each sample
-      // pays accumulated GC debt before its timer starts (adopted round
-      // 14). Rounds ≤ 13 carried no marker and no pre-sample GC, so
-      // regression/record claims must only compare same-convention
+      // line (round-14 advisor item): each sample pays accumulated GC debt
+      // before its timer starts (adopted round 14), and since round 15 the
+      // heap's committed size is pinned across those collections
+      // (HostMeter.heapShrinkPinned — the r14 convention's own bias:
+      // G1 uncommit charged page re-commit to allocation-heavy queries'
+      // timed walls). Rounds ≤ 13 carried no marker, no pre-sample GC;
+      // round 14 carried "untimed-presample-gc" semantics unmarked.
+      // Regression/record claims must only compare same-convention
       // artifacts — the field makes a cross-convention diff detectable
       // instead of silently biased toward the newer runs.
-      val detail = s"""{"metric":"detail","value":$total,"unit":"sec","q1_norm":$q1n,"gcConvention":"untimed-presample-gc","queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}"""
+      val detail = s"""{"metric":"detail","value":$total,"unit":"sec","q1_norm":$q1n,"gcConvention":"untimed-presample-gc-shrinkpinned","queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}"""
       println(detail)
       // Round-13 verdict item 5: the driver's BENCH_r{N}.json carries only a
       // 2000-char stdout tail, which cuts the ~3 KB detail line mid-dict
@@ -142,8 +146,12 @@ object Bench {
       // then records the artifact, not the query (measured: a constant
       // +6 s on one probe slot, gone with the tick moved). Collecting
       // here keeps the cleaner semantics and makes an in-slot tick
-      // near-free; costs ~0.1 s untimed per sample at sf0.1.
-      System.gc()
+      // near-free; costs ~0.1 s untimed per sample at sf0.1. Round 15:
+      // routed through HostMeter.untimedGc, which pins heap shrink off
+      // first — the bare System.gc() UNCOMMITTED heap and charged the
+      // re-commit to the next query's timed wall (the r13->r14 driver-
+      // artifact regressions on q_stats_agg/q_unpivot; GcAB-measured).
+      HostMeter.untimedGc()
       val s0 = System.nanoTime()
       val res =
         try {
@@ -194,7 +202,7 @@ object Bench {
       val (a, b) = names.splitAt(names.size / 2)
       (b ++ a).reverse
     }
-    System.gc() // untimed: let ContextCleaner reap pass-1 broadcast/shuffle blocks
+    HostMeter.untimedGc() // untimed: let ContextCleaner reap pass-1 broadcast/shuffle blocks
     for (n <- pass2Order if elapsed < budgetS) once(2, n)
     passesDone = 2
     emit()
@@ -209,7 +217,7 @@ object Bench {
       val (a, b) = names.splitAt(names.size / 4)
       b ++ a
     }
-    System.gc() // untimed: reap pass-2 blocks
+    HostMeter.untimedGc() // untimed: reap pass-2 blocks
     for (n <- pass3Order if elapsed < budgetS) once(3, n)
     passesDone = 3
     emit()
@@ -224,7 +232,7 @@ object Bench {
         case _ => false
       }
     }
-    System.gc() // untimed: reap pass-3 blocks before the retry samples
+    HostMeter.untimedGc() // untimed: reap pass-3 blocks before the retry samples
     for (n <- noisy if elapsed < budgetS) once(4, n)
     passesDone = 4
     emit()

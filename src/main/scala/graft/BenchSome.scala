@@ -1,25 +1,41 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
-/** Dev-only targeted bench: time the named queries (2 passes, min) at a
-  * given SF dir. Usage: tools/run.sh graft.BenchSome <sfDir> <query>...
-  * The round-contract harness is [[Bench]]; this exists for the edit loop.
+/** Dev-only targeted bench: time the named queries at a given SF dir with
+  * the SAME measurement discipline as Bench — untimed pre-sample GC
+  * (HostMeter.timed), ROUND-ROBIN passes so one steal burst cannot poison
+  * every sample of one query, per-pass host telemetry (load/steal) printed
+  * with each line so a window is classifiable after the fact, min-of-N
+  * headline. Round 15 upgraded it from a bare min-of-2 stopwatch: the
+  * regression-reconciliation protocol (verdict r14 item 1) re-measures
+  * driver-artifact diffs in TELEMETERED windows, and the edit loop's
+  * timer should never use a weaker convention than the artifact it
+  * argues against.
+  * Usage: tools/run.sh graft.BenchSome <sfDir> [passes=N] <query>...
   */
 object BenchSome {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args.drop(1).toSeq
-    val cpus = Sessions.cpus
-    val spark = Sessions.local(cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-    def once(name: String): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+    val (passes, names) = args.drop(1).toSeq match {
+      case p +: rest if p.startsWith("passes=") => (p.stripPrefix("passes=").toInt, rest)
+      case rest => (2, rest)
     }
-    val p1 = names.map(n => n -> once(n)).toMap
-    val p2 = names.map(n => n -> once(n)).toMap
-    names.foreach(n => println(f"$n%-28s min=${math.min(p1(n), p2(n))}%.2f  (${p1(n)}%.2f, ${p2(n)}%.2f)"))
+    require(names.nonEmpty, "usage: BenchSome <sfDir> [passes=N] <query>...")
+    val spark = Sessions.local(Sessions.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val all = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (p <- 1 to passes; n <- names) {
+      val (t, host) = HostMeter.timed {
+        SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+      println(f"[some] pass=$p $n%-28s $t%7.2fs  $host")
+      best(n) = math.min(best.getOrElse(n, Double.MaxValue), t)
+      all(n) = t :: all.getOrElse(n, Nil)
+    }
+    names.foreach { n =>
+      val ss = all(n).reverse.map(t => f"$t%.2f").mkString(", ")
+      println(f"[some] min $n%-28s ${best(n)}%7.2fs  (samples: $ss)")
+    }
     spark.stop()
   }
 }

@@ -43,6 +43,40 @@ object HostMeter {
     f"load=${after.load}%.1f steal=$stealPct%.1f%%"
   }
 
+  /** Pin the heap's committed size across full collections, once per JVM
+    * (round 15 — the fix for the pre-sample-GC convention's own bias):
+    * G1 UNCOMMITS regions on a full GC down to MaxHeapFreeRatio (default
+    * 70), so the System.gc() each sample pays untimed also SHRINKS the
+    * heap, and the next allocation-heavy query re-commits those pages
+    * INSIDE its timed region — measured in one clean window (GcAB,
+    * default 8 g launcher): q_unpivot gc-min 1.87 s vs nogc-min 1.25 s,
+    * q_stats_agg 2.43 vs 2.01, while q1 was neutral; with the heap pinned
+    * (-Xms=-Xmx A/B) the gap vanished (1.25 vs 1.21). MaxHeapFreeRatio is
+    * a MANAGEABLE HotSpot flag, so the pin needs no launcher cooperation —
+    * exactly what the driver-launched Bench JVM requires. Best-effort: on
+    * a VM without the diagnostic bean the convention keeps its old
+    * semantics (and the bias), disclosed by the returned Boolean
+    * (spec-pinned on HotSpot). */
+  private[graft] lazy val heapShrinkPinned: Boolean =
+    try {
+      val server = java.lang.management.ManagementFactory.getPlatformMBeanServer
+      val name = new javax.management.ObjectName("com.sun.management:type=HotSpotDiagnostic")
+      server.invoke(name, "setVMOption", Array[AnyRef]("MaxHeapFreeRatio", "100"),
+        Array("java.lang.String", "java.lang.String"))
+      true
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** The untimed pre-sample collection every measurement harness shares
+    * (Bench, BenchSome, ScaleProbe, the probes via [[timed]]): pay the
+    * accumulated GC debt OUTSIDE the timer — the round-14 fix for the
+    * phase-locked periodic-GC artifact — with heap shrink pinned off so
+    * the collection cannot charge page re-commit to the next timed
+    * region (round 15, see [[heapShrinkPinned]]). */
+  def untimedGc(): Unit = {
+    heapShrinkPinned
+    System.gc()
+  }
+
   /** Time `f`, returning (seconds, contention description of the window).
     *
     * Collects UNTIMED first (round 14, the ScaleProbe/Bench convention —
@@ -52,7 +86,7 @@ object HostMeter {
     * pass; paying the debt here keeps cleaner semantics while any tick
     * that still lands inside a timed region collects a near-empty heap. */
   def timed(f: => Unit): (Double, String) = {
-    System.gc()
+    untimedGc()
     val b = sample(); val s0 = System.nanoTime()
     f
     val t = (System.nanoTime() - s0) / 1e9

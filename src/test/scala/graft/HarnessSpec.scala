@@ -26,6 +26,17 @@ class HarnessSpec extends AnyFunSuite {
     assert(ScratchDirs.jvmToken == t, "one token per JVM")
   }
 
+  test("heapShrinkPinned: the manageable-flag pin lands on HotSpot (round-15 GC-bias fix)") {
+    assert(HostMeter.heapShrinkPinned,
+      "MaxHeapFreeRatio must be settable at runtime on this JVM — without it " +
+        "the untimed pre-sample GC charges heap re-commit to timed regions")
+    val server = java.lang.management.ManagementFactory.getPlatformMBeanServer
+    val bean = new javax.management.ObjectName("com.sun.management:type=HotSpotDiagnostic")
+    val opt = server.invoke(bean, "getVMOption",
+      Array[AnyRef]("MaxHeapFreeRatio"), Array("java.lang.String"))
+    assert(opt.toString.contains("value=100"), s"expected pinned value 100, got $opt")
+  }
+
   test("derivation sentinel: consumers refuse an absent or mismatched corpus") {
     val xn = java.nio.file.Files.createTempDirectory("graft_deriv").toString
     // absent sentinel -> loud refusal with regeneration instructions
