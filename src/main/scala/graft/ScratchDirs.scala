@@ -76,21 +76,27 @@ private[graft] object ScratchDirs {
     // the token makes the owner suffix unique regardless of hostname
     // quality). The local default keeps the bare-pid form that
     // sweepStale's liveness regex understands.
-    val owner =
-      if (overridden) {
-        val host = try java.net.InetAddress.getLocalHost.getHostName
-          catch { case scala.util.control.NonFatal(_) => "unknownhost" }
-        // sanitize to [A-Za-z0-9_] ONLY: the bucketed layout derives Spark
-        // CATALOG table names from this root's file name, where a dot is a
-        // namespace separator and a dash is not an identifier char
-        s"h${host.replaceAll("[^A-Za-z0-9]", "_")}_p${ProcessHandle.current.pid}_j$jvmToken"
-      } else s"p${ProcessHandle.current.pid}"
+    val owner = ownerFor(overridden)
     val root = scratchBase.resolve(s"graft_${tag}_${digest}_$owner")
     deleteRecursively(root)
     java.nio.file.Files.createDirectories(root)
     roots.put(s"$tag|$key", root)
     root
   }
+
+  /** Owner suffix of a scratch root (pure core, spec-pinned): local roots
+    * keep the bare-pid form `sweepStale`'s liveness regex understands; on
+    * an overridden (shared) mount the suffix is hostname + pid + the
+    * per-JVM random token, sanitized to [A-Za-z0-9_] ONLY — the bucketed
+    * layout derives Spark CATALOG table names from the root's file name,
+    * where a dot is a namespace separator and a dash is not an
+    * identifier char. */
+  private[graft] def ownerFor(overridden: Boolean): String =
+    if (overridden) {
+      val host = try java.net.InetAddress.getLocalHost.getHostName
+        catch { case scala.util.control.NonFatal(_) => "unknownhost" }
+      s"h${host.replaceAll("[^A-Za-z0-9]", "_")}_p${ProcessHandle.current.pid}_j$jvmToken"
+    } else s"p${ProcessHandle.current.pid}"
 
   /** Best-effort reclaim of same-(tag, digest) roots whose owning process
     * is no longer alive (crashed or kill -9'd before its shutdown hook).

@@ -26,6 +26,20 @@ class HarnessSpec extends AnyFunSuite {
     assert(ScratchDirs.jvmToken == t, "one token per JVM")
   }
 
+  test("scratch owner suffix: local keeps the sweepable bare-pid form; " +
+      "overridden adds host + token, catalog-identifier-safe") {
+    val pid = ProcessHandle.current.pid
+    assert(ScratchDirs.ownerFor(overridden = false) == s"p$pid",
+      "local form must stay what sweepStale's liveness regex parses")
+    val o = ScratchDirs.ownerFor(overridden = true)
+    assert(o.matches(s"h[A-Za-z0-9_]+_p${pid}_j[0-9a-f]{8}"), s"got '$o'")
+    // catalog-name safety: bucketed table names embed this suffix, and a
+    // dot there is a namespace separator, a dash a non-identifier char
+    assert(o.matches("[A-Za-z0-9_]+"), s"non-identifier chars in '$o'")
+    assert(o.endsWith(s"_j${ScratchDirs.jvmToken}"),
+      "the per-JVM token is the cross-container collision guard")
+  }
+
   test("heapShrinkPinned: the manageable-flag pin lands on HotSpot (round-15 GC-bias fix)") {
     assert(HostMeter.heapShrinkPinned,
       "MaxHeapFreeRatio must be settable at runtime on this JVM — without it " +
