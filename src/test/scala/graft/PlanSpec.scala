@@ -241,6 +241,19 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"candidate stream must not shuffle ($exchanges exchanges):\n$plan")
   }
 
+  test("q_pq_gate_exact: broadcast ground-truth scan — queries broadcast, corpus never shuffles pre-window") {
+    val plan = formatted(operators.Similarity.qPqGateExact(spark, sf))
+    assert(plan.contains("Broadcast"),
+      "the 5-row query side must broadcast onto the corpus scan")
+    // exchanges: the per-query rank window + the final output sort — the
+    // corpus stream itself is scored map-side (the canonical linear
+    // ground-truth shape at any scale)
+    val exchanges = plan.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 2, s"corpus must not shuffle before the window ($exchanges exchanges):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "a 5-row side must never sort-merge against the corpus")
+  }
+
   test("q_segment_dedup: segment shuffle + doc reassembly shuffle only") {
     val plan = formatted(operators.QualityOps.qSegmentDedup(spark, sf))
     // exchanges: hash by segment (first-occurrence window), hash by doc_id
