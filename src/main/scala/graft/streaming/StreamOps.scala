@@ -867,10 +867,140 @@ object StreamOps {
     frame
   }
 
+  /** Attribution window for the stream-stream join: a purchase matches a
+    * prior view by the same user within this many hours. */
+  private[graft] val AttributionHours = 6L
+
+  /** Per-batch (batchId, inputRows, stateRows, removedRows) of the LAST
+    * stream-stream join drain — kept so StreamingSpec can ASSERT the
+    * dual-sided state eviction (state plateaus at the live attribution
+    * slice; rows leave the join state mid-drain as the watermark passes
+    * them, not in one terminal buildup). */
+  @volatile private[graft] var lastJoinProgress: Seq[(Long, Long, Long, Long)] = Nil
+
+  /** LIVE watermarked STREAM-STREAM interval join (round 15 — the fourth
+    * driver-visible Structured Streaming query, and the one stateful
+    * operator class the surface lacked: state on BOTH sides of a join,
+    * evicted by watermark). View→purchase attribution: every purchase is
+    * joined to the same user's views in the preceding
+    * [[AttributionHours]] — the canonical event-correlation shape
+    * (ad attribution, error-after-deploy, session stitching across
+    * streams) that a 100 TB/day event pipeline runs as a streaming join
+    * because neither side fits a static table.
+    *
+    * Both sides are file streams over the SAME paced staged copy
+    * ([[stagedEvents]]: time-range files, one per micro-batch), split by
+    * event_type and each carrying its own event-time watermark, joined
+    * INNER on (user_id, purchase_ts ∈ [view_ts, view_ts + 6h]). Spark's
+    * symmetric hash join derives each side's state TTL from the range
+    * condition: a view is dropped once the watermark passes view_ts + 6h
+    * (no future purchase can match it), a purchase once the watermark
+    * passes purchase_ts — genuine dual-sided eviction, asserted from the
+    * drain's progress by StreamingSpec.
+    *
+    * Determinism/completeness: inner-join matches emit eagerly (append
+    * mode withholds nothing), and the staged replay is (ts, event_id)
+    * range-ordered, so batch k+1 rows are never behind batch k's
+    * watermark — a view's state therefore always survives until every
+    * purchase within its 6 h window has arrived, and the emitted pair
+    * set equals the batch interval join under ANY pacing (spec-pinned on
+    * a forced multi-batch replay). The 0-second delay is correct HERE
+    * because staging removes disorder; a production deployment sets the
+    * delay to its out-of-orderness bound and the state TTLs stretch by
+    * the same amount. The contract output aggregates the pair set
+    * per user (counts + exact integer delay extrema in µs) — fully
+    * order-independent, hash-checked against the same join in DuckDB.
+    *
+    * Scale: join state is sharded by user_id (the equi-key) across
+    * [[statePartsFor]] partitions like every stateful drain; live state
+    * is bounded by the rows in one watermark-delay + 6 h slice per side,
+    * independent of corpus size; output is Θ(matches), never a cross
+    * product — the equi-key keeps the range predicate a post-filter
+    * within a user's bucket. */
+  def qStreamJoinLive(spark: SparkSession, dir: String): DataFrame = scratchRoots.synchronized {
+    import org.apache.spark.sql.types.LongType
+    val (stagedDir, nFiles, stagedRows) = stagedEvents(spark, dir)
+    val stagedSchema = spark.read.parquet(stagedDir.toString).schema
+    val tmp = scratchFor("sjoin", dir)
+    val out = s"$tmp/out"
+    // the join's pair emissions may be empty in any batch (nothing to
+    // append); pre-create the sink dir so the batch read below never
+    // depends on at least one batch having matched
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val joinParts = stateParts(statePartsFor(
+      perBatchRows(stagedRows, nFiles), spark.sparkContext.defaultParallelism))
+    val ss = streamingSession(spark, joinParts)
+    val raw = ss.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("maxFileAge", "3650d") // staged modtimes sit in the past (see session drain)
+      .parquet(stagedDir.toString)
+    val evs = (stagedSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }).select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    // each side renames its event-time column FIRST, then watermarks the
+    // renamed column — two independently tracked watermarks, exactly as
+    // two physically distinct sources would carry
+    val views = evs.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "0 seconds")
+    val purchases = evs.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "0 seconds")
+    val pairs = views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $AttributionHours HOURS"),
+        "inner")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+    val q = pairs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.write.mode(SaveMode.Append).parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    lastJoinProgress = q.recentProgress.toSeq.map { p =>
+      val so = p.stateOperators.headOption
+      System.err.println(s"[sjoin] batch=${p.batchId} in=${p.numInputRows}" +
+        s" ms=${p.durationMs.get("triggerExecution")}" +
+        s" stateRows=${so.map(_.numRowsTotal).getOrElse(-1L)}" +
+        s" removed=${so.map(_.numRowsRemoved).getOrElse(-1L)}")
+      (p.batchId, p.numInputRows,
+        so.map(_.numRowsTotal).getOrElse(-1L), so.map(_.numRowsRemoved).getOrElse(-1L))
+    }
+    unloadStateStores()
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", LongType),
+      org.apache.spark.sql.types.StructField("view_id", LongType),
+      org.apache.spark.sql.types.StructField("purchase_id", LongType),
+      org.apache.spark.sql.types.StructField("delay_us", LongType)))
+    val agg = spark.read.schema(pairSchema).parquet(out)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("view_id")).as("n_views"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        min(col("delay_us")).as("min_delay_us"),
+        max(col("delay_us")).as("max_delay_us"))
+      .orderBy("user_id")
+    // same scratch-independence contract as the other drains: materialize
+    // eagerly, reclaim the previous invocation's blocks, drop the scratch
+    val (frame, rdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(agg)
+    stashLiveResult(spark, "sjoin", dir, rdd)
+    deleteRecursively(tmp)
+    scratchRoots.remove(s"sjoin|$dir")
+    frame
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_dedup_live" -> qStreamDedupLive,
     "q_session_window_live" -> qSessionWindowLive,
-    "q_rolling_quantile_live" -> qRollingQuantileLive
+    "q_rolling_quantile_live" -> qRollingQuantileLive,
+    "q_stream_join_live" -> qStreamJoinLive
   )
 
   /** The streaming dedup's duplicate counts are order-independent, so the
@@ -886,7 +1016,27 @@ object StreamOps {
       graft.operators.PipelineOps.oracleSql("q_session_window"),
     // single-batch in-order replay == the batch trailing-20 window exactly
     "q_rolling_quantile_live" ->
-      graft.operators.EventOps.oracleSql("q_rolling_quantile")
+      graft.operators.EventOps.oracleSql("q_rolling_quantile"),
+    // the inner interval join's pair set is exactly the batch join (see
+    // qStreamJoinLive's determinism note), and the per-user aggregate is
+    // order-independent — the oracle is the same join in plain SQL
+    "q_stream_join_live" ->
+      s"""WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+        |           FROM events WHERE event_type = 'view'),
+        |     p AS (SELECT user_id AS p_user_id, ts AS purchase_ts, event_id AS purchase_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |     j AS (SELECT user_id, view_id, purchase_id,
+        |                  epoch_us(purchase_ts) - epoch_us(view_ts) AS delay_us
+        |           FROM v JOIN p ON user_id = p_user_id
+        |                AND purchase_ts >= view_ts
+        |                AND purchase_ts <= view_ts + INTERVAL ${AttributionHours} HOUR)
+        |SELECT user_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(COUNT(DISTINCT view_id) AS BIGINT) AS n_views,
+        |       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+        |       MIN(delay_us) AS min_delay_us,
+        |       MAX(delay_us) AS max_delay_us
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 
   case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -427,6 +427,78 @@ class StreamingSpec extends SparkSpec {
     } finally StreamOps.PaceRowsPerBatch = prev
   }
 
+  test("paced stream-stream join equals the batch interval join exactly") {
+    // force ~10 micro-batches on the sf0.001 fixture: the dual-sided
+    // watermark eviction must never drop a view before its last possible
+    // purchase arrives (staging is (ts, event_id) range-ordered, so batch
+    // k+1 is never behind batch k's watermark) — the emitted pair set,
+    // and thus the per-user aggregate, must equal the batch interval join
+    // row-for-row under ANY pacing
+    import org.apache.spark.sql.functions._
+    val prev = StreamOps.PaceRowsPerBatch
+    try {
+      StreamOps.PaceRowsPerBatch = 100
+      val live = StreamOps.qStreamJoinLive(spark, sf).collect().map(_.toSeq).toSeq
+      val ev = graft.Tables.events(spark, sf)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("event_id"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      val batch = v.join(p,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") +
+              expr(s"INTERVAL ${StreamOps.AttributionHours} HOURS"),
+          "inner")
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("view_id")).as("n_views"),
+          countDistinct(col("purchase_id")).as("n_purchases"),
+          min(col("delay_us")).as("min_delay_us"),
+          max(col("delay_us")).as("max_delay_us"))
+        .orderBy("user_id")
+        .collect().map(_.toSeq).toSeq
+      assert(live.nonEmpty, "fixture must produce at least one attributed pair")
+      assert(live.size == batch.size && live == batch,
+        "paced stream-stream join must equal the batch interval join exactly")
+    } finally StreamOps.PaceRowsPerBatch = prev
+  }
+
+  test("stream-stream join state is evicted MID-DRAIN on both sides (dual watermark TTL)") {
+    // not just final-answer equality: the point of the watermark + range
+    // condition is that join state is bounded by the live attribution
+    // slice, not the corpus — rows must LEAVE the symmetric hash join's
+    // state in non-final batches as the watermark passes their TTL, and
+    // peak state must sit strictly below the corpus's view+purchase count
+    val prev = StreamOps.PaceRowsPerBatch
+    try {
+      StreamOps.PaceRowsPerBatch = 100
+      StreamOps.qStreamJoinLive(spark, sf)
+      val prog = StreamOps.lastJoinProgress
+      val dataBatches = prog.filter(_._2 > 0)
+      assert(dataBatches.size >= 3, s"pacing must yield >= 3 data batches: $prog")
+      val lastId = prog.map(_._1).max
+      val evictingMidDrain = prog.filter(p => p._1 < lastId && p._4 > 0)
+      assert(evictingMidDrain.size >= 2,
+        s"join state must be evicted in >= 2 non-final batches, got: $prog")
+      val joinSides = {
+        import org.apache.spark.sql.functions._
+        graft.Tables.events(spark, sf)
+          .filter(col("event_type").isin("view", "purchase")).count()
+      }
+      val maxState = prog.map(_._3).max
+      assert(maxState > 0 && maxState < joinSides,
+        s"live join state ($maxState rows) must plateau strictly below the " +
+          s"$joinSides joinable events — a corpus-wide buildup means the " +
+          "watermark never evicted mid-drain")
+    } finally StreamOps.PaceRowsPerBatch = prev
+  }
+
   test("stateful dedup-with-counts converges to the batch truth across triggers") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
