@@ -23,8 +23,13 @@ object GcAB {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val name = args(1)
-    val passes = if (args.length > 2) args(2).toInt else 6
-    val pin = args.length <= 3 || args(3) != "pin=false"
+    // [passes] is positional but optional before [pin=...]: accept
+    // "GcAB <dir> <query> pin=false" (passes defaults) as the docstring
+    // suggests, instead of crashing in toInt on the pin flag
+    val rest = args.drop(2).toSeq
+    val passes = rest.find(!_.startsWith("pin=")).map(_.toInt).getOrElse(6)
+    require(passes > 0, s"passes must be > 0, got $passes")
+    val pin = !rest.contains("pin=false")
     val spark = Sessions.local(Sessions.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     def run(): Unit =

@@ -35,7 +35,7 @@ private[graft] object ScratchDirs {
 
   /** One random token per JVM for overridden-mount owner suffixes: drawn
     * once at class init (SecureRandom-free — collision here is a
-    * convenience property, not security), 8 hex chars ≈ 2^32 space, so
+    * convenience property, not security), 31 random bits ≈ 2^31 space, so
     * two drivers sharing (tag, digest, host, pid) — possible in
     * containers with generic hostnames and small pid namespaces — still
     * get distinct roots. Exposed for the spec. */

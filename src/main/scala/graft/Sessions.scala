@@ -59,7 +59,7 @@ object Sessions {
     * item: `SPARK_GRAFT_PERIODIC_GC=""` passed "" straight into Spark's
     * interval parser and failed session build; the shell idiom `VAR= cmd`
     * should mean "default", not "crash"). */
-  private def env(name: String, default: String): String =
+  private[graft] def env(name: String, default: String): String =
     envOpt(name).getOrElse(default)
 
   private def envOpt(name: String): Option[String] =

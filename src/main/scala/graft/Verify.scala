@@ -9,7 +9,7 @@ object Verify {
     // optional extra args: run only these queries (dev loop); the driver
     // always passes exactly (sfDir, outDir) and gets the full set
     val only: Set[String] = args.drop(2).toSet
-    val cpus = sys.env.get("SPARK_GRAFT_CPUS").filter(_.trim.nonEmpty).getOrElse("4")
+    val cpus = Sessions.env("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, extra = Seq(
       "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"))
     spark.sparkContext.setLogLevel("WARN")

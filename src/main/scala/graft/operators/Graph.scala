@@ -262,7 +262,13 @@ object Graph {
     * the checkpoint every call to keep ≤ 1 copy live; reuse keeps the same
     * ≤ 1 bound and deletes the rebuild — the dominant per-invocation cost
     * — and with it the previous "prior results are invalidated by
-    * re-invocation" API landmine: returned frames now stay valid). */
+    * re-invocation" API landmine: returned frames stay valid across
+    * re-invocations AS LONG AS the source dir's content is unchanged.
+    * Since round 15's fingerprint validation, regenerating the source
+    * parquet makes the next invocation rebuild and unpersist the stale
+    * blocks (onStale below) — frames built from the REPLACED data are
+    * invalidated by design (serving them would resurrect deleted data);
+    * consume prior results before regenerating inputs. */
   private val liveCkpt = scala.collection.concurrent.TrieMap.empty[String,
     (String, (DataFrame, DataFrame, Long, Boolean, Seq[org.apache.spark.rdd.RDD[_]]))]
 

@@ -379,10 +379,7 @@ object StreamOps {
       // filter (self-review round 9)
       .option("maxFileAge", "3650d")
       .parquet(in.toString)
-    val evs = stagedSchema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
-    }
+    val evs = stagedTs(raw)
     val out = s"$tmp/out"
     // State-row width (round-13 verdict item 6): the sum's state buffer
     // was the one remaining width lever — Decimal(38,6) occupies a
@@ -622,6 +619,18 @@ object StreamOps {
   private val stagedCache = scala.collection.concurrent.TrieMap
     .empty[String, (String, (java.nio.file.Path, Int, Long))]
 
+  /** Normalize a staged replay's ts column to TimestampType: probe
+    * corpora stage event time as NANOS-long (the session nanosAsLong
+    * convention), the sf fixtures as a real timestamp — the ÷1000
+    * nanos→µs unit conversion lives here ONCE, not per drain (round-15
+    * review: three verbatim copies each encoded the unit convention). */
+  private def stagedTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   /** (staged dir, file count, total rows). */
   private def stagedEvents(spark: SparkSession, dir: String): (java.nio.file.Path, Int, Long) =
     stagedCache.synchronized {
@@ -773,8 +782,6 @@ object StreamOps {
     * Scale: per-batch work is the batch twin's (linear, all-core) over ≤
     * [[PaceRowsPerBatch]] rows; carry is O(types × RollRows). */
   def qRollingQuantileLive(spark: SparkSession, dir: String): DataFrame = scratchRoots.synchronized {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.LongType
     val (stagedDir, nFiles, _) = stagedEvents(spark, dir)
     val stagedSchema = spark.read.parquet(stagedDir.toString).schema
     val tmp = scratchFor("roll", dir)
@@ -791,10 +798,7 @@ object StreamOps {
     val raw = ss.readStream.schema(stagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(stagedDir.toString)
-    val withTs = stagedSchema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
-    }
+    val withTs = stagedTs(raw)
     val rollRows = graft.operators.EventOps.RollRows
     // cross-batch carry: the last RollRows-1 rows per event_type, in
     // (ts, event_id) order. foreachBatch runs batches sequentially on
@@ -934,10 +938,8 @@ object StreamOps {
       .option("maxFilesPerTrigger", 1)
       .option("maxFileAge", "3650d") // staged modtimes sit in the past (see session drain)
       .parquet(stagedDir.toString)
-    val evs = (stagedSchema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
-    }).select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val evs = stagedTs(raw)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
     // each side renames its event-time column FIRST, then watermarks the
     // renamed column — two independently tracked watermarks, exactly as
     // two physically distinct sources would carry
