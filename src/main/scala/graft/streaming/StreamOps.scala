@@ -307,7 +307,6 @@ object StreamOps {
     * stream-drain pattern for bounded replays; a true unbounded
     * deployment simply has no drain step. */
   def qSessionWindowLive(spark: SparkSession, dir: String): DataFrame = scratchRoots.synchronized {
-    import org.apache.spark.sql.types.{LongType, StructField, TimestampNTZType, TimestampType}
     // PACED drain (round-9, verdict item 1): the replay consumes the
     // time-ordered staged copy one file per micro-batch, so the watermark
     // advances with every batch and sessions are evicted INCREMENTALLY —
@@ -321,44 +320,12 @@ object StreamOps {
     val (stagedDir, stagedFiles, stagedRows) = stagedEvents(spark, dir)
     val stagedSchema = spark.read.parquet(stagedDir.toString).schema
     val tmp = scratchFor("session", dir)
-    val in = java.nio.file.Paths.get(s"$tmp/in")
-    java.nio.file.Files.createDirectories(in)
-    // Symlink the staged files: modtimes (and thus replay order) ride
-    // along via the targets, which sit ~1 h in the past.
-    val parts = new java.io.File(stagedDir.toString)
-      .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet"))
-      .sortBy(_.getName).toSeq
-    parts.zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.createSymbolicLink(
-        in.resolve(f"ev_$i%05d.parquet"), f.toPath.toAbsolutePath)
-    }
-    // One sentinel row 10 gaps past the corpus max, in the STAGED schema
-    // (ts type branches survive a fixture change: nanos-long or real
-    // timestamp). Its file is written NOW, so its modtime makes it the
-    // newest staged file — the final micro-batch, pushing the global
-    // watermark past every real session's end.
-    // per-dir model state (one tiny agg, cached for the JVM — the corpus
-    // max is a property of the input dir, same convention as boundaries)
-    val maxUs = graft.ModelState.validated(maxEventUs, dir,
-      Seq(s"$dir/events.parquet"), "StreamOps.maxEventUs")(
-      graft.Tables.events(spark, dir)
-        .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0))
-    val sentinelUs = maxUs + 10 * graft.operators.PipelineOps.SessionGapUs
-    val sentinelVals: Seq[Any] = stagedSchema.fields.toSeq.map {
-      case StructField("user_id", LongType, _, _) => -1L
-      case StructField("ts", LongType, _, _) => sentinelUs * 1000L // nanos
-      case StructField("ts", TimestampType, _, _) =>
-        java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(sentinelUs / 1000))
-      case StructField("ts", TimestampNTZType, _, _) =>
-        java.time.LocalDateTime.ofEpochSecond(
-          sentinelUs / 1000000, ((sentinelUs % 1000000) * 1000).toInt, java.time.ZoneOffset.UTC)
-      case _ => null
-    }
-    spark.createDataFrame(
-      java.util.List.of(org.apache.spark.sql.Row.fromSeq(sentinelVals)), stagedSchema)
-      .coalesce(1).write.parquet(s"$tmp/sentinel")
-    new java.io.File(s"$tmp/sentinel").listFiles((_: java.io.File, n: String) => n.endsWith(".parquet"))
-      .foreach(f => java.nio.file.Files.move(f.toPath, in.resolve("zz_sentinel.parquet")))
+    // One sentinel row 10 gaps past the corpus max: the final micro-batch,
+    // pushing the global watermark past every real session's end.
+    val sentinelUs = corpusMaxUs(spark, dir) +
+      10 * graft.operators.PipelineOps.SessionGapUs
+    val in = sentineledReplay(spark, tmp, stagedDir, stagedSchema,
+      Seq(sentinelRow(stagedSchema, sentinelUs)))
 
     // state partitions scale with PER-BATCH rows (round 9; derivation
     // fixed round 10 — see statePartsFor): state-store merge/evict work
@@ -544,6 +511,67 @@ object StreamOps {
   /** Cached max event timestamp (µs) per input dir — see sentinel drain. */
   private val maxEventUs =
     scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+
+  /** Corpus max event time in µs: per-dir model state (one tiny agg,
+    * cached for the JVM — the corpus max is a property of the input dir,
+    * same convention as boundaries), fingerprint-validated against the
+    * source events. */
+  private def corpusMaxUs(spark: SparkSession, dir: String): Long =
+    graft.ModelState.validated(maxEventUs, dir,
+      Seq(s"$dir/events.parquet"), "StreamOps.maxEventUs")(
+      graft.Tables.events(spark, dir)
+        .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0))
+
+  /** One sentinel row in the STAGED schema (ts type branches survive a
+    * fixture change: nanos-long or real timestamp): user_id = −1,
+    * event time = `sentinelUs`, any other field from `extra` (by name)
+    * or null. */
+  private def sentinelRow(stagedSchema: org.apache.spark.sql.types.StructType,
+      sentinelUs: Long, extra: Map[String, Any] = Map.empty): Row = {
+    import org.apache.spark.sql.types.{LongType, StructField, TimestampNTZType, TimestampType}
+    Row.fromSeq(stagedSchema.fields.toSeq.map { f =>
+      extra.getOrElse(f.name, f match {
+        case StructField("user_id", LongType, _, _) => -1L
+        case StructField("ts", LongType, _, _) => sentinelUs * 1000L // nanos
+        case StructField("ts", TimestampType, _, _) =>
+          java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(sentinelUs / 1000))
+        case StructField("ts", TimestampNTZType, _, _) =>
+          java.time.LocalDateTime.ofEpochSecond(
+            sentinelUs / 1000000, ((sentinelUs % 1000000) * 1000).toInt,
+            java.time.ZoneOffset.UTC)
+        case _ => null
+      })
+    })
+  }
+
+  /** Build a sentineled replay input under `$tmp/in`: symlink the staged
+    * files (modtimes — and thus replay order — ride along via the
+    * targets, which sit ~1 h in the past), then write `sentinels` as ONE
+    * parquet file whose fresh modtime makes it the newest, i.e. the final
+    * micro-batch — the standard bounded-replay drain pattern that pushes
+    * the global watermark past every real row so append-mode tails
+    * (withheld sessions, unmatched outer-join rows) flush
+    * deterministically. A true unbounded deployment has no drain step. */
+  private def sentineledReplay(spark: SparkSession, tmp: java.nio.file.Path,
+      stagedDir: java.nio.file.Path,
+      stagedSchema: org.apache.spark.sql.types.StructType,
+      sentinels: Seq[Row]): java.nio.file.Path = {
+    val in = tmp.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val parts = new java.io.File(stagedDir.toString)
+      .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet"))
+      .sortBy(_.getName).toSeq
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.createSymbolicLink(
+        in.resolve(f"ev_$i%05d.parquet"), f.toPath.toAbsolutePath)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(sentinels: _*), stagedSchema)
+      .coalesce(1).write.parquet(s"$tmp/sentinel")
+    new java.io.File(s"$tmp/sentinel")
+      .listFiles((_: java.io.File, n: String) => n.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.move(f.toPath, in.resolve("zz_sentinel.parquet")))
+    in
+  }
 
   // ------------------------------------------------- paced bounded replay
 
@@ -998,11 +1026,118 @@ object StreamOps {
     frame
   }
 
+  /** LIVE LEFT-OUTER stream-stream interval join (round 15, with
+    * [[qStreamJoinLive]]): same view→purchase attribution, but views with
+    * NO purchase in their 6 h window are EMITTED TOO (null right side) —
+    * the conversion-funnel shape ("which views did not convert"). The
+    * mechanism is genuinely different from the inner form: an unmatched
+    * view can only be emitted once it can never match, i.e. when the
+    * GLOBAL watermark (min across both sides) passes view_ts + 6 h and
+    * the symmetric hash join evicts it — output is watermark-GATED, not
+    * eager. A bounded replay would therefore withhold every view in the
+    * trailing 6 h slice (the watermark stops at max(ts)), so the drain
+    * uses the session drain's sentinel pattern: one view-typed and one
+    * purchase-typed sentinel row 7 h past the corpus max, written as the
+    * newest staged file, push BOTH sides' watermarks past every real
+    * view's TTL and the terminal batches flush the unmatched tail
+    * exactly once. The sentinels themselves (user −1, and their own
+    * inner match) are filtered out of the contract output.
+    *
+    * Determinism: the matched pair set is the batch left-join's matched
+    * rows (same argument as the inner form); each unmatched view emits
+    * exactly once, on eviction; the per-user aggregate is
+    * order-independent and hash-checked against the same LEFT JOIN in
+    * DuckDB. Scale: identical state bounds to the inner form (the outer
+    * side holds no extra state — unmatched emission rides the existing
+    * eviction); output Θ(views + matches). */
+  def qStreamJoinOuterLive(spark: SparkSession, dir: String): DataFrame = scratchRoots.synchronized {
+    import org.apache.spark.sql.types.LongType
+    val (stagedDir, nFiles, stagedRows) = stagedEvents(spark, dir)
+    val stagedSchema = spark.read.parquet(stagedDir.toString).schema
+    val tmp = scratchFor("sjoinout", dir)
+    val out = s"$tmp/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    // sentinels sit one hour PAST every real view's state TTL
+    // (view_ts + 6 h), so the terminal batches evict — and thus emit —
+    // every real unmatched view
+    val sentinelUs = corpusMaxUs(spark, dir) +
+      (AttributionHours + 1) * 3600L * 1000000L
+    val in = sentineledReplay(spark, tmp, stagedDir, stagedSchema, Seq(
+      sentinelRow(stagedSchema, sentinelUs, Map("event_type" -> "view")),
+      sentinelRow(stagedSchema, sentinelUs, Map("event_type" -> "purchase"))))
+    val joinParts = stateParts(statePartsFor(
+      perBatchRows(stagedRows, nFiles), spark.sparkContext.defaultParallelism))
+    val ss = streamingSession(spark, joinParts)
+    val raw = ss.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("maxFileAge", "3650d") // staged modtimes sit in the past (see session drain)
+      .parquet(in.toString)
+    val evs = stagedTs(raw)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val views = evs.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "0 seconds")
+    val purchases = evs.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "0 seconds")
+    val joined = views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $AttributionHours HOURS"),
+        "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.write.mode(SaveMode.Append).parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    lastJoinProgress = q.recentProgress.toSeq.map { p =>
+      val so = p.stateOperators.headOption
+      System.err.println(s"[sjoinout] batch=${p.batchId} in=${p.numInputRows}" +
+        s" ms=${p.durationMs.get("triggerExecution")}" +
+        s" stateRows=${so.map(_.numRowsTotal).getOrElse(-1L)}" +
+        s" removed=${so.map(_.numRowsRemoved).getOrElse(-1L)}")
+      (p.batchId, p.numInputRows,
+        so.map(_.numRowsTotal).getOrElse(-1L), so.map(_.numRowsRemoved).getOrElse(-1L))
+    }
+    unloadStateStores()
+    val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", LongType),
+      org.apache.spark.sql.types.StructField("view_id", LongType),
+      org.apache.spark.sql.types.StructField("purchase_id", LongType),
+      org.apache.spark.sql.types.StructField("delay_us", LongType)))
+    val agg = spark.read.schema(rowSchema).parquet(out)
+      .filter(col("user_id") =!= -1L) // drop the sentinels' own rows
+      .groupBy("user_id")
+      .agg(count(col("purchase_id")).as("n_pairs"), // non-null = matched rows
+        countDistinct(col("view_id")).as("n_views"),
+        countDistinct(when(col("purchase_id").isNotNull, col("view_id")))
+          .as("n_matched_views"),
+        min(col("delay_us")).as("min_delay_us"),
+        max(col("delay_us")).as("max_delay_us"))
+      .select(col("user_id"), col("n_pairs"), col("n_views"), col("n_matched_views"),
+        (col("n_views") - col("n_matched_views")).as("n_unmatched_views"),
+        col("min_delay_us"), col("max_delay_us"))
+      .orderBy("user_id")
+    val (frame, rdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(agg)
+    stashLiveResult(spark, "sjoinout", dir, rdd)
+    deleteRecursively(tmp)
+    scratchRoots.remove(s"sjoinout|$dir")
+    frame
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_dedup_live" -> qStreamDedupLive,
     "q_session_window_live" -> qSessionWindowLive,
     "q_rolling_quantile_live" -> qRollingQuantileLive,
-    "q_stream_join_live" -> qStreamJoinLive
+    "q_stream_join_live" -> qStreamJoinLive,
+    "q_stream_join_outer_live" -> qStreamJoinOuterLive
   )
 
   /** The streaming dedup's duplicate counts are order-independent, so the
@@ -1036,6 +1171,28 @@ object StreamOps {
         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |       CAST(COUNT(DISTINCT view_id) AS BIGINT) AS n_views,
         |       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+        |       MIN(delay_us) AS min_delay_us,
+        |       MAX(delay_us) AS max_delay_us
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the outer form's pair set is the batch LEFT JOIN's (matched rows
+    // eagerly, unmatched views exactly once on eviction — see
+    // qStreamJoinOuterLive); the per-user aggregate is order-independent
+    "q_stream_join_outer_live" ->
+      s"""WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+        |           FROM events WHERE event_type = 'view'),
+        |     p AS (SELECT user_id AS p_user_id, ts AS purchase_ts, event_id AS purchase_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |     j AS (SELECT user_id, view_id, purchase_id,
+        |                  epoch_us(purchase_ts) - epoch_us(view_ts) AS delay_us
+        |           FROM v LEFT JOIN p ON user_id = p_user_id
+        |                AND purchase_ts >= view_ts
+        |                AND purchase_ts <= view_ts + INTERVAL ${AttributionHours} HOUR)
+        |SELECT user_id,
+        |       CAST(COUNT(purchase_id) AS BIGINT) AS n_pairs,
+        |       CAST(COUNT(DISTINCT view_id) AS BIGINT) AS n_views,
+        |       CAST(COUNT(DISTINCT CASE WHEN purchase_id IS NOT NULL THEN view_id END) AS BIGINT) AS n_matched_views,
+        |       CAST(COUNT(DISTINCT view_id)
+        |            - COUNT(DISTINCT CASE WHEN purchase_id IS NOT NULL THEN view_id END) AS BIGINT) AS n_unmatched_views,
         |       MIN(delay_us) AS min_delay_us,
         |       MAX(delay_us) AS max_delay_us
         |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin

@@ -469,6 +469,54 @@ class StreamingSpec extends SparkSpec {
     } finally StreamOps.PaceRowsPerBatch = prev
   }
 
+  test("paced OUTER stream-stream join equals the batch left join (unmatched emitted once)") {
+    // the outer form's unmatched views are watermark-GATED (emitted only
+    // on eviction), so this pins the drain's sentinel mechanics: the
+    // view+purchase sentinels must push both watermarks past every real
+    // view's TTL, flushing each unmatched view exactly once — and the
+    // matched rows must equal the inner pair set
+    import org.apache.spark.sql.functions._
+    val prev = StreamOps.PaceRowsPerBatch
+    try {
+      StreamOps.PaceRowsPerBatch = 100
+      val live = StreamOps.qStreamJoinOuterLive(spark, sf).collect().map(_.toSeq).toSeq
+      val ev = graft.Tables.events(spark, sf)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("event_id"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      val batch = v.join(p,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") +
+              expr(s"INTERVAL ${StreamOps.AttributionHours} HOURS"),
+          "left_outer")
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+        .groupBy("user_id")
+        .agg(count(col("purchase_id")).as("n_pairs"),
+          countDistinct(col("view_id")).as("n_views"),
+          countDistinct(when(col("purchase_id").isNotNull, col("view_id")))
+            .as("n_matched_views"),
+          min(col("delay_us")).as("min_delay_us"),
+          max(col("delay_us")).as("max_delay_us"))
+        .select(col("user_id"), col("n_pairs"), col("n_views"), col("n_matched_views"),
+          (col("n_views") - col("n_matched_views")).as("n_unmatched_views"),
+          col("min_delay_us"), col("max_delay_us"))
+        .orderBy("user_id")
+        .collect().map(_.toSeq).toSeq
+      assert(live.exists(r => r(4).asInstanceOf[Long] > 0),
+        "fixture must have at least one unmatched view (else the outer path is untested)")
+      assert(live.exists(r => r(3).asInstanceOf[Long] > 0),
+        "fixture must have at least one matched view")
+      assert(live.size == batch.size && live == batch,
+        "paced outer stream-stream join must equal the batch left join exactly")
+    } finally StreamOps.PaceRowsPerBatch = prev
+  }
+
   test("stream-stream join state is evicted MID-DRAIN on both sides (dual watermark TTL)") {
     // not just final-answer equality: the point of the watermark + range
     // condition is that join state is bounded by the live attribution
