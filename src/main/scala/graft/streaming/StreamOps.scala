@@ -4,6 +4,35 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
+/** Spark-4 `StatefulProcessor` backing [[StreamOps.dedupWithCountsTws]]:
+  * one named ValueState slot per fingerprint holding (first doc_id,
+  * suppressed copies) — the same two longs the flatMapGroupsWithState
+  * form carries, declared through the modern handle API (which is where
+  * TTL and timers would attach). Top-level class: processor instances are
+  * serialized to executors, and a nested class would drag the enclosing
+  * object's state along. */
+class DedupCountsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, StreamOps.DocSeen, StreamOps.DedupRecord] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var state: ValueState[(Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long)]("firstAndCopies",
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+  override def handleInputRows(fp: String, rows: Iterator[StreamOps.DocSeen],
+      timerValues: TimerValues): Iterator[StreamOps.DedupRecord] = {
+    // same fold as dedupWithCounts: "no state yet" is exists() itself, so
+    // negative doc_ids keep the first-wins contract
+    val init = if (state.exists()) { val (f, d) = state.get(); (Option(f), d) }
+               else (Option.empty[Long], -1L)
+    val (firstOpt, dups) = rows.foldLeft(init) {
+      case ((f, d), doc) => (f.orElse(Some(doc.doc_id)), d + 1)
+    }
+    val first = firstOpt.get
+    state.update((first, dups))
+    Iterator.single(StreamOps.DedupRecord(fp, first, dups))
+  }
+}
+
 /** Structured Streaming operators (SURVEY §2C): the batch EventOps plans
   * re-expressed as streams with event-time watermarks, plus stateful
   * operators (session windows, custom per-key state).
@@ -152,6 +181,25 @@ object StreamOps {
           state.update((first, dups))
           Iterator.single(DedupRecord(fp, first, dups))
       }
+  }
+
+  /** [[dedupWithCounts]] re-expressed on Spark 4's `transformWithState`
+    * API ([[DedupCountsProcessor]]) — the successor to
+    * flatMapGroupsWithState: NAMED typed state variables
+    * (value/list/map), per-state TTL, and event/processing-time timers,
+    * running on the RocksDB state-store provider. Identical first-wins +
+    * suppressed-copy-count semantics (StreamingSpec proves row-for-row
+    * equality with the flatMapGroupsWithState form across multi-trigger
+    * splits). The per-state TTL hook is the production lever that bounds
+    * an unbounded fingerprint space operationally — the thing the
+    * GroupState form can only approximate with per-key timeouts — passed
+    * NONE here so the equality is exact. */
+  def dedupWithCountsTws(docs: Dataset[DocSeen]): Dataset[DedupRecord] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.fingerprint)
+      .transformWithState(new DedupCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
   case class RollEvent(event_id: Long, ts: java.sql.Timestamp,

@@ -583,6 +583,80 @@ class StreamingSpec extends SparkSpec {
     assert(last == batch)
   }
 
+  test("transformWithState dedup twin equals the flatMapGroupsWithState form across triggers") {
+    // Spark 4's StatefulProcessor API (named state variables, TTL,
+    // timers) is the successor to flatMapGroupsWithState; it runs only on
+    // the RocksDB state-store provider, so this also exercises that
+    // provider end-to-end. Same 3-trigger input as the converges test —
+    // the two forms must agree row-for-row on final per-key state.
+    import StreamOps.DocSeen
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[DocSeen]
+    val q = StreamOps.dedupWithCountsTws(mem.toDS())
+      .writeStream.format("memory").queryName("dedup_tws")
+      .outputMode("update").start()
+    try {
+      mem.addData(DocSeen("A", 10), DocSeen("B", 11), DocSeen("A", 12))
+      q.processAllAvailable()
+      mem.addData(DocSeen("B", 13), DocSeen("A", 14), DocSeen("C", 15))
+      q.processAllAvailable()
+      mem.addData(DocSeen("C", 16))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = ss.table("dedup_tws").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (fp, rows) => fp -> rows.maxBy(_._3) }
+    // identical expectations to the flatMapGroupsWithState converges test
+    assert(last("A") == (("A", 10L, 2L)), s"A: ${last("A")}")
+    assert(last("B") == (("B", 11L, 1L)), s"B: ${last("B")}")
+    assert(last("C") == (("C", 15L, 1L)), s"C: ${last("C")}")
+  }
+
+  test("dropDuplicatesWithinWatermark bounds dedup state and re-admits expired keys") {
+    // the bounded-state exact dedup for UNBOUNDED key spaces — the form a
+    // 100 TB/day stream actually runs (plain dropDuplicates holds every
+    // key forever). Guaranteed semantics pinned under controlled
+    // triggers: duplicates within the delay are dropped (in-batch and
+    // cross-batch while the entry lives), and once the watermark passes
+    // an entry's event time + delay the key's state is EVICTED, so a
+    // later recurrence is re-admitted — state is bounded by the live
+    // delay slice, the price being re-admission beyond the horizon.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[UserEvent]
+    val deduped = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      // b1: u1 kept, u1 in-batch dup dropped, u9 kept; wm -> 23:55 (prev day)
+      mem.addData(
+        UserEvent(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        UserEvent(2, ts("2024-01-01 00:05:00"), 1, "click", 2.0),
+        UserEvent(3, ts("2024-01-01 00:05:00"), 9, "view", 3.0))
+      q.processAllAvailable()
+      // b2: both keys' state still live (wm < eventTime + 10 min) ->
+      // cross-batch dups dropped; wm advances to 00:50
+      mem.addData(
+        UserEvent(4, ts("2024-01-01 00:08:00"), 1, "click", 4.0),
+        UserEvent(5, ts("2024-01-01 01:00:00"), 9, "view", 5.0))
+      q.processAllAvailable()
+      // b3: wm 00:50 has passed both entries' expiry (00:10 / 00:15) ->
+      // state evicted, the recurring key is RE-ADMITTED
+      mem.addData(UserEvent(6, ts("2024-01-01 02:00:00"), 1, "click", 6.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("dedup_wm").select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 6L),
+      s"expected within-delay drops + expiry re-admission, got: $kept")
+  }
+
   test("stream-static enrichment join matches the batch join per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
