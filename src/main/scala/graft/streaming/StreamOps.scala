@@ -188,9 +188,10 @@ object StreamOps {
     * flatMapGroupsWithState: NAMED typed state variables
     * (value/list/map), per-state TTL, and event/processing-time timers,
     * running on the RocksDB state-store provider. Identical first-wins +
-    * suppressed-copy-count semantics (StreamingSpec proves row-for-row
-    * equality with the flatMapGroupsWithState form across multi-trigger
-    * splits). The per-state TTL hook is the production lever that bounds
+    * suppressed-copy-count semantics: StreamingSpec runs BOTH forms on
+    * the same multi-trigger input and asserts their full Update-mode
+    * emission streams are equal as multisets (every per-batch record,
+    * not just final state). The per-state TTL hook is the production lever that bounds
     * an unbounded fingerprint space operationally — the thing the
     * GroupState form can only approximate with per-key timeouts — passed
     * NONE here so the equality is exact. */
@@ -952,11 +953,60 @@ object StreamOps {
   private[graft] val AttributionHours = 6L
 
   /** Per-batch (batchId, inputRows, stateRows, removedRows) of the LAST
-    * stream-stream join drain — kept so StreamingSpec can ASSERT the
-    * dual-sided state eviction (state plateaus at the live attribution
-    * slice; rows leave the join state mid-drain as the watermark passes
-    * them, not in one terminal buildup). */
-  @volatile private[graft] var lastJoinProgress: Seq[(Long, Long, Long, Long)] = Nil
+    * stream-stream join drain PER TAG ("sjoin" inner / "sjoinout" outer)
+    * — kept so StreamingSpec can ASSERT the dual-sided state eviction
+    * for EACH form separately (round-15 review: a single last-writer
+    * var made the two drains' telemetry race). */
+  private[graft] val lastJoinProgress = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Long, Long, Long, Long)]]
+
+  /** Record (and print) a join drain's per-batch progress under its tag. */
+  private def captureJoinProgress(tag: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    lastJoinProgress.put(tag, q.recentProgress.toSeq.map { p =>
+      val so = p.stateOperators.headOption
+      System.err.println(s"[$tag] batch=${p.batchId} in=${p.numInputRows}" +
+        s" ms=${p.durationMs.get("triggerExecution")}" +
+        s" stateRows=${so.map(_.numRowsTotal).getOrElse(-1L)}" +
+        s" removed=${so.map(_.numRowsRemoved).getOrElse(-1L)}")
+      (p.batchId, p.numInputRows,
+        so.map(_.numRowsTotal).getOrElse(-1L), so.map(_.numRowsRemoved).getOrElse(-1L))
+    })
+
+  /** The attribution join's two sides from a (streaming or batch) events
+    * frame — views and purchases, each renamed and carrying its own
+    * event-time watermark — and the join itself. ONE definition keeps the
+    * inner and outer contract forms pairwise consistent (round-15 review:
+    * the condition/sides existed as verbatim copies, the drift class the
+    * stagedTs extraction just fixed). */
+  private def attributionSides(evs: DataFrame): (DataFrame, DataFrame) = {
+    val views = evs.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "0 seconds")
+    val purchases = evs.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "0 seconds")
+    (views, purchases)
+  }
+
+  /** (user_id, view_id, purchase_id, delay_us) attribution join rows. */
+  private def attributionJoin(views: DataFrame, purchases: DataFrame,
+      joinType: String): DataFrame =
+    views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $AttributionHours HOURS"),
+        joinType)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+
+  /** Schema of the scratch-sunk attribution join rows (both forms). */
+  private def attributionRowSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    StructType(Seq(StructField("user_id", LongType), StructField("view_id", LongType),
+      StructField("purchase_id", LongType), StructField("delay_us", LongType)))
+  }
 
   /** LIVE watermarked STREAM-STREAM interval join (round 15 — the fourth
     * driver-visible Structured Streaming query, and the one stateful
@@ -998,7 +1048,6 @@ object StreamOps {
     * product — the equi-key keeps the range predicate a post-filter
     * within a user's bucket. */
   def qStreamJoinLive(spark: SparkSession, dir: String): DataFrame = scratchRoots.synchronized {
-    import org.apache.spark.sql.types.LongType
     val (stagedDir, nFiles, stagedRows) = stagedEvents(spark, dir)
     val stagedSchema = spark.read.parquet(stagedDir.toString).schema
     val tmp = scratchFor("sjoin", dir)
@@ -1018,21 +1067,9 @@ object StreamOps {
       .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
     // each side renames its event-time column FIRST, then watermarks the
     // renamed column — two independently tracked watermarks, exactly as
-    // two physically distinct sources would carry
-    val views = evs.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
-      .withWatermark("view_ts", "0 seconds")
-    val purchases = evs.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"))
-      .withWatermark("purchase_ts", "0 seconds")
-    val pairs = views.join(purchases,
-        col("user_id") === col("p_user_id") &&
-          col("purchase_ts") >= col("view_ts") &&
-          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $AttributionHours HOURS"),
-        "inner")
-      .select(col("user_id"), col("view_id"), col("purchase_id"),
-        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+    // two physically distinct sources would carry (attributionSides)
+    val (views, purchases) = attributionSides(evs)
+    val pairs = attributionJoin(views, purchases, "inner")
     val q = pairs.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$tmp/ckpt")
@@ -1042,22 +1079,9 @@ object StreamOps {
       }
       .start()
     q.awaitTermination()
-    lastJoinProgress = q.recentProgress.toSeq.map { p =>
-      val so = p.stateOperators.headOption
-      System.err.println(s"[sjoin] batch=${p.batchId} in=${p.numInputRows}" +
-        s" ms=${p.durationMs.get("triggerExecution")}" +
-        s" stateRows=${so.map(_.numRowsTotal).getOrElse(-1L)}" +
-        s" removed=${so.map(_.numRowsRemoved).getOrElse(-1L)}")
-      (p.batchId, p.numInputRows,
-        so.map(_.numRowsTotal).getOrElse(-1L), so.map(_.numRowsRemoved).getOrElse(-1L))
-    }
+    captureJoinProgress("sjoin", q)
     unloadStateStores()
-    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id", LongType),
-      org.apache.spark.sql.types.StructField("view_id", LongType),
-      org.apache.spark.sql.types.StructField("purchase_id", LongType),
-      org.apache.spark.sql.types.StructField("delay_us", LongType)))
-    val agg = spark.read.schema(pairSchema).parquet(out)
+    val agg = spark.read.schema(attributionRowSchema).parquet(out)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("view_id")).as("n_views"),
@@ -1099,7 +1123,6 @@ object StreamOps {
     * side holds no extra state — unmatched emission rides the existing
     * eviction); output Θ(views + matches). */
   def qStreamJoinOuterLive(spark: SparkSession, dir: String): DataFrame = scratchRoots.synchronized {
-    import org.apache.spark.sql.types.LongType
     val (stagedDir, nFiles, stagedRows) = stagedEvents(spark, dir)
     val stagedSchema = spark.read.parquet(stagedDir.toString).schema
     val tmp = scratchFor("sjoinout", dir)
@@ -1122,20 +1145,8 @@ object StreamOps {
       .parquet(in.toString)
     val evs = stagedTs(raw)
       .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
-    val views = evs.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
-      .withWatermark("view_ts", "0 seconds")
-    val purchases = evs.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
-        col("event_id").as("purchase_id"))
-      .withWatermark("purchase_ts", "0 seconds")
-    val joined = views.join(purchases,
-        col("user_id") === col("p_user_id") &&
-          col("purchase_ts") >= col("view_ts") &&
-          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $AttributionHours HOURS"),
-        "left_outer")
-      .select(col("user_id"), col("view_id"), col("purchase_id"),
-        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
+    val (views, purchases) = attributionSides(evs)
+    val joined = attributionJoin(views, purchases, "left_outer")
     val q = joined.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$tmp/ckpt")
@@ -1145,31 +1156,25 @@ object StreamOps {
       }
       .start()
     q.awaitTermination()
-    lastJoinProgress = q.recentProgress.toSeq.map { p =>
-      val so = p.stateOperators.headOption
-      System.err.println(s"[sjoinout] batch=${p.batchId} in=${p.numInputRows}" +
-        s" ms=${p.durationMs.get("triggerExecution")}" +
-        s" stateRows=${so.map(_.numRowsTotal).getOrElse(-1L)}" +
-        s" removed=${so.map(_.numRowsRemoved).getOrElse(-1L)}")
-      (p.batchId, p.numInputRows,
-        so.map(_.numRowsTotal).getOrElse(-1L), so.map(_.numRowsRemoved).getOrElse(-1L))
-    }
+    captureJoinProgress("sjoinout", q)
     unloadStateStores()
-    val rowSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id", LongType),
-      org.apache.spark.sql.types.StructField("view_id", LongType),
-      org.apache.spark.sql.types.StructField("purchase_id", LongType),
-      org.apache.spark.sql.types.StructField("delay_us", LongType)))
-    val agg = spark.read.schema(rowSchema).parquet(out)
+    val agg = spark.read.schema(attributionRowSchema).parquet(out)
       .filter(col("user_id") =!= -1L) // drop the sentinels' own rows
       .groupBy("user_id")
-      .agg(count(col("purchase_id")).as("n_pairs"), // non-null = matched rows
+      // n_rows counts EVERY emitted row (matches + null-extended), so the
+      // contract is sensitive to emission MULTIPLICITY — a duplicate
+      // unmatched flush, or a matched view spuriously also emitted
+      // null-extended, breaks the oracle hash (round-15 review: the
+      // null-skipping aggregates alone could not see either failure)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_id")).as("n_pairs"), // non-null = matched rows
         countDistinct(col("view_id")).as("n_views"),
         countDistinct(when(col("purchase_id").isNotNull, col("view_id")))
           .as("n_matched_views"),
         min(col("delay_us")).as("min_delay_us"),
         max(col("delay_us")).as("max_delay_us"))
-      .select(col("user_id"), col("n_pairs"), col("n_views"), col("n_matched_views"),
+      .select(col("user_id"), col("n_rows"), col("n_pairs"), col("n_views"),
+        col("n_matched_views"),
         (col("n_views") - col("n_matched_views")).as("n_unmatched_views"),
         col("min_delay_us"), col("max_delay_us"))
       .orderBy("user_id")
@@ -1236,6 +1241,7 @@ object StreamOps {
         |                AND purchase_ts >= view_ts
         |                AND purchase_ts <= view_ts + INTERVAL ${AttributionHours} HOUR)
         |SELECT user_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
         |       CAST(COUNT(purchase_id) AS BIGINT) AS n_pairs,
         |       CAST(COUNT(DISTINCT view_id) AS BIGINT) AS n_views,
         |       CAST(COUNT(DISTINCT CASE WHEN purchase_id IS NOT NULL THEN view_id END) AS BIGINT) AS n_matched_views,

@@ -497,20 +497,22 @@ class StreamingSpec extends SparkSpec {
         .select(col("user_id"), col("view_id"), col("purchase_id"),
           (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("delay_us"))
         .groupBy("user_id")
-        .agg(count(col("purchase_id")).as("n_pairs"),
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("purchase_id")).as("n_pairs"),
           countDistinct(col("view_id")).as("n_views"),
           countDistinct(when(col("purchase_id").isNotNull, col("view_id")))
             .as("n_matched_views"),
           min(col("delay_us")).as("min_delay_us"),
           max(col("delay_us")).as("max_delay_us"))
-        .select(col("user_id"), col("n_pairs"), col("n_views"), col("n_matched_views"),
+        .select(col("user_id"), col("n_rows"), col("n_pairs"), col("n_views"),
+          col("n_matched_views"),
           (col("n_views") - col("n_matched_views")).as("n_unmatched_views"),
           col("min_delay_us"), col("max_delay_us"))
         .orderBy("user_id")
         .collect().map(_.toSeq).toSeq
-      assert(live.exists(r => r(4).asInstanceOf[Long] > 0),
+      assert(live.exists(r => r(5).asInstanceOf[Long] > 0),
         "fixture must have at least one unmatched view (else the outer path is untested)")
-      assert(live.exists(r => r(3).asInstanceOf[Long] > 0),
+      assert(live.exists(r => r(4).asInstanceOf[Long] > 0),
         "fixture must have at least one matched view")
       assert(live.size == batch.size && live == batch,
         "paced outer stream-stream join must equal the batch left join exactly")
@@ -527,24 +529,43 @@ class StreamingSpec extends SparkSpec {
     try {
       StreamOps.PaceRowsPerBatch = 100
       StreamOps.qStreamJoinLive(spark, sf)
-      val prog = StreamOps.lastJoinProgress
-      val dataBatches = prog.filter(_._2 > 0)
-      assert(dataBatches.size >= 3, s"pacing must yield >= 3 data batches: $prog")
-      val lastId = prog.map(_._1).max
-      val evictingMidDrain = prog.filter(p => p._1 < lastId && p._4 > 0)
-      assert(evictingMidDrain.size >= 2,
-        s"join state must be evicted in >= 2 non-final batches, got: $prog")
-      val joinSides = {
-        import org.apache.spark.sql.functions._
-        graft.Tables.events(spark, sf)
-          .filter(col("event_type").isin("view", "purchase")).count()
-      }
-      val maxState = prog.map(_._3).max
-      assert(maxState > 0 && maxState < joinSides,
-        s"live join state ($maxState rows) must plateau strictly below the " +
-          s"$joinSides joinable events — a corpus-wide buildup means the " +
-          "watermark never evicted mid-drain")
+      assertJoinEvictsMidDrain("sjoin")
     } finally StreamOps.PaceRowsPerBatch = prev
+  }
+
+  test("OUTER stream-stream join state is also evicted mid-drain (the gated-emission mechanism)") {
+    // the outer form's whole novelty is eviction-GATED emission; assert
+    // the eviction itself from its own telemetry tag, not just the final
+    // aggregate (round-15 review: the inner form was asserted, the outer
+    // form's telemetry was recorded but never read)
+    val prev = StreamOps.PaceRowsPerBatch
+    try {
+      StreamOps.PaceRowsPerBatch = 100
+      StreamOps.qStreamJoinOuterLive(spark, sf)
+      assertJoinEvictsMidDrain("sjoinout")
+    } finally StreamOps.PaceRowsPerBatch = prev
+  }
+
+  /** Shared eviction assertion for a join drain's telemetry tag: rows
+    * must LEAVE the symmetric hash join's state in >= 2 non-final batches
+    * and peak state must sit strictly below the corpus's joinable-event
+    * count. */
+  private def assertJoinEvictsMidDrain(tag: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val prog = StreamOps.lastJoinProgress(tag)
+    val dataBatches = prog.filter(_._2 > 0)
+    assert(dataBatches.size >= 3, s"[$tag] pacing must yield >= 3 data batches: $prog")
+    val lastId = prog.map(_._1).max
+    val evictingMidDrain = prog.filter(p => p._1 < lastId && p._4 > 0)
+    assert(evictingMidDrain.size >= 2,
+      s"[$tag] join state must be evicted in >= 2 non-final batches, got: $prog")
+    val joinSides = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase")).count()
+    val maxState = prog.map(_._3).max
+    assert(maxState > 0 && maxState < joinSides,
+      s"[$tag] live join state ($maxState rows) must plateau strictly below " +
+        s"the $joinSides joinable events — a corpus-wide buildup means the " +
+        "watermark never evicted mid-drain")
   }
 
   test("stateful dedup-with-counts converges to the batch truth across triggers") {
@@ -587,30 +608,39 @@ class StreamingSpec extends SparkSpec {
     // Spark 4's StatefulProcessor API (named state variables, TTL,
     // timers) is the successor to flatMapGroupsWithState; it runs only on
     // the RocksDB state-store provider, so this also exercises that
-    // provider end-to-end. Same 3-trigger input as the converges test —
-    // the two forms must agree row-for-row on final per-key state.
+    // provider end-to-end. BOTH forms run on the same 3-trigger input and
+    // their FULL Update-mode emission streams must be equal as multisets
+    // — every per-batch record, not just the final per-key state.
     import StreamOps.DocSeen
     val ss = spark.newSession()
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     implicit val sqlCtx = ss.sqlContext
     import ss.implicits._
-    val mem = MemoryStream[DocSeen]
-    val q = StreamOps.dedupWithCountsTws(mem.toDS())
-      .writeStream.format("memory").queryName("dedup_tws")
-      .outputMode("update").start()
-    try {
-      mem.addData(DocSeen("A", 10), DocSeen("B", 11), DocSeen("A", 12))
-      q.processAllAvailable()
-      mem.addData(DocSeen("B", 13), DocSeen("A", 14), DocSeen("C", 15))
-      q.processAllAvailable()
-      mem.addData(DocSeen("C", 16))
-      q.processAllAvailable()
-    } finally q.stop()
-    val last = ss.table("dedup_tws").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .groupBy(_._1).map { case (fp, rows) => fp -> rows.maxBy(_._3) }
-    // identical expectations to the flatMapGroupsWithState converges test
+    def drain(name: String,
+        form: org.apache.spark.sql.Dataset[StreamOps.DocSeen] =>
+          org.apache.spark.sql.Dataset[StreamOps.DedupRecord]): Seq[(String, Long, Long)] = {
+      val mem = MemoryStream[DocSeen]
+      val q = form(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        mem.addData(DocSeen("A", 10), DocSeen("B", 11), DocSeen("A", 12))
+        q.processAllAvailable()
+        mem.addData(DocSeen("B", 13), DocSeen("A", 14), DocSeen("C", 15))
+        q.processAllAvailable()
+        mem.addData(DocSeen("C", 16))
+        q.processAllAvailable()
+      } finally q.stop()
+      ss.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    val tws = drain("dedup_tws", StreamOps.dedupWithCountsTws)
+    val fmgws = drain("dedup_fmgws", StreamOps.dedupWithCounts)
+    assert(tws.sorted == fmgws.sorted,
+      s"tws and flatMapGroupsWithState emission streams differ:\n$tws\nvs\n$fmgws")
+    // and the final per-key state matches the batch truth
+    val last = tws.groupBy(_._1).map { case (fp, rows) => fp -> rows.maxBy(_._3) }
     assert(last("A") == (("A", 10L, 2L)), s"A: ${last("A")}")
     assert(last("B") == (("B", 11L, 1L)), s"B: ${last("B")}")
     assert(last("C") == (("C", 15L, 1L)), s"C: ${last("C")}")
