@@ -546,6 +546,50 @@ class StreamingSpec extends SparkSpec {
     } finally StreamOps.PaceRowsPerBatch = prev
   }
 
+  test("stream-stream joins survive an entirely EMPTY side (one-sided outage shape)") {
+    // a corpus with NO purchases: the purchase-side watermark would never
+    // advance off a real row, so the outer form's unmatched emission
+    // depends on the SENTINEL advancing that side — exactly what the
+    // typed sentinel pair exists for. The inner form must return an
+    // empty (not failing) frame via the pre-created sink + explicit
+    // schema. Also the mirror edge: no views -> both forms empty/absent.
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    def writeEvents(rows: Seq[(Long, String, Long, String, Double)]): String = {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("sjoin_edge").toString
+      rows.map { case (id, t, u, et, v) => (id, Timestamp.valueOf(t), u, et, v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val onlyViews = writeEvents(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 01:00:00", 1L, "view", 2.0),
+      (3L, "2024-01-02 05:00:00", 2L, "view", 3.0),
+      (4L, "2024-01-03 09:30:00", 3L, "click", 4.0)))
+    assert(StreamOps.qStreamJoinLive(spark, onlyViews).count() == 0,
+      "inner join over a purchase-less corpus must be EMPTY, not an error")
+    val outer = StreamOps.qStreamJoinOuterLive(spark, onlyViews)
+      .collect().map(_.toSeq).toSeq
+    assert(outer.size == 2, s"two view-owning users expected: $outer")
+    // every view unmatched, zero pairs, null delay extrema
+    assert(outer.forall { r =>
+      r(2) == 0L && r(3) == r(5) && r(4) == 0L && r(6) == null && r(7) == null
+    }, s"all views must flush as unmatched with null delays: $outer")
+    assert(outer.map(r => (r(0), r(3))).toSet == Set((1L, 2L), (2L, 1L)),
+      s"per-user view counts: $outer")
+    val onlyPurchases = writeEvents(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "purchase", 1.0),
+      (2L, "2024-01-01 01:00:00", 2L, "purchase", 2.0)))
+    assert(StreamOps.qStreamJoinLive(spark, onlyPurchases).count() == 0,
+      "inner join over a view-less corpus must be EMPTY")
+    assert(StreamOps.qStreamJoinOuterLive(spark, onlyPurchases).count() == 0,
+      "left-outer join over a view-less corpus must be EMPTY (left side empty)")
+    Seq(onlyViews, onlyPurchases).foreach(d =>
+      graft.ScratchDirs.deleteRecursively(java.nio.file.Paths.get(d)))
+  }
+
   /** Shared eviction assertion for a join drain's telemetry tag: rows
     * must LEAVE the symmetric hash join's state in >= 2 non-final batches
     * and peak state must sit strictly below the corpus's joinable-event
