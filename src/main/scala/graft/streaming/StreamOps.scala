@@ -268,16 +268,37 @@ object StreamOps {
     * [[dedupWithCounts]]; the scratch sink is one row per key per batch it
     * appeared in, compacted by a map-side-combining groupBy — nothing here
     * collects to the driver. */
-  def qStreamDedupLive(spark: SparkSession, dir: String): DataFrame = scratchRoots.synchronized {
+  def qStreamDedupLive(spark: SparkSession, dir: String): DataFrame =
+    dedupDrain(spark, dir, "live", tws = false)
+
+  /** [[qStreamDedupLive]] on the MODERN stateful stack (round 15): the
+    * same first-wins dedup-with-counts drain, but through
+    * [[dedupWithCountsTws]] — Spark 4's `transformWithState` /
+    * `StatefulProcessor` — on the ROCKSDB state-store provider, the
+    * API+provider pairing a new deployment would pick (named state
+    * variables with per-state TTL to bound an unbounded fingerprint
+    * space; RocksDB to take state off-heap). The two forms' emission
+    * streams are spec-proved equal, so the oracle is shared verbatim —
+    * this query's value is proving the modern path END-TO-END (file
+    * stream → RocksDB-backed StatefulProcessor → foreachBatch bridge)
+    * under the driver's hash gate, not only in specs. */
+  def qStreamDedupTwsLive(spark: SparkSession, dir: String): DataFrame =
+    dedupDrain(spark, dir, "twslive", tws = true)
+
+  private def dedupDrain(spark: SparkSession, dir: String, tag: String,
+      tws: Boolean): DataFrame = scratchRoots.synchronized {
     // The whole run is serialized on [[scratchRoots]]: two concurrent
     // invocations on the same dir would otherwise share one streaming
     // checkpointLocation and corrupt each other (round-8 advisor item).
     import spark.implicits._
     val path = s"$dir/events.parquet"
     val rawSchema = spark.read.parquet(path).schema
-    val tmp = scratchFor("live", dir)
+    val tmp = scratchFor(tag, dir)
     val out = s"$tmp/out"
     val ss = streamingSession(spark)
+    if (tws) // transformWithState runs only on the RocksDB provider
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // events.parquet is a single FILE: for a non-glob path the file-stream
     // source force-sets basePath to the path itself and then rejects it
     // ("must be a directory"), so list it via a glob (matches only this
@@ -288,7 +309,8 @@ object StreamOps {
         concat(col("user_id").cast("string"), lit("|"), col("event_type")).as("fingerprint"),
         col("event_id").cast("long").as("doc_id"))
       .as[DocSeen]
-    val q = dedupWithCounts(stream).toDF().writeStream
+    val deduped = if (tws) dedupWithCountsTws(stream) else dedupWithCounts(stream)
+    val q = deduped.toDF().writeStream
       .outputMode("update")
       .option("checkpointLocation", s"$tmp/ckpt")
       .trigger(Trigger.AvailableNow())
@@ -317,9 +339,9 @@ object StreamOps {
     // is deleted as soon as the blocks are live, so disk is reclaimed at
     // the earliest safe point rather than held until the next call.
     val (frame, rdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(agg)
-    stashLiveResult(spark, "live", dir, rdd)
+    stashLiveResult(spark, tag, dir, rdd)
     deleteRecursively(tmp)
-    scratchRoots.remove(s"live|$dir")
+    scratchRoots.remove(s"$tag|$dir")
     frame
   }
 
@@ -1190,7 +1212,8 @@ object StreamOps {
     "q_session_window_live" -> qSessionWindowLive,
     "q_rolling_quantile_live" -> qRollingQuantileLive,
     "q_stream_join_live" -> qStreamJoinLive,
-    "q_stream_join_outer_live" -> qStreamJoinOuterLive
+    "q_stream_join_outer_live" -> qStreamJoinOuterLive,
+    "q_stream_dedup_tws_live" -> qStreamDedupTwsLive
   )
 
   /** The streaming dedup's duplicate counts are order-independent, so the
@@ -1199,6 +1222,12 @@ object StreamOps {
     * sessions, so their oracle IS q_session_window's SQL. */
   def oracleSql: Map[String, String] = Map(
     "q_stream_dedup_live" ->
+      """SELECT user_id, event_type, CAST(COUNT(*) - 1 AS BIGINT) AS n_duplicates
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    // identical semantics through the transformWithState/RocksDB path —
+    // the oracle is shared verbatim
+    "q_stream_dedup_tws_live" ->
       """SELECT user_id, event_type, CAST(COUNT(*) - 1 AS BIGINT) AS n_duplicates
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
