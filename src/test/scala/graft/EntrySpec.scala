@@ -36,18 +36,13 @@ class EntrySpec extends SparkSpec {
   }
 
   test("query names are unique across modules (no silent map overwrites)") {
-    val mods: Seq[Map[String, _]] = Seq(
-      operators.Tokenize.queries, operators.Relational.queries,
-      operators.RelationalExt.queries, operators.EventOps.queries,
-      operators.Relational3.queries, operators.TypedOps.queries, operators.TextOps.queries, operators.Dedup.queries,
-      operators.Similarity.queries, operators.PipelineOps.queries,
-      operators.TrainPrep.queries, operators.QualityOps.queries,
-      operators.Relational4.queries, operators.Layout.queries,
-      operators.Bucketed.queries,
-      operators.Graph.queries, multimodal.Multimodal.queries,
-      CorpusPipeline.queries, sources.SchemaInfer.queries,
-      streaming.StreamOps.queries)
-    val total = mods.map(_.size).sum
+    // count SparkEntry's OWN module list (round 15: a hand-copied list
+    // here drifted the moment a new module landed — the spec failed for
+    // the wrong reason instead of guarding the right one)
+    val total = SparkEntry.modules.map(_._1.size).sum
     assert(SparkEntry.queries.size == total, "duplicate query name across modules")
+    val oracleTotal = SparkEntry.modules.map(_._2.size).sum
+    assert(SparkEntry.oracleSql.size == oracleTotal,
+      "duplicate oracle key across modules")
   }
 }

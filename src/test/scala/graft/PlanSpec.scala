@@ -24,6 +24,22 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("l_quantity"))
   }
 
+  test("q_orc_scan pushes predicates into the ORC reader and prunes its columns") {
+    // format parity (round 15): the ORC scan must carry the same
+    // pushdown/pruning posture as the parquet scans — search-argument
+    // row-group skipping and a 3-column ReadSchema
+    val plan = formatted(sources.OrcSource.qOrcScan(spark, sf))
+    assert(plan.contains("Scan orc"), s"must read ORC, not parquet:\n$plan")
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("EqualTo(o_orderstatus,O)"), plan)
+    assert(plan.contains("GreaterThan(o_totalprice,50000.0)"), plan)
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema:")).get
+    assert(!readSchema.contains("o_custkey") && !readSchema.contains("o_orderpriority"),
+      readSchema)
+    assert(readSchema.contains("o_totalprice") && readSchema.contains("o_orderdate"),
+      readSchema)
+  }
+
   test("q_join_star broadcasts the dims and merge-joins the bucketed facts shuffle-free") {
     val plan = formatted(operators.Relational.qJoinStar(spark, sf))
     val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
