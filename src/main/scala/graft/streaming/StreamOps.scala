@@ -1220,17 +1220,18 @@ object StreamOps {
     * oracle is the plain per-key aggregate (count - 1 suppressed copies);
     * the live session windows drain to exactly the batch gap-and-island
     * sessions, so their oracle IS q_session_window's SQL. */
+  /** One truth for both dedup forms (their emission streams are
+    * spec-proved equal — a drift between two copies of this string would
+    * hash-check them against different truths). */
+  private val dedupOracle =
+    """SELECT user_id, event_type, CAST(COUNT(*) - 1 AS BIGINT) AS n_duplicates
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "q_stream_dedup_live" ->
-      """SELECT user_id, event_type, CAST(COUNT(*) - 1 AS BIGINT) AS n_duplicates
-        |FROM events GROUP BY user_id, event_type
-        |ORDER BY user_id, event_type""".stripMargin,
-    // identical semantics through the transformWithState/RocksDB path —
-    // the oracle is shared verbatim
-    "q_stream_dedup_tws_live" ->
-      """SELECT user_id, event_type, CAST(COUNT(*) - 1 AS BIGINT) AS n_duplicates
-        |FROM events GROUP BY user_id, event_type
-        |ORDER BY user_id, event_type""".stripMargin,
+    "q_stream_dedup_live" -> dedupOracle,
+    // identical semantics through the transformWithState/RocksDB path
+    "q_stream_dedup_tws_live" -> dedupOracle,
     "q_session_window_live" ->
       graft.operators.PipelineOps.oracleSql("q_session_window"),
     // single-batch in-order replay == the batch trailing-20 window exactly

@@ -44,5 +44,15 @@ class EntrySpec extends SparkSpec {
     val oracleTotal = SparkEntry.modules.map(_._2.size).sum
     assert(SparkEntry.oracleSql.size == oracleTotal,
       "duplicate oracle key across modules")
+    // deliberate exact-count pin (round-15 follow-up review): the derived
+    // total above can't see a module that exists but was never registered
+    // in SparkEntry.modules, and it can't see an accidental removal. This
+    // literal can — update it CONSCIOUSLY when the contract surface
+    // changes, and check the module is in SparkEntry.modules when you do.
+    assert(SparkEntry.queries.size == 123,
+      s"contract surface changed (${SparkEntry.queries.size} queries): update this " +
+        "pin deliberately and confirm the new/removed module is registered in SparkEntry.modules")
+    assert(SparkEntry.oracleSql.size == 121,
+      s"oracle surface changed (${SparkEntry.oracleSql.size} keys): update this pin deliberately")
   }
 }

@@ -568,25 +568,26 @@ class StreamingSpec extends SparkSpec {
       (2L, "2024-01-01 01:00:00", 1L, "view", 2.0),
       (3L, "2024-01-02 05:00:00", 2L, "view", 3.0),
       (4L, "2024-01-03 09:30:00", 3L, "click", 4.0)))
-    assert(StreamOps.qStreamJoinLive(spark, onlyViews).count() == 0,
-      "inner join over a purchase-less corpus must be EMPTY, not an error")
-    val outer = StreamOps.qStreamJoinOuterLive(spark, onlyViews)
-      .collect().map(_.toSeq).toSeq
-    assert(outer.size == 2, s"two view-owning users expected: $outer")
-    // every view unmatched, zero pairs, null delay extrema
-    assert(outer.forall { r =>
-      r(2) == 0L && r(3) == r(5) && r(4) == 0L && r(6) == null && r(7) == null
-    }, s"all views must flush as unmatched with null delays: $outer")
-    assert(outer.map(r => (r(0), r(3))).toSet == Set((1L, 2L), (2L, 1L)),
-      s"per-user view counts: $outer")
     val onlyPurchases = writeEvents(Seq(
       (1L, "2024-01-01 00:00:00", 1L, "purchase", 1.0),
       (2L, "2024-01-01 01:00:00", 2L, "purchase", 2.0)))
-    assert(StreamOps.qStreamJoinLive(spark, onlyPurchases).count() == 0,
-      "inner join over a view-less corpus must be EMPTY")
-    assert(StreamOps.qStreamJoinOuterLive(spark, onlyPurchases).count() == 0,
-      "left-outer join over a view-less corpus must be EMPTY (left side empty)")
-    Seq(onlyViews, onlyPurchases).foreach(d =>
+    try {
+      assert(StreamOps.qStreamJoinLive(spark, onlyViews).count() == 0,
+        "inner join over a purchase-less corpus must be EMPTY, not an error")
+      val outer = StreamOps.qStreamJoinOuterLive(spark, onlyViews)
+        .collect().map(_.toSeq).toSeq
+      assert(outer.size == 2, s"two view-owning users expected: $outer")
+      // every view unmatched, zero pairs, null delay extrema
+      assert(outer.forall { r =>
+        r(2) == 0L && r(3) == r(5) && r(4) == 0L && r(6) == null && r(7) == null
+      }, s"all views must flush as unmatched with null delays: $outer")
+      assert(outer.map(r => (r(0), r(3))).toSet == Set((1L, 2L), (2L, 1L)),
+        s"per-user view counts: $outer")
+      assert(StreamOps.qStreamJoinLive(spark, onlyPurchases).count() == 0,
+        "inner join over a view-less corpus must be EMPTY")
+      assert(StreamOps.qStreamJoinOuterLive(spark, onlyPurchases).count() == 0,
+        "left-outer join over a view-less corpus must be EMPTY (left side empty)")
+    } finally Seq(onlyViews, onlyPurchases).foreach(d =>
       graft.ScratchDirs.deleteRecursively(java.nio.file.Paths.get(d)))
   }
 
