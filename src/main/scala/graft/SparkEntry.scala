@@ -42,6 +42,7 @@ object SparkEntry {
       (CorpusPipeline.queries, CorpusPipeline.oracleSql),
       (graft.sources.SchemaInfer.queries, graft.sources.SchemaInfer.oracleSql),
       (graft.sources.OrcSource.queries, graft.sources.OrcSource.oracleSql),
+      (graft.sources.CsvSource.queries, graft.sources.CsvSource.oracleSql),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracleSql)
     )
 

@@ -49,10 +49,10 @@ class EntrySpec extends SparkSpec {
     // in SparkEntry.modules, and it can't see an accidental removal. This
     // literal can — update it CONSCIOUSLY when the contract surface
     // changes, and check the module is in SparkEntry.modules when you do.
-    assert(SparkEntry.queries.size == 123,
+    assert(SparkEntry.queries.size == 126,
       s"contract surface changed (${SparkEntry.queries.size} queries): update this " +
         "pin deliberately and confirm the new/removed module is registered in SparkEntry.modules")
-    assert(SparkEntry.oracleSql.size == 121,
+    assert(SparkEntry.oracleSql.size == 124,
       s"oracle surface changed (${SparkEntry.oracleSql.size} keys): update this pin deliberately")
   }
 }

@@ -40,6 +40,69 @@ class PlanSpec extends SparkSpec {
       readSchema)
   }
 
+  test("q_csv_scan pushes predicates to the CSV parser, prunes columns, and infers types") {
+    // text-format parity (round 16): CSV carries the same posture —
+    // PushedFilters reach the parser (SPARK-30323: non-matching rows are
+    // skipped before full row construction) and unreferenced fields are
+    // never converted. What CSV scans CANNOT push: there is no row-group
+    // statistics skipping (text has no footer stats), so a pushed filter
+    // still parses every line's referenced prefix — pruning I/O needs a
+    // columnar format; this assertion pins what the text lane CAN do.
+    val plan = formatted(sources.CsvSource.qCsvScan(spark, sf))
+    assert(plan.contains("Scan csv"), s"must read CSV, not parquet:\n$plan")
+    assert(plan.contains("EqualTo(p_type,PROMO)"), plan)
+    assert(plan.contains("GreaterThan(p_size,25)"), plan)
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema:")).get
+    assert(!readSchema.contains("p_brand"), s"unreferenced column must be pruned: $readSchema")
+    // the INFERRED types are visible in-plan: integers landed as int (not
+    // string, not bigint), the money column as double — the same types
+    // the oracle CASTs the parquet source to
+    assert(readSchema.contains("p_partkey:int") && readSchema.contains("p_size:int"),
+      readSchema)
+    assert(readSchema.contains("p_retailprice:double"), readSchema)
+  }
+
+  test("AQE posture pinned: assertions run adaptive, and the bucketed join survives finalization") {
+    // The DRIVER's contract session runs Spark defaults, where
+    // spark.sql.adaptive.enabled is TRUE — so every plan this suite
+    // asserts must hold under runtime re-planning, and the spec session
+    // must not quietly differ (round-15 verdict item 6: the engine never
+    // asserted the AQE interaction either way). Pin the posture...
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "plan assertions must run under the driver-default ADAPTIVE posture")
+    // ...and assert a representative shape on the FINAL adaptive plan,
+    // after execution, not just the static one: AQE may re-plan joins at
+    // runtime (broadcast flips, skew splits, partition coalescing), and
+    // the bucketed join's zero-pre-join-exchange property must survive
+    // that — a co-located scan AQE replaced with a shuffled one would
+    // pass the static assertion above and still shuffle at runtime.
+    val df = operators.Bucketed.qBucketedJoin(spark, sf)
+    df.collect() // drive to completion so the adaptive plan finalizes
+    val fin = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        assert(a.isFinalPlan, "plan must have finalized")
+        a.executedPlan
+      case p => p
+    }
+    // the finalized plan is STAGED: QueryStageExec wraps each materialized
+    // subtree as a leaf, so a plain collect stops at stage boundaries —
+    // descend through them
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val nodes = flatten(fin)
+    val joins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(joins.nonEmpty, s"bucketed join must stay a merge join under AQE:\n$fin")
+    val preJoinExchanges = joins.head.children.flatMap(flatten).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+    assert(preJoinExchanges.isEmpty,
+      s"AQE-final plan must keep the bucketed join's inputs exchange-free:\n$fin")
+  }
+
   test("q_join_star broadcasts the dims and merge-joins the bucketed facts shuffle-free") {
     val plan = formatted(operators.Relational.qJoinStar(spark, sf))
     val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))

@@ -597,7 +597,7 @@ class StreamingSpec extends SparkSpec {
     * count. */
   private def assertJoinEvictsMidDrain(tag: String): Unit = {
     import org.apache.spark.sql.functions._
-    val prog = StreamOps.lastJoinProgress(tag)
+    val prog = StreamOps.lastDrainProgress(tag)
     val dataBatches = prog.filter(_._2 > 0)
     assert(dataBatches.size >= 3, s"[$tag] pacing must yield >= 3 data batches: $prog")
     val lastId = prog.map(_._1).max
@@ -730,6 +730,131 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 3L, 6L),
       s"expected within-delay drops + expiry re-admission, got: $kept")
+  }
+
+  test("session timer arming is pinned (first whole ms strictly past the session end)") {
+    // sessionTimerMs must never allow an early fire: the ms-granular
+    // watermark reaches the timer only once watermark*1000 > end_us
+    val gap = graft.operators.PipelineOps.SessionGapUs
+    // ms-aligned end: end_us = 1_000_000 + gap -> timer one full ms past
+    assert(StreamOps.sessionTimerMs(1000000L) == (1000000L + gap) / 1000 + 1)
+    // sub-ms end: 1_000_500 + gap must round UP past the end, not down into it
+    val t = StreamOps.sessionTimerMs(1000500L)
+    assert(t * 1000L > 1000500L + gap, "timer*1000 must sit strictly past end_us")
+    assert((t - 1) * 1000L <= 1000500L + gap, "and be the FIRST such ms")
+    // tsUs: getTime carries seconds+ms, getNanos the full sub-second part
+    val fine = Timestamp.valueOf("2024-01-01 00:00:01.234567")
+    assert(StreamOps.tsUs(fine) % 1000000L == 234567L)
+  }
+
+  test("timer processor: cross-batch extension, inline close, and timer-driven close") {
+    // controlled-trigger semantics of SessionTimerProcessor: a session
+    // EXTENDS across micro-batches, CLOSES INLINE when a gap-exceeding
+    // event arrives, and closes by EVENT-TIME TIMER when the watermark
+    // passes its end with no successor event — the registerTimer/
+    // deleteTimer/handleExpiredTimer path (u1-s2 and u2 have no successor
+    // events, so ONLY a fired timer can emit them). u3's session end sits
+    // past the final watermark: its timer must NOT fire (open tail).
+    import StreamOps.SessEvent
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[SessEvent]
+    val out = mem.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = out.toDF().writeStream.format("memory").queryName("sess_tws")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        SessEvent(1, ts("2024-01-01 00:00:00"), 1500000L),
+        SessEvent(1, ts("2024-01-01 00:10:00"), 2250000L),
+        SessEvent(2, ts("2024-01-01 00:00:00"), 4000000L))
+      q.processAllAvailable() // wm -> 00:10
+      mem.addData(SessEvent(1, ts("2024-01-01 02:00:00"), 8000000L))
+      q.processAllAvailable() // u1-s1 closes INLINE; wm -> 02:00 > u2's 00:30 timer
+      mem.addData(SessEvent(3, ts("2024-01-01 05:00:00"), 16000000L))
+      q.processAllAvailable() // u2 closes by TIMER; wm -> 05:00 > u1-s2's 02:30 timer
+    } finally q.stop()
+    val gap = graft.operators.PipelineOps.SessionGapUs
+    def us(s: String): Long = StreamOps.tsUs(ts(s))
+    val got = ss.table("sess_tws").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val want = Set(
+      (1L, us("2024-01-01 00:00:00"), us("2024-01-01 00:10:00") + gap, 2L, 3750000L),
+      (1L, us("2024-01-01 02:00:00"), us("2024-01-01 02:00:00") + gap, 1L, 8000000L),
+      (2L, us("2024-01-01 00:00:00"), us("2024-01-01 00:00:00") + gap, 1L, 4000000L))
+    assert(got == want,
+      s"expected inline + timer closes with u3 left open, got: $got")
+  }
+
+  test("paced timer-session drain equals the batch gap-and-island result, closing sessions mid-drain") {
+    // the contract form: K≈10 paced micro-batches over the staged
+    // fixture, RocksDB-backed timers — output must equal the batch
+    // session_window oracle row-for-row, and the telemetry must show
+    // sessions LEAVING state in non-final batches (state.clear in
+    // handleExpiredTimer is the only removal path, so every removal IS a
+    // timer-driven close — inline closes replace state in place)
+    val prev = StreamOps.PaceRowsPerBatch
+    try {
+      StreamOps.PaceRowsPerBatch = 100
+      val live = StreamOps.qSessionTwsLive(spark, sf).collect().map(_.toSeq).toSeq
+      val batch = graft.operators.PipelineOps.qSessionWindow(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(live.size == batch.size && live == batch,
+        "timer-driven sessions must equal the batch gap-and-island result exactly")
+      val prog = StreamOps.lastDrainProgress("sesstws")
+      assert(prog.count(_._2 > 0) >= 3, s"pacing must yield >= 3 data batches: $prog")
+      val lastId = prog.map(_._1).max
+      assert(prog.exists(p => p._1 < lastId && p._4 > 0),
+        s"timers must close sessions in at least one non-final batch: $prog")
+    } finally StreamOps.PaceRowsPerBatch = prev
+  }
+
+  test("paced within-watermark dedup drain equals the distinct-epoch truth with bounded state") {
+    // K≈10 paced micro-batches: one emission per occupied (user, type,
+    // 2h-epoch) under ANY pacing/in-batch order (the any-anchor-coverage
+    // argument in qStreamDedupWmLive's scaladoc), state EVICTED as the
+    // watermark passes each entry's first-arrival + 2 h — peak live keys
+    // must plateau strictly below the corpus's total key count, the
+    // bounded-state property that distinguishes this operator from
+    // dropDuplicates
+    import org.apache.spark.sql.functions._
+    val prev = StreamOps.PaceRowsPerBatch
+    try {
+      StreamOps.PaceRowsPerBatch = 100
+      val live = StreamOps.qStreamDedupWmLive(spark, sf).collect().map(_.toSeq).toSeq
+      val batch = graft.Tables.events(spark, sf)
+        .select(col("user_id"), col("event_type"),
+          expr(s"unix_micros(CAST(ts AS TIMESTAMP)) div ${StreamOps.DedupEpochUs}L")
+            .as("epoch_id"))
+        .groupBy("user_id", "event_type")
+        .agg(countDistinct(col("epoch_id")).as("n_epochs"),
+          min(col("epoch_id")).as("first_epoch"),
+          max(col("epoch_id")).as("last_epoch"))
+        .orderBy("user_id", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(live.size == batch.size && live == batch,
+        "within-watermark dedup must emit exactly one row per occupied epoch")
+      assert(live.exists(_(2).asInstanceOf[Long] > 1L),
+        "fixture must exercise re-admission (some pair spanning > 1 epoch)")
+      val prog = StreamOps.lastDrainProgress("dedupwm")
+      assert(prog.count(_._2 > 0) >= 3, s"pacing must yield >= 3 data batches: $prog")
+      val lastId = prog.map(_._1).max
+      assert(prog.count(p => p._1 < lastId && p._4 > 0) >= 2,
+        s"expired keys must be evicted in >= 2 non-final batches: $prog")
+      val totalKeys = live.map(_(2).asInstanceOf[Long]).sum
+      val maxState = prog.map(_._3).max
+      assert(maxState > 0 && maxState < totalKeys,
+        s"live dedup state ($maxState keys) must plateau strictly below the " +
+          s"corpus's $totalKeys (user, type, epoch) keys")
+    } finally StreamOps.PaceRowsPerBatch = prev
   }
 
   test("stream-static enrichment join matches the batch join per micro-batch") {
