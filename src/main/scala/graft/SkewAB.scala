@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only A/B (round 16 — verdict item 6): does AQE's runtime skew-join
+  * split SUBSUME `q_skew_join`'s hand salting at 100×? The contract
+  * fixture's l_suppkey is near-uniform, so the question needs a corpus
+  * with a genuinely PATHOLOGICAL hot key: this harness derives one from
+  * the 100× probe lineitem (30% of ~60 M fact rows re-keyed to a single
+  * supplier — one shuffle partition ~18× the median) and times the same
+  * join+aggregate four ways in one interleaved window (the FuzzyProbe
+  * discipline):
+  *
+  *   - `aqe`      plain declarative join, AQE skew split ON (the default)
+  *   - `aqetuned` same, with the split gate LOWERED (32 MB / factor 2 /
+  *                16 MB advisory) — the bytes-based default gate can
+  *                leave a compressed row-count straggler unsplit
+  *   - `noskew`   plain join, `spark.sql.adaptive.skewJoin.enabled=false`
+  *                (the straggler baseline: one task carries the hot key)
+  *   - `salted8`  SkewJoin.saltedInnerJoin, salt=8 (the contract's value)
+  *   - `salted32` salt = the full core count
+  *
+  * All variants run with `autoBroadcastJoinThreshold=-1`: broadcasting
+  * the dimension dissolves the skew question entirely (no shuffle of the
+  * fact side — the answer at THIS corpus size, where the dimension still
+  * fits), so the A/B pins the both-sides-large regime that salting and
+  * AQE splitting actually compete in. Variant outputs are sanity-checked
+  * equal (exact per-nation counts + the decimal-summed money convention)
+  * before timing. The `aqe` pass also reports whether the finalized plan
+  * really split (`skew=true` on the merge join) so a "no difference"
+  * reading can't silently mean "AQE never triggered".
+  *
+  * Usage: tools/run.sh graft.SkewAB [probeDir] (default tmp/sfprobe100;
+  * needs ScaleProbe's x100 corpus). SPARK_GRAFT_SKEWAB_PASSES=N. */
+object SkewAB {
+  def main(args: Array[String]): Unit = {
+    val probe = args.headOption.getOrElse("/root/repo/tmp/sfprobe100")
+    val x100 = s"$probe/x100"
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SKEWAB_PASSES", "3").toInt
+    val spark = Sessions.local()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // hot-key skewed fact copy, derived once and reused (dev corpus, same
+    // lifecycle as the probe dir it lives in)
+    val skewPath = s"$probe/skewab_lineitem.parquet"
+    if (!new java.io.File(skewPath).exists()) {
+      val hot = spark.read.parquet(s"$x100/supplier.parquet")
+        .agg(min(col("s_suppkey"))).head().getLong(0)
+      spark.read.parquet(s"$x100/lineitem.parquet")
+        .select(
+          when(pmod(col("l_orderkey"), lit(100)) < 30, lit(hot))
+            .otherwise(col("l_suppkey")).as("l_suppkey"),
+          col("l_extendedprice"))
+        .write.parquet(skewPath)
+      println(s"[skewab] derived hot-key corpus at $skewPath (hot=$hot)")
+    }
+
+    def session(skewJoin: Boolean, tuned: Boolean = false): SparkSession = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
+      if (tuned) {
+        // the default split gate is BYTES-conservative (256 MB AND 5x
+        // median): a compressed hot partition can sit under it while
+        // being a 14x row-count wall-clock straggler — lower the bar so
+        // the split actually fires, the tuning a deployment would ship
+        ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32MB")
+        ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
+      }
+      ss
+    }
+    def sides(ss: SparkSession): (DataFrame, DataFrame) = (
+      ss.read.parquet(skewPath),
+      ss.read.parquet(s"$x100/supplier.parquet")
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+        .select("l_suppkey", "s_nationkey"))
+    def agg(j: DataFrame): DataFrame = j
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("sum_price"))
+      .orderBy("s_nationkey")
+    def plain(skewJoin: Boolean, tuned: Boolean = false): DataFrame = {
+      val (li, sup) = sides(session(skewJoin, tuned)); agg(li.join(sup, "l_suppkey"))
+    }
+    def salted(salt: Int): DataFrame = {
+      val (li, sup) = sides(session(skewJoin = true))
+      agg(operators.SkewJoin.saltedInnerJoin(li, sup, "l_suppkey", salt))
+    }
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "aqe" -> (() => plain(true)),
+      "aqetuned" -> (() => plain(true, tuned = true)),
+      "noskew" -> (() => plain(false)),
+      "salted8" -> (() => salted(8)),
+      "salted32" -> (() => salted(Sessions.cpus.toInt)))
+
+    // sanity: identical answers before any timing is trusted
+    val ref = variants.head._2().collect().map(_.toSeq).toSeq
+    variants.tail.foreach { case (name, mk) =>
+      val got = mk().collect().map(_.toSeq).toSeq
+      require(got == ref, s"[skewab] $name disagrees with aqe")
+    }
+    println(s"[skewab] sanity: all ${variants.size} variants agree (${ref.size} nations)")
+
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (pass <- 1 to passes; (name, mk) <- variants) {
+      val df = mk()
+      val (t, host) = HostMeter.timed {
+        df.write.format("noop").mode("overwrite").save()
+      }
+      if (pass == 1 && name.startsWith("aqe")) {
+        // detection needs the df's OWN QueryExecution finalized — the
+        // noop write above ran through the command's separate execution,
+        // so drive this plan to completion with a (25-row) collect
+        val probe = mk()
+        probe.collect()
+        val split = probe.queryExecution.executedPlan.toString.contains("skew=true")
+        println(f"[skewab] $name final-plan skew-split-applied=$split")
+      }
+      println(f"[skewab] pass=$pass $name%-9s $t%7.2fs  $host")
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+    }
+    best.foreach { case (k, t) => println(f"[skewab] min $k%-9s $t%7.2fs") }
+    spark.stop()
+  }
+}
