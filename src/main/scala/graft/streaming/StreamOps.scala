@@ -11,13 +11,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * TTL and timers would attach). Top-level class: processor instances are
   * serialized to executors, and a nested class would drag the enclosing
   * object's state along. */
-class DedupCountsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+class DedupCountsProcessor(ttl: Option[java.time.Duration] = None)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
     String, StreamOps.DocSeen, StreamOps.DedupRecord] {
   import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
   @transient private var state: ValueState[(Long, Long)] = _
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    // per-state TTL is the production lever that bounds an unbounded
+    // fingerprint space: an entry expires `ttl` after its last update
+    // (wall clock — TTL requires TimeMode.ProcessingTime), after which
+    // the key re-admits as first-seen. The contract drain passes None
+    // (exact oracle equality); StreamingSpec drives the TTL path.
     state = getHandle.getValueState[(Long, Long)]("firstAndCopies",
-      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
   override def handleInputRows(fp: String, rows: Iterator[StreamOps.DocSeen],
       timerValues: TimerValues): Iterator[StreamOps.DedupRecord] = {
     // same fold as dedupWithCounts: "no state yet" is exists() itself, so
@@ -281,12 +288,15 @@ object StreamOps {
     * an unbounded fingerprint space operationally — the thing the
     * GroupState form can only approximate with per-key timeouts — passed
     * NONE here so the equality is exact. */
-  def dedupWithCountsTws(docs: Dataset[DocSeen]): Dataset[DedupRecord] = {
+  def dedupWithCountsTws(docs: Dataset[DocSeen],
+      ttl: Option[java.time.Duration] = None): Dataset[DedupRecord] = {
     import docs.sparkSession.implicits._
+    val timeMode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
     docs
       .groupByKey(_.fingerprint)
-      .transformWithState(new DedupCountsProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .transformWithState(new DedupCountsProcessor(ttl), timeMode, OutputMode.Update())
   }
 
   /** Typed input/output of [[SessionTimerProcessor]]: value pre-scaled to

@@ -680,7 +680,7 @@ class StreamingSpec extends SparkSpec {
       ss.table(name).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     }
-    val tws = drain("dedup_tws", StreamOps.dedupWithCountsTws)
+    val tws = drain("dedup_tws", StreamOps.dedupWithCountsTws(_))
     val fmgws = drain("dedup_fmgws", StreamOps.dedupWithCounts)
     assert(tws.sorted == fmgws.sorted,
       s"tws and flatMapGroupsWithState emission streams differ:\n$tws\nvs\n$fmgws")
@@ -689,6 +689,58 @@ class StreamingSpec extends SparkSpec {
     assert(last("A") == (("A", 10L, 2L)), s"A: ${last("A")}")
     assert(last("B") == (("B", 11L, 1L)), s"B: ${last("B")}")
     assert(last("C") == (("C", 15L, 1L)), s"C: ${last("C")}")
+  }
+
+  test("transformWithState per-state TTL expires dedup entries (re-admission after the TTL)") {
+    // the TTL lever that bounds an unbounded fingerprint space, driven
+    // for real (round 16): a 500 ms TTL on the value state and a 1.5 s
+    // wall-clock pause between triggers — the entry expires, so the key
+    // re-admits as first-seen (first_doc_id RESETS, copies restart),
+    // where the no-TTL form would count the recurrence as a suppressed
+    // duplicate. TTL is wall-clock (it requires
+    // TimeMode.ProcessingTime), which is why it lives here and not on an
+    // oracle lane; the 3x sleep-over-TTL margin makes the race practical
+    // noise — this can only flake if the host freezes the JVM for a
+    // second between triggers.
+    import StreamOps.DocSeen
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[DocSeen]
+    val q = StreamOps.dedupWithCountsTws(mem.toDS(),
+        ttl = Some(java.time.Duration.ofMillis(500)))
+      .writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("update").start()
+    // ProcessingTime mode runs CONTINUOUS micro-batches (the engine keeps
+    // triggering to advance the wall clock for TTL/timers), so
+    // processAllAvailable never settles — synchronize by polling the sink
+    // for the expected emission instead
+    def awaitRow(want: (String, Long, Long) => Boolean, label: String): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!ss.table("dedup_ttl").collect()
+          .exists(r => want(r.getString(0), r.getLong(1), r.getLong(2)))) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $label: " +
+          ss.table("dedup_ttl").collect().mkString(";"))
+        Thread.sleep(50)
+      }
+    }
+    val rows = try {
+      mem.addData(DocSeen("A", 10), DocSeen("A", 11))
+      awaitRow((fp, first, d) => fp == "A" && first == 10L && d == 1L,
+        "batch-1 in-batch dedup (A,10,1)")
+      Thread.sleep(1500) // 3x the TTL: the entry expires
+      mem.addData(DocSeen("A", 20))
+      awaitRow((fp, first, _) => fp == "A" && first == 20L,
+        "post-TTL re-admission of doc 20")
+      ss.table("dedup_ttl").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    } finally q.stop()
+    assert(rows.contains(("A", 20L, 0L)),
+      s"expired entry must re-admit doc 20 as FIRST-seen with a reset count: $rows")
+    assert(!rows.exists(r => r._2 == 10L && r._3 > 1L),
+      s"TTL'd state must not count doc 20 as a duplicate of doc 10: $rows")
   }
 
   test("dropDuplicatesWithinWatermark bounds dedup state and re-admits expired keys") {
