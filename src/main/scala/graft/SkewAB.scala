@@ -42,9 +42,13 @@ object SkewAB {
     spark.sparkContext.setLogLevel("ERROR")
 
     // hot-key skewed fact copy, derived once and reused (dev corpus, same
-    // lifecycle as the probe dir it lives in)
+    // lifecycle as the probe dir it lives in). Gate on the _SUCCESS
+    // marker, not bare existence (round-16 review): a write killed
+    // mid-derivation leaves a partial directory that every variant would
+    // silently agree on — wipe and rebuild instead.
     val skewPath = s"$probe/skewab_lineitem.parquet"
-    if (!new java.io.File(skewPath).exists()) {
+    if (!new java.io.File(s"$skewPath/_SUCCESS").exists()) {
+      ScratchDirs.deleteRecursively(java.nio.file.Paths.get(skewPath))
       val hot = spark.read.parquet(s"$x100/supplier.parquet")
         .agg(min(col("s_suppkey"))).head().getLong(0)
       spark.read.parquet(s"$x100/lineitem.parquet")

@@ -493,48 +493,90 @@ object StreamOps {
     * artifact, not the operator). The sentinel trick is the standard
     * stream-drain pattern for bounded replays; a true unbounded
     * deployment simply has no drain step. */
-  def qSessionWindowLive(spark: SparkSession, dir: String): DataFrame = scratchRoots.synchronized {
+  /** Shared scaffold of every PACED staged-replay drain (round-16 review:
+    * the prologue/epilogue existed as 5 near-identical copies, and the
+    * round-15 drain-recipe pins had to be applied per copy): stage the
+    * corpus ([[stagedEvents]]), lay optional sentinels as the newest file
+    * ([[sentineledReplay]]), derive state partitions from PER-BATCH rows
+    * (round 9/10 — state-store merge/evict work is single-threaded per
+    * partition; 8 partitions left 3/4 of the cores idle at the 100×
+    * probe, 39.8 → 33.3 s at 32), run `plan` over the time-normalized
+    * file stream in APPEND mode through the foreachBatch parquet bridge,
+    * capture per-batch telemetry under `tag`, unload the state-store
+    * providers, and hand the scratch-read result through `finalize` +
+    * the eager-materialize/stash/reclaim epilogue ([[qStreamDedupLive]]'s
+    * scratch-independence contract). The drain correctness argument
+    * shared by every user: staging orders files by (ts, event_id) range,
+    * so batch k+1 rows are never behind batch k's watermark — paced
+    * watermark advance is safe, and state evicts INCREMENTALLY.
+    *
+    * Not on this scaffold: the dedup drains (UPDATE-mode over the raw
+    * events file — [[dedupDrain]], their own shared body) and the
+    * rolling-quantile drain (stateless foreachBatch with a driver-held
+    * carry at the CALLER's shuffle width, no state store). */
+  private def stagedDrain(spark: SparkSession, dir: String, tag: String,
+      sentinels: org.apache.spark.sql.types.StructType => Seq[Row] = _ => Nil,
+      provider: String = "",
+      // set when EVERY batch may legitimately emit nothing (e.g. a join
+      // with no matches): the scratch read then cannot infer a schema
+      // from zero part files and must be told it
+      outSchema: Option[org.apache.spark.sql.types.StructType] = None)(
+      plan: DataFrame => DataFrame)(
+      finalize: DataFrame => DataFrame): DataFrame = scratchRoots.synchronized {
+    val (stagedDir, stagedFiles, stagedRows) = stagedEvents(spark, dir)
+    val stagedSchema = spark.read.parquet(stagedDir.toString).schema
+    val tmp = scratchFor(tag, dir)
+    val out = s"$tmp/out"
+    // a batch may emit nothing (nothing to append): pre-create the sink
+    // dir so the scratch read never depends on a non-empty batch
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val sent = sentinels(stagedSchema)
+    val in = if (sent.isEmpty) stagedDir
+             else sentineledReplay(spark, tmp, stagedDir, stagedSchema, sent)
+    val parts = stateParts(statePartsFor(
+      perBatchRows(stagedRows, stagedFiles), spark.sparkContext.defaultParallelism))
+    val ss = streamingSession(spark, parts)
+    if (provider.nonEmpty)
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    val raw = ss.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", 1)
+      // the staged files' modtimes sit ~1 h behind a freshly-written
+      // sentinel and fall further behind as the JVM ages; the source's
+      // default 7-day maxFileAge would then silently drop the whole
+      // staged corpus — disable the age filter (self-review round 9)
+      .option("maxFileAge", "3650d")
+      .parquet(in.toString)
+    val q = plan(stagedTs(raw)).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.write.mode(SaveMode.Append).parquet(out)
+      }
+      .start()
+    q.awaitTermination()
+    captureDrainProgress(tag, q)
+    unloadStateStores()
+    val reader = outSchema.map(spark.read.schema).getOrElse(spark.read)
+    val result = finalize(reader.parquet(out))
+    val (frame, rdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(result)
+    stashLiveResult(spark, tag, dir, rdd)
+    deleteRecursively(tmp)
+    scratchRoots.remove(s"$tag|$dir")
+    frame
+  }
+
+  def qSessionWindowLive(spark: SparkSession, dir: String): DataFrame = {
     // PACED drain (round-9, verdict item 1): the replay consumes the
     // time-ordered staged copy one file per micro-batch, so the watermark
     // advances with every batch and sessions are evicted INCREMENTALLY —
     // peak state is the sessions live within one time slice, and the
-    // terminal flush only emits the trailing tail, not the whole corpus.
-    // Correct because staging orders files by (ts, event_id) range: batch
-    // k+1 rows are never behind batch k's watermark, and a session still
-    // open at a batch boundary either continues (next event within the
-    // gap) or was ALREADY a new session by gap semantics when the
-    // watermark passed its end.
-    val (stagedDir, stagedFiles, stagedRows) = stagedEvents(spark, dir)
-    val stagedSchema = spark.read.parquet(stagedDir.toString).schema
-    val tmp = scratchFor("session", dir)
-    // One sentinel row 10 gaps past the corpus max: the final micro-batch,
-    // pushing the global watermark past every real session's end.
+    // terminal flush only emits the trailing tail, not the whole corpus
+    // (spec-asserted from the drain telemetry). One sentinel row 10 gaps
+    // past the corpus max is the final micro-batch, pushing the global
+    // watermark past every real session's end.
     val sentinelUs = corpusMaxUs(spark, dir) +
       10 * graft.operators.PipelineOps.SessionGapUs
-    val in = sentineledReplay(spark, tmp, stagedDir, stagedSchema,
-      Seq(sentinelRow(stagedSchema, sentinelUs)))
-
-    // state partitions scale with PER-BATCH rows (round 9; derivation
-    // fixed round 10 — see statePartsFor): state-store merge/evict work
-    // is single-threaded per partition, and under paced eviction this
-    // fixture churns ~1 session per event — 8 partitions (right for the
-    // small fixtures' fixed commit overhead) left 3/4 of the cores idle
-    // at the 100x probe (39.8 -> 33.3 s at 32).
-    val sessParts = stateParts(statePartsFor(
-      perBatchRows(stagedRows, stagedFiles),
-      spark.sparkContext.defaultParallelism))
-    val ss = streamingSession(spark, sessParts)
-    val raw = ss.readStream.schema(stagedSchema)
-      .option("maxFilesPerTrigger", 1)
-      // the staged files' modtimes sit ~1 h behind the freshly-written
-      // sentinel and fall further behind as the JVM ages; the source's
-      // default 7-day maxFileAge would then silently drop the whole
-      // staged corpus and drain only the sentinel — disable the age
-      // filter (self-review round 9)
-      .option("maxFileAge", "3650d")
-      .parquet(in.toString)
-    val evs = stagedTs(raw)
-    val out = s"$tmp/out"
     // State-row width (round-13 verdict item 6): the sum's state buffer
     // was the one remaining width lever — Decimal(38,6) occupies a
     // 16-byte UnsafeRow slot AND adds on the slow BigDecimal path
@@ -562,49 +604,23 @@ object StreamOps {
       else
         (sum(col("value").cast(dec6)).cast("double").as("sum_value"),
           col("sum_value"))
-    val q = evs
-      .select(col("user_id"), col("ts"), col("value"))
-      .withWatermark("ts", "0 seconds")
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sumAgg)
-      .select(col("user_id"),
-        unix_micros(col("w.start")).as("start_us"),
-        unix_micros(col("w.end")).as("end_us"),
-        col("n_events"), sumOut)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: Dataset[Row], _: Long) =>
-        b.write.mode(SaveMode.Append).parquet(out)
-      }
-      .start()
-    q.awaitTermination()
-    // per-batch diagnostics (stderr, same spirit as Bench's progress log):
-    // input rows, wall, and state rows per micro-batch make the paced
-    // eviction visible — state must PLATEAU at the live-slice size, not
-    // grow to the corpus's session count
-    lastSessionProgress = q.recentProgress.toSeq.map { p =>
-      val so = p.stateOperators.headOption
-      System.err.println(s"[session] batch=${p.batchId} in=${p.numInputRows}" +
-        s" ms=${p.durationMs.get("triggerExecution")}" +
-        s" stateRows=${so.map(_.numRowsTotal).getOrElse(-1L)}" +
-        s" removed=${so.map(_.numRowsRemoved).getOrElse(-1L)}")
-      (p.batchId, p.numInputRows,
-        so.map(_.numRowsTotal).getOrElse(-1L), so.map(_.numRowsRemoved).getOrElse(-1L))
+    stagedDrain(spark, dir, "session",
+      sentinels = schema => Seq(sentinelRow(schema, sentinelUs))) { evs =>
+      evs
+        .select(col("user_id"), col("ts"), col("value"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sumAgg)
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"), sumOut)
+    } { outDf =>
+      outDf
+        .filter(col("user_id") =!= -1L)
+        .select("user_id", "start_us", "end_us", "n_events", "sum_value")
+        .orderBy("user_id", "start_us")
     }
-    unloadStateStores()
-    val result = spark.read.parquet(out)
-      .filter(col("user_id") =!= -1L)
-      .select("user_id", "start_us", "end_us", "n_events", "sum_value")
-      .orderBy("user_id", "start_us")
-    // Same scratch-independence contract as qStreamDedupLive: materialize
-    // eagerly, reclaim the previous invocation's blocks, drop the scratch.
-    val (frame, rdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(result)
-    stashLiveResult(spark, "session", dir, rdd)
-    deleteRecursively(tmp)
-    scratchRoots.remove(s"session|$dir")
-    frame
   }
 
   /** Previous invocation's materialized result blocks, per (context,
@@ -812,13 +828,6 @@ object StreamOps {
   private def paceRows(spark: SparkSession): Long =
     if (PaceRowsPerBatch > 0) PaceRowsPerBatch
     else paceRowsFor(spark.sparkContext.defaultParallelism)
-
-  /** Per-batch (batchId, inputRows, stateRows, removedRows) of the LAST
-    * paced session drain — the stderr diagnostics above, kept so
-    * StreamingSpec can ASSERT the incremental-eviction claim (state
-    * plateaus at the live time slice; sessions leave state mid-drain,
-    * not in one terminal flush) instead of it living only in logs. */
-  @volatile private[graft] var lastSessionProgress: Seq[(Long, Long, Long, Long)] = Nil
 
   /** Upper bound on staged file count — at some point more batches only
     * buy fixed per-batch overhead, and a real deployment would raise the
@@ -1113,11 +1122,11 @@ object StreamOps {
   private[graft] val AttributionHours = 6L
 
   /** Per-batch (batchId, inputRows, stateRows, removedRows) of the LAST
-    * drain PER TAG ("sjoin" inner join / "sjoinout" outer join /
-    * "sesstws" timer sessions / "dedupwm" within-watermark dedup) — kept
-    * so StreamingSpec can ASSERT each form's state eviction separately
-    * (round-15 review: a single last-writer var made the two join
-    * drains' telemetry race). */
+    * drain PER TAG ("session" native windows / "sjoin" inner join /
+    * "sjoinout" outer join / "sesstws" timer sessions / "dedupwm"
+    * within-watermark dedup) — kept so StreamingSpec can ASSERT each
+    * form's state eviction separately (round-15 review: a single
+    * last-writer var made the two join drains' telemetry race). */
   private[graft] val lastDrainProgress = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(Long, Long, Long, Long)]]
 
@@ -1208,56 +1217,25 @@ object StreamOps {
     * independent of corpus size; output is Θ(matches), never a cross
     * product — the equi-key keeps the range predicate a post-filter
     * within a user's bucket. */
-  def qStreamJoinLive(spark: SparkSession, dir: String): DataFrame = scratchRoots.synchronized {
-    val (stagedDir, nFiles, stagedRows) = stagedEvents(spark, dir)
-    val stagedSchema = spark.read.parquet(stagedDir.toString).schema
-    val tmp = scratchFor("sjoin", dir)
-    val out = s"$tmp/out"
-    // the join's pair emissions may be empty in any batch (nothing to
-    // append); pre-create the sink dir so the batch read below never
-    // depends on at least one batch having matched
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-    val joinParts = stateParts(statePartsFor(
-      perBatchRows(stagedRows, nFiles), spark.sparkContext.defaultParallelism))
-    val ss = streamingSession(spark, joinParts)
-    val raw = ss.readStream.schema(stagedSchema)
-      .option("maxFilesPerTrigger", 1)
-      .option("maxFileAge", "3650d") // staged modtimes sit in the past (see session drain)
-      .parquet(stagedDir.toString)
-    val evs = stagedTs(raw)
-      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
-    // each side renames its event-time column FIRST, then watermarks the
-    // renamed column — two independently tracked watermarks, exactly as
-    // two physically distinct sources would carry (attributionSides)
-    val (views, purchases) = attributionSides(evs)
-    val pairs = attributionJoin(views, purchases, "inner")
-    val q = pairs.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: Dataset[Row], _: Long) =>
-        b.write.mode(SaveMode.Append).parquet(out)
-      }
-      .start()
-    q.awaitTermination()
-    captureDrainProgress("sjoin", q)
-    unloadStateStores()
-    val agg = spark.read.schema(attributionRowSchema).parquet(out)
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("view_id")).as("n_views"),
-        countDistinct(col("purchase_id")).as("n_purchases"),
-        min(col("delay_us")).as("min_delay_us"),
-        max(col("delay_us")).as("max_delay_us"))
-      .orderBy("user_id")
-    // same scratch-independence contract as the other drains: materialize
-    // eagerly, reclaim the previous invocation's blocks, drop the scratch
-    val (frame, rdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(agg)
-    stashLiveResult(spark, "sjoin", dir, rdd)
-    deleteRecursively(tmp)
-    scratchRoots.remove(s"sjoin|$dir")
-    frame
-  }
+  def qStreamJoinLive(spark: SparkSession, dir: String): DataFrame =
+    stagedDrain(spark, dir, "sjoin", outSchema = Some(attributionRowSchema)) { evs0 =>
+      val evs = evs0
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      // each side renames its event-time column FIRST, then watermarks the
+      // renamed column — two independently tracked watermarks, exactly as
+      // two physically distinct sources would carry (attributionSides)
+      val (views, purchases) = attributionSides(evs)
+      attributionJoin(views, purchases, "inner")
+    } { pairs =>
+      pairs
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("view_id")).as("n_views"),
+          countDistinct(col("purchase_id")).as("n_purchases"),
+          min(col("delay_us")).as("min_delay_us"),
+          max(col("delay_us")).as("max_delay_us"))
+        .orderBy("user_id")
+    }
 
   /** LIVE LEFT-OUTER stream-stream interval join (round 15, with
     * [[qStreamJoinLive]]): same view→purchase attribution, but views with
@@ -1283,67 +1261,43 @@ object StreamOps {
     * DuckDB. Scale: identical state bounds to the inner form (the outer
     * side holds no extra state — unmatched emission rides the existing
     * eviction); output Θ(views + matches). */
-  def qStreamJoinOuterLive(spark: SparkSession, dir: String): DataFrame = scratchRoots.synchronized {
-    val (stagedDir, nFiles, stagedRows) = stagedEvents(spark, dir)
-    val stagedSchema = spark.read.parquet(stagedDir.toString).schema
-    val tmp = scratchFor("sjoinout", dir)
-    val out = s"$tmp/out"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+  def qStreamJoinOuterLive(spark: SparkSession, dir: String): DataFrame = {
     // sentinels sit one hour PAST every real view's state TTL
     // (view_ts + 6 h), so the terminal batches evict — and thus emit —
     // every real unmatched view
     val sentinelUs = corpusMaxUs(spark, dir) +
       (AttributionHours + 1) * 3600L * 1000000L
-    val in = sentineledReplay(spark, tmp, stagedDir, stagedSchema, Seq(
-      sentinelRow(stagedSchema, sentinelUs, Map("event_type" -> "view")),
-      sentinelRow(stagedSchema, sentinelUs, Map("event_type" -> "purchase"))))
-    val joinParts = stateParts(statePartsFor(
-      perBatchRows(stagedRows, nFiles), spark.sparkContext.defaultParallelism))
-    val ss = streamingSession(spark, joinParts)
-    val raw = ss.readStream.schema(stagedSchema)
-      .option("maxFilesPerTrigger", 1)
-      .option("maxFileAge", "3650d") // staged modtimes sit in the past (see session drain)
-      .parquet(in.toString)
-    val evs = stagedTs(raw)
-      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
-    val (views, purchases) = attributionSides(evs)
-    val joined = attributionJoin(views, purchases, "left_outer")
-    val q = joined.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: Dataset[Row], _: Long) =>
-        b.write.mode(SaveMode.Append).parquet(out)
-      }
-      .start()
-    q.awaitTermination()
-    captureDrainProgress("sjoinout", q)
-    unloadStateStores()
-    val agg = spark.read.schema(attributionRowSchema).parquet(out)
-      .filter(col("user_id") =!= -1L) // drop the sentinels' own rows
-      .groupBy("user_id")
-      // n_rows counts EVERY emitted row (matches + null-extended), so the
-      // contract is sensitive to emission MULTIPLICITY — a duplicate
-      // unmatched flush, or a matched view spuriously also emitted
-      // null-extended, breaks the oracle hash (round-15 review: the
-      // null-skipping aggregates alone could not see either failure)
-      .agg(count(lit(1)).as("n_rows"),
-        count(col("purchase_id")).as("n_pairs"), // non-null = matched rows
-        countDistinct(col("view_id")).as("n_views"),
-        countDistinct(when(col("purchase_id").isNotNull, col("view_id")))
-          .as("n_matched_views"),
-        min(col("delay_us")).as("min_delay_us"),
-        max(col("delay_us")).as("max_delay_us"))
-      .select(col("user_id"), col("n_rows"), col("n_pairs"), col("n_views"),
-        col("n_matched_views"),
-        (col("n_views") - col("n_matched_views")).as("n_unmatched_views"),
-        col("min_delay_us"), col("max_delay_us"))
-      .orderBy("user_id")
-    val (frame, rdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(agg)
-    stashLiveResult(spark, "sjoinout", dir, rdd)
-    deleteRecursively(tmp)
-    scratchRoots.remove(s"sjoinout|$dir")
-    frame
+    stagedDrain(spark, dir, "sjoinout",
+      sentinels = schema => Seq(
+        sentinelRow(schema, sentinelUs, Map("event_type" -> "view")),
+        sentinelRow(schema, sentinelUs, Map("event_type" -> "purchase"))),
+      outSchema = Some(attributionRowSchema)) { evs0 =>
+      val evs = evs0
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      val (views, purchases) = attributionSides(evs)
+      attributionJoin(views, purchases, "left_outer")
+    } { joined =>
+      joined
+        .filter(col("user_id") =!= -1L) // drop the sentinels' own rows
+        .groupBy("user_id")
+        // n_rows counts EVERY emitted row (matches + null-extended), so the
+        // contract is sensitive to emission MULTIPLICITY — a duplicate
+        // unmatched flush, or a matched view spuriously also emitted
+        // null-extended, breaks the oracle hash (round-15 review: the
+        // null-skipping aggregates alone could not see either failure)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("purchase_id")).as("n_pairs"), // non-null = matched rows
+          countDistinct(col("view_id")).as("n_views"),
+          countDistinct(when(col("purchase_id").isNotNull, col("view_id")))
+            .as("n_matched_views"),
+          min(col("delay_us")).as("min_delay_us"),
+          max(col("delay_us")).as("max_delay_us"))
+        .select(col("user_id"), col("n_rows"), col("n_pairs"), col("n_views"),
+          col("n_matched_views"),
+          (col("n_views") - col("n_matched_views")).as("n_unmatched_views"),
+          col("min_delay_us"), col("max_delay_us"))
+        .orderBy("user_id")
+    }
   }
 
   /** LIVE timer-driven session windows on the MODERN stateful stack
@@ -1374,65 +1328,37 @@ object StreamOps {
     * user across [[statePartsFor]] partitions; timers live in the state
     * store beside it; RocksDB keeps both off-heap — the 100 TB key-space
     * regime. Per-batch work is Θ(batch) + Θ(timers fired). */
-  def qSessionTwsLive(spark: SparkSession, dir: String): DataFrame = scratchRoots.synchronized {
-    val (stagedDir, stagedFiles, stagedRows) = stagedEvents(spark, dir)
-    val stagedSchema = spark.read.parquet(stagedDir.toString).schema
-    val tmp = scratchFor("sesstws", dir)
-    val out = s"$tmp/out"
-    // a batch may close no sessions (nothing to append): pre-create the
-    // sink dir so the batch read never depends on a non-empty batch
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+  def qSessionTwsLive(spark: SparkSession, dir: String): DataFrame = {
     val sentinelUs = corpusMaxUs(spark, dir) +
       10 * graft.operators.PipelineOps.SessionGapUs
-    // the sentinel needs a real `value` (0.0): SessEvent.value_us is a
-    // primitive long and a null would fail the encoder, not the filter
-    val in = sentineledReplay(spark, tmp, stagedDir, stagedSchema,
-      Seq(sentinelRow(stagedSchema, sentinelUs, Map("value" -> 0.0))))
-    val parts = stateParts(statePartsFor(
-      perBatchRows(stagedRows, stagedFiles), spark.sparkContext.defaultParallelism))
-    val ss = streamingSession(spark, parts)
-    // transformWithState runs only on the RocksDB provider
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    import ss.implicits._
-    val raw = ss.readStream.schema(stagedSchema)
-      .option("maxFilesPerTrigger", 1)
-      .option("maxFileAge", "3650d") // staged modtimes sit in the past (see session drain)
-      .parquet(in.toString)
     val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
-    val evs = stagedTs(raw)
-      .select(col("user_id"), col("ts"),
-        // exact micros-longs for the state sum (SessionSumStateLong
-        // convention: round to 6 decimals in decimal space FIRST)
-        (col("value").cast(dec6) * lit(1000000)).cast("long").as("value_us"))
-      .withWatermark("ts", "0 seconds")
-      .as[SessEvent]
-    val q = evs
-      .groupByKey(_.user_id)
-      .transformWithState(new SessionTimerProcessor,
-        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
-      .toDF()
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: Dataset[Row], _: Long) =>
-        b.write.mode(SaveMode.Append).parquet(out)
-      }
-      .start()
-    q.awaitTermination()
-    captureDrainProgress("sesstws", q)
-    unloadStateStores()
-    val result = spark.read.parquet(out)
-      .filter(col("user_id") =!= -1L)
-      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
-        (col("sum_us").cast("double") / 1e6).as("sum_value"))
-      .orderBy("user_id", "start_us")
-    val (frame, rdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(result)
-    stashLiveResult(spark, "sesstws", dir, rdd)
-    deleteRecursively(tmp)
-    scratchRoots.remove(s"sesstws|$dir")
-    frame
+    stagedDrain(spark, dir, "sesstws",
+      // the sentinel needs a real `value` (0.0): SessEvent.value_us is a
+      // primitive long and a null would fail the encoder, not the filter
+      sentinels = schema =>
+        Seq(sentinelRow(schema, sentinelUs, Map("value" -> 0.0))),
+      // transformWithState runs only on the RocksDB provider
+      provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") { evs0 =>
+      val ss = evs0.sparkSession
+      import ss.implicits._
+      evs0
+        .select(col("user_id"), col("ts"),
+          // exact micros-longs for the state sum (SessionSumStateLong
+          // convention: round to 6 decimals in decimal space FIRST)
+          (col("value").cast(dec6) * lit(1000000)).cast("long").as("value_us"))
+        .withWatermark("ts", "0 seconds")
+        .as[SessEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionTimerProcessor,
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+    } { outDf =>
+      outDf
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
+          (col("sum_us").cast("double") / 1e6).as("sum_value"))
+        .orderBy("user_id", "start_us")
+    }
   }
 
   /** Dedup-epoch width for [[qStreamDedupWmLive]]: 2 hours in µs — also
@@ -1474,50 +1400,24 @@ object StreamOps {
     * the dedup key across [[statePartsFor]] partitions; eviction is the
     * standard watermark range-scan. Map-only otherwise: no join, no agg
     * in the streaming plan. */
-  def qStreamDedupWmLive(spark: SparkSession, dir: String): DataFrame = scratchRoots.synchronized {
-    val (stagedDir, stagedFiles, stagedRows) = stagedEvents(spark, dir)
-    val stagedSchema = spark.read.parquet(stagedDir.toString).schema
-    val tmp = scratchFor("dedupwm", dir)
-    val out = s"$tmp/out"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+  def qStreamDedupWmLive(spark: SparkSession, dir: String): DataFrame = {
     val sentinelUs = corpusMaxUs(spark, dir) + 3 * DedupEpochUs
-    val in = sentineledReplay(spark, tmp, stagedDir, stagedSchema,
-      Seq(sentinelRow(stagedSchema, sentinelUs)))
-    val parts = stateParts(statePartsFor(
-      perBatchRows(stagedRows, stagedFiles), spark.sparkContext.defaultParallelism))
-    val ss = streamingSession(spark, parts)
-    val raw = ss.readStream.schema(stagedSchema)
-      .option("maxFilesPerTrigger", 1)
-      .option("maxFileAge", "3650d") // staged modtimes sit in the past (see session drain)
-      .parquet(in.toString)
-    val deduped = stagedTs(raw)
-      .select(col("user_id"), col("event_type"), col("ts"),
-        expr(s"unix_micros(ts) div ${DedupEpochUs}L").as("epoch_id"))
-      .withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark("user_id", "event_type", "epoch_id")
-    val q = deduped.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: Dataset[Row], _: Long) =>
-        b.write.mode(SaveMode.Append).parquet(out)
-      }
-      .start()
-    q.awaitTermination()
-    captureDrainProgress("dedupwm", q)
-    unloadStateStores()
-    val agg = spark.read.parquet(out)
-      .filter(col("user_id") =!= -1L) // drop the sentinel's own emission
-      .groupBy("user_id", "event_type")
-      .agg(count(lit(1)).as("n_epochs"),
-        min(col("epoch_id")).as("first_epoch"),
-        max(col("epoch_id")).as("last_epoch"))
-      .orderBy("user_id", "event_type")
-    val (frame, rdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(agg)
-    stashLiveResult(spark, "dedupwm", dir, rdd)
-    deleteRecursively(tmp)
-    scratchRoots.remove(s"dedupwm|$dir")
-    frame
+    stagedDrain(spark, dir, "dedupwm",
+      sentinels = schema => Seq(sentinelRow(schema, sentinelUs))) { evs =>
+      evs
+        .select(col("user_id"), col("event_type"), col("ts"),
+          expr(s"unix_micros(ts) div ${DedupEpochUs}L").as("epoch_id"))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "epoch_id")
+    } { outDf =>
+      outDf
+        .filter(col("user_id") =!= -1L) // drop the sentinel's own emission
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_epochs"),
+          min(col("epoch_id")).as("first_epoch"),
+          max(col("epoch_id")).as("last_epoch"))
+        .orderBy("user_id", "event_type")
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

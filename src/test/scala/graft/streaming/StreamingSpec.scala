@@ -411,7 +411,7 @@ class StreamingSpec extends SparkSpec {
     try {
       StreamOps.PaceRowsPerBatch = 100
       val emitted = StreamOps.qSessionWindowLive(spark, sf).count()
-      val prog = StreamOps.lastSessionProgress
+      val prog = StreamOps.lastDrainProgress("session")
       val dataBatches = prog.filter(_._2 > 0)
       assert(dataBatches.size >= 3, s"pacing must yield >= 3 data batches: $prog")
       val lastId = prog.map(_._1).max
@@ -788,8 +788,10 @@ class StreamingSpec extends SparkSpec {
     // sessionTimerMs must never allow an early fire: the ms-granular
     // watermark reaches the timer only once watermark*1000 > end_us
     val gap = graft.operators.PipelineOps.SessionGapUs
-    // ms-aligned end: end_us = 1_000_000 + gap -> timer one full ms past
-    assert(StreamOps.sessionTimerMs(1000000L) == (1000000L + gap) / 1000 + 1)
+    // ms-aligned end: last=1s, gap=30min -> end 1801s -> timer at 1801001 ms
+    // (a LITERAL pin — round-16 review: re-deriving the expectation with
+    // the implementation's own formula could never fail)
+    assert(StreamOps.sessionTimerMs(1000000L) == 1801001L)
     // sub-ms end: 1_000_500 + gap must round UP past the end, not down into it
     val t = StreamOps.sessionTimerMs(1000500L)
     assert(t * 1000L > 1000500L + gap, "timer*1000 must sit strictly past end_us")
