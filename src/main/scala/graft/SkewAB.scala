@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * fixture's l_suppkey is near-uniform, so the question needs a corpus
   * with a genuinely PATHOLOGICAL hot key: this harness derives one from
   * the 100× probe lineitem (30% of ~60 M fact rows re-keyed to a single
-  * supplier — one shuffle partition ~18× the median) and times the same
+  * supplier — one shuffle partition ~14× the median at 32 partitions:
+  * 18 M + 1/32 of the rest vs ~1.3 M) and times the same
   * join+aggregate four ways in one interleaved window (the FuzzyProbe
   * discipline):
   *

@@ -44,24 +44,12 @@ import org.apache.spark.sql.functions._
   */
 object CsvSource {
 
-  /** (appId | dir) → CSV path of the derived part copy. */
-  private val csvRegistry = scala.collection.concurrent.TrieMap
-    .empty[String, (String, String)]
-
   private def csvPart(spark: SparkSession, dir: String): String =
-    csvRegistry.synchronized {
-      val ctxKey = s"${spark.sparkContext.applicationId}|$dir"
-      graft.ModelState.evictStale(csvRegistry, spark)(_ => ())
-      graft.ModelState.validated(csvRegistry, ctxKey,
-          Seq(s"$dir/part.parquet"), "CsvSource.csvPart")({
-        val root = graft.ScratchDirs.freshRoot("csv", dir)
-        val path = s"$root/part_csv"
-        graft.Tables.part(spark, dir)
-          .write.mode(SaveMode.Overwrite)
-          .option("header", "true")
-          .csv(path)
-        path
-      })
+    DerivedCopy(spark, dir, "csv", "part", "CsvSource.csvPart") { path =>
+      graft.Tables.part(spark, dir)
+        .write.mode(SaveMode.Overwrite)
+        .option("header", "true")
+        .csv(path)
     }
 
   /** Heavyweight-container part lookup read FROM CSV with INFERRED

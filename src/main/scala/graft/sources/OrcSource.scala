@@ -23,25 +23,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object OrcSource {
 
-  /** (appId | dir) → ORC path of the derived orders copy. */
-  private val orcRegistry = scala.collection.concurrent.TrieMap
-    .empty[String, (String, String)]
-
   private def orcOrders(spark: SparkSession, dir: String): String =
-    orcRegistry.synchronized {
-      val ctxKey = s"${spark.sparkContext.applicationId}|$dir"
-      graft.ModelState.evictStale(orcRegistry, spark)(_ => ())
-      graft.ModelState.validated(orcRegistry, ctxKey,
-          Seq(s"$dir/orders.parquet"), "OrcSource.orcOrders")({
-        val root = graft.ScratchDirs.freshRoot("orc", dir)
-        val path = s"$root/orders_orc"
-        graft.Tables.orders(spark, dir)
-          .write.mode(SaveMode.Overwrite)
-          // zstd, the session shuffle/storage standard since round 13
-          .option("compression", "zstd")
-          .orc(path)
-        path
-      })
+    DerivedCopy(spark, dir, "orc", "orders", "OrcSource.orcOrders") { path =>
+      graft.Tables.orders(spark, dir)
+        .write.mode(SaveMode.Overwrite)
+        // zstd, the session shuffle/storage standard since round 13
+        .option("compression", "zstd")
+        .orc(path)
     }
 
   /** Monthly open-order rollup read FROM ORC: both predicates
