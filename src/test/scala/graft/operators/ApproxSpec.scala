@@ -36,4 +36,22 @@ class ApproxSpec extends SparkSpec {
         s"approx median outside exact bracket: sketch=$r gate=$g")
     }
   }
+
+  test("stats power sums: split-long lanes are bit-identical to the Decimal(38,6) sums") {
+    // round 16 (verdict item 4's "cheap exactness-preserving long path"):
+    // the five power sums ride (div 1e9, mod 1e9) primitive-long lanes;
+    // the reassembled group totals — and thus every derived var/stddev/
+    // covar/corr double — must equal the direct decimal sums on every
+    // row, BITWISE (both paths round each addend to the same HALF_UP
+    // 6-decimal value; the lane split is an exact integer identity)
+    val prev = Relational3.StatsSumSplitLong
+    try {
+      Relational3.StatsSumSplitLong = true
+      val split = Relational3.qStatsAgg(spark, sf).collect().map(_.toSeq).toSeq
+      Relational3.StatsSumSplitLong = false
+      val dec = Relational3.qStatsAgg(spark, sf).collect().map(_.toSeq).toSeq
+      assert(split.nonEmpty && split == dec,
+        s"split-long and decimal stats must match bitwise:\n$split\nvs\n$dec")
+    } finally Relational3.StatsSumSplitLong = prev
+  }
 }
