@@ -29,22 +29,15 @@ object SessAB {
     val variants = sys.env.getOrElse("SPARK_GRAFT_SESSION_SUM", "long")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val passes = sys.env.getOrElse("SPARK_GRAFT_SESSAB_PASSES", "2").toInt
-    def once(p: Int, v: String): (Double, String) = {
+    def once(p: Int, v: String): Unit = {
       graft.streaming.StreamOps.StreamStatePartitions = p
       graft.streaming.StreamOps.SessionSumStateLong = v == "long"
-      HostMeter.timed {
-        graft.streaming.StreamOps.qSessionWindowLive(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-      }
+      graft.streaming.StreamOps.qSessionWindowLive(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     }
-    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for (pass <- 1 to passes; p <- parts; v <- variants) {
-      val (t, host) = once(p, v)
-      val k = f"parts=$p sum=$v"
-      println(f"[sessab] pass=$pass $k%-22s $t%7.2fs  $host")
-      best(k) = math.min(best.getOrElse(k, Double.MaxValue), t)
-    }
-    best.foreach { case (k, t) => println(f"[sessab] min $k%-22s $t%7.2fs") }
+    HostMeter.abLoop("sessab", passes,
+      for (p <- parts.toSeq; v <- variants)
+        yield f"parts=$p sum=$v" -> (() => once(p, v)))
     spark.stop()
   }
 }

@@ -101,33 +101,26 @@ object SkewAB {
       "salted8" -> (() => salted(8)),
       "salted32" -> (() => salted(Sessions.cpus.toInt)))
 
-    // sanity: identical answers before any timing is trusted
-    val ref = variants.head._2().collect().map(_.toSeq).toSeq
-    variants.tail.foreach { case (name, mk) =>
-      val got = mk().collect().map(_.toSeq).toSeq
-      require(got == ref, s"[skewab] $name disagrees with aqe")
-    }
-    println(s"[skewab] sanity: all ${variants.size} variants agree (${ref.size} nations)")
-
-    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for (pass <- 1 to passes; (name, mk) <- variants) {
-      val df = mk()
-      val (t, host) = HostMeter.timed {
-        df.write.format("noop").mode("overwrite").save()
-      }
-      if (pass == 1 && name.startsWith("aqe")) {
-        // detection needs the df's OWN QueryExecution finalized — the
-        // noop write above ran through the command's separate execution,
-        // so drive this plan to completion with a (25-row) collect
-        val probe = mk()
-        probe.collect()
+    // sanity: identical answers before any timing is trusted — and, for
+    // the AQE variants, whether the split actually fired: detection must
+    // drive the df's OWN QueryExecution to completion (a noop write runs
+    // through the command's separate execution and never finalizes it)
+    var ref: Seq[Seq[Any]] = null
+    variants.foreach { case (name, mk) =>
+      val probe = mk()
+      val got = probe.collect().map(_.toSeq).toSeq
+      if (ref == null) ref = got
+      else require(got == ref, s"[skewab] $name disagrees with ${variants.head._1}")
+      if (name.startsWith("aqe")) {
         val split = probe.queryExecution.executedPlan.toString.contains("skew=true")
         println(f"[skewab] $name final-plan skew-split-applied=$split")
       }
-      println(f"[skewab] pass=$pass $name%-9s $t%7.2fs  $host")
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
     }
-    best.foreach { case (k, t) => println(f"[skewab] min $k%-9s $t%7.2fs") }
+    println(s"[skewab] sanity: all ${variants.size} variants agree (${ref.size} nations)")
+
+    HostMeter.abLoop("skewab", passes, variants.map { case (name, mk) =>
+      name -> (() => mk().write.format("noop").mode("overwrite").save())
+    })
     spark.stop()
   }
 }

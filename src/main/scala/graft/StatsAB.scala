@@ -14,20 +14,14 @@ object StatsAB {
     val passes = if (args.length > 1) args(1).toInt else 3
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
-    def once(split: Boolean): (Double, String) = {
+    def once(split: Boolean): Unit = {
       operators.Relational3.StatsSumSplitLong = split
-      HostMeter.timed {
-        operators.Relational3.qStatsAgg(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-      }
+      operators.Relational3.qStatsAgg(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     }
-    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for (pass <- 1 to passes; v <- Seq("split", "decimal")) {
-      val (t, host) = once(v == "split")
-      println(f"[statsab] pass=$pass $v%-8s $t%6.2fs  $host")
-      best(v) = math.min(best.getOrElse(v, Double.MaxValue), t)
-    }
-    best.foreach { case (k, t) => println(f"[statsab] min $k%-8s $t%6.2fs") }
+    HostMeter.abLoop("statsab", passes, Seq(
+      "split" -> (() => once(true)),
+      "decimal" -> (() => once(false))))
     spark.stop()
   }
 }

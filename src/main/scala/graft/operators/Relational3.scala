@@ -80,26 +80,36 @@ object Relational3 {
     * are bit-identical (spec-pinned) — see [[splitDsum]]. */
   @volatile private[graft] var StatsSumSplitLong: Boolean = true
 
-  /** Exact Decimal(38,6) sum on two primitive-long lanes (round 16 — the
-    * session drain's long-micros trick, generalized to addends whose SUM
-    * overflows one long): the addend is the SAME per-value HALF_UP
+  /** The addend's exact micros-long, pre-projected under `<name>_us` —
+    * the first half of the SPLIT-LANE exact Decimal(38,6) sum (round 16;
+    * the session drain's long-micros trick, generalized to addends whose
+    * SUM overflows one long): the addend is the SAME per-value HALF_UP
     * 6-decimal rounding as [[dsum]] (cast to Decimal(38,6) FIRST, scale
     * ×10⁶ exactly in decimal space, to long — exact while each addend's
-    * micros fit 2⁶³, true for any power sum of this fixture's columns:
-    * p² ≤ 1e10 → 1e16 µ), then split per row into (div 1e9, mod 1e9).
-    * Each lane's group sum is a PRIMITIVE long aggregation — no
-    * BigDecimal merge on the hot path — and cannot overflow (|hi_i| ≤
-    * 1e7, |lo_i| < 1e9 ⟹ |Σ| < rows × 1e9, safe beyond 10⁹ rows).
-    * [[splitDsumOut]] reassembles the EXACT total with one decimal op
-    * per GROUP: Σa = 1e9·Σhi + Σlo holds identically because Spark's
-    * `div`/`%` are a truncation pair ((a div b)·b + a%b = a for any
-    * sign), and total_us/10⁶ has exactly 6 decimal digits so the final
-    * decimal division is representation, not rounding — the resulting
-    * double is bit-identical to the direct decimal sum's. StatsAB at
-    * 100×: the BigDecimal merge was most of the query's cost. */
-  /** The addend's exact micros-long, pre-projected under `<name>_us`. */
-  private def splitDsumUs(c: Column, name: String): Column =
-    (c.cast(DecimalType(38, 6)) * lit(1000000)).cast("long").as(s"${name}_us")
+    * micros fit 2⁶³; for this fixture's power sums p² ≤ 1e10 → 1e16 µ,
+    * three orders under the bound, and the bound itself is ENFORCED:
+    * an addend past it raises instead of riding the non-ANSI
+    * decimal→long cast's silent null/wrap into a wrong-but-plausible
+    * hash mismatch far from the cause). [[splitDsum]] then splits per
+    * row into (div 1e9, mod 1e9): each lane's group sum is a PRIMITIVE
+    * long aggregation — no BigDecimal merge on the hot path — and
+    * cannot overflow (|hi_i| ≤ 1e7, |lo_i| < 1e9 ⟹ |Σ| < rows × 1e9,
+    * safe beyond 10⁹ rows). [[splitDsumOut]] reassembles the EXACT
+    * total with one decimal op per GROUP: Σa = 1e9·Σhi + Σlo holds
+    * identically because Spark's `div`/`%` are a truncation pair
+    * ((a div b)·b + a%b = a for any sign), and total_us/10⁶ has exactly
+    * 6 decimal digits so the final decimal division is representation,
+    * not rounding — the resulting double is bit-identical to the direct
+    * decimal sum's (spec-pinned). StatsAB at 100×: the BigDecimal merge
+    * was most of the query's cost (min 4.97 vs 8.31 s). */
+  private def splitDsumUs(c: Column, name: String): Column = {
+    val d = c.cast(DecimalType(38, 6))
+    when(abs(d) > lit(BigDecimal("9223372036854.775807")),
+        raise_error(concat(lit(s"splitDsum($name): addend exceeds 2^63 micros: "),
+          d.cast("string"))).cast("long"))
+      .otherwise((d * lit(1000000)).cast("long"))
+      .as(s"${name}_us")
+  }
 
   /** The two primitive-long lane sums over a pre-projected `<name>_us`. */
   private def splitDsum(name: String): Seq[Column] =
