@@ -126,6 +126,83 @@ class SessionTimerProcessor extends org.apache.spark.sql.streaming.StatefulProce
     } else Iterator.empty
 }
 
+/** The bounded per-key ring of [[StreamOps.rollingQuantileStream]] on
+  * Spark 4's LIST state variable (round 16 — completing the named-state
+  * family: ValueState carries the dedup counts and timer sessions,
+  * ListState this ring, MapState the per-user sub-keyed stats): the
+  * last RollRows−1 (ts-ms, event_id, value) rows per event_type live in
+  * an ordered ListState slot — the API's native fit for a ring, where
+  * the ValueState form must serialize the whole Vector per update. Same
+  * fold, same Type-1 selection, emission-equal to the
+  * flatMapGroupsWithState form (spec-proved as multisets across
+  * triggers on RocksDB). */
+class RollingRingProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, StreamOps.RollEvent, StreamOps.RollQuantiles] {
+  import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+  @transient private var ring: ListState[(Long, Long, Double)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    ring = getHandle.getListState[(Long, Long, Double)]("ring",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Double)], TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[StreamOps.RollEvent],
+      timerValues: TimerValues): Iterator[StreamOps.RollQuantiles] = {
+    val rollRows = graft.operators.EventOps.RollRows
+    def sel(sorted: IndexedSeq[Double], p: Double): Double =
+      sorted(math.ceil(p * sorted.length.toDouble).toInt - 1)
+    // ListState preserves insertion order — the ring comes back oldest-first
+    var r = if (ring.exists()) ring.get().toVector else Vector.empty
+    val out = Vector.newBuilder[StreamOps.RollQuantiles]
+    rows.toVector.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
+      r = (r :+ ((e.ts.getTime, e.event_id, e.value))).takeRight(rollRows)
+      val sorted = r.map(_._3).sorted
+      out += StreamOps.RollQuantiles(e.event_id, key, r.length,
+        sel(sorted, 0.5), sel(sorted, 0.9))
+    }
+    ring.put(r.takeRight(rollRows - 1).toArray)
+    out.result().iterator
+  }
+}
+
+/** Per-user running totals SUB-KEYED by event_type on Spark 4's MAP
+  * state variable (round 16, with [[RollingRingProcessor]]): the state a
+  * composite flatMapGroupsWithState key cannot give without losing the
+  * per-USER grouping — one MapState slot per user holding
+  * event_type → (n, exact value micros), point-updated per event
+  * (`updateValue`) without rewriting the user's other types, which is
+  * the API's whole point versus a ValueState[Map[...]] blob. Update-mode
+  * emission: one record per (user, type) touched in the batch; the last
+  * record per pair equals the batch groupBy truth (spec-proved across
+  * triggers on RocksDB). */
+class UserTypeStatsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, StreamOps.UserEvent, StreamOps.TypedStat] {
+  import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
+  @transient private var stats: MapState[String, (Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    stats = getHandle.getMapState[String, (Long, Long)]("perType",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+  override def handleInputRows(uid: Long, rows: Iterator[StreamOps.UserEvent],
+      timerValues: TimerValues): Iterator[StreamOps.TypedStat] = {
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    rows.foreach { e =>
+      // exact micros (the HALF_UP 6-decimal convention) — the equality
+      // with the spec's fold is integer, not float-order-dependent
+      val us = BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+      val (n, s) =
+        if (stats.containsKey(e.event_type)) stats.getValue(e.event_type)
+        else (0L, 0L)
+      stats.updateValue(e.event_type, (n + 1, s + us))
+      touched += e.event_type
+    }
+    // build eagerly: the returned iterator may be consumed after this
+    // call, when reads of the state handle are no longer valid
+    touched.toVector.map { t =>
+      val (n, s) = stats.getValue(t)
+      StreamOps.TypedStat(uid, t, n, s)
+    }.iterator
+  }
+}
+
 /** Structured Streaming operators (SURVEY §2C): the batch EventOps plans
   * re-expressed as streams with event-time watermarks, plus stateful
   * operators (session windows, custom per-key state).
@@ -362,6 +439,28 @@ object StreamOps {
           state.update(ring.takeRight(rollRows - 1))
           out.result().iterator
       }
+  }
+
+  /** [[rollingQuantileStream]] on the LIST state variable
+    * ([[RollingRingProcessor]]) — spec-proved emission-equal. */
+  def rollingQuantileStreamTws(events: Dataset[RollEvent]): Dataset[RollQuantiles] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new RollingRingProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  case class TypedStat(user_id: Long, event_type: String, n: Long, sum_us: Long)
+
+  /** Per-user totals sub-keyed by event_type on the MAP state variable
+    * ([[UserTypeStatsProcessor]]) — spec-proved against the batch fold. */
+  def runningUserTypeStats(events: Dataset[UserEvent]): Dataset[TypedStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTypeStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
   /** Contract query that ACTUALLY executes Structured Streaming (round-6

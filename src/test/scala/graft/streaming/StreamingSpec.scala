@@ -743,6 +743,71 @@ class StreamingSpec extends SparkSpec {
       s"TTL'd state must not count doc 20 as a duplicate of doc 10: $rows")
   }
 
+  test("transformWithState ListState ring equals the flatMapGroupsWithState roller across triggers") {
+    // round 16 — the LIST named-state variable driven for real: the
+    // bounded per-key ring lives in an ordered ListState slot (the
+    // API's native fit, vs serializing a whole Vector through a
+    // ValueState/GroupState blob). Both forms run the same 3-trigger
+    // input; their full Append emission streams must be equal as
+    // multisets, on RocksDB.
+    import StreamOps.RollEvent
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val evs = (1 to 30).flatMap { i =>
+      Seq(RollEvent(i, ts(f"2024-01-01 00:$i%02d:00"), "click", i * 1.7 % 13),
+        RollEvent(100 + i, ts(f"2024-01-01 00:$i%02d:30"), "view", i * 2.3 % 7))
+    }
+    def drain(name: String,
+        form: org.apache.spark.sql.Dataset[RollEvent] =>
+          org.apache.spark.sql.Dataset[StreamOps.RollQuantiles]): Seq[(Long, String, Int, Double, Double)] = {
+      val mem = MemoryStream[RollEvent]
+      val q = form(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try evs.grouped(20).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      finally q.stop()
+      ss.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+        .toSeq
+    }
+    val list = drain("roll_tws", StreamOps.rollingQuantileStreamTws)
+    val fmgws = drain("roll_fmgws", StreamOps.rollingQuantileStream)
+    assert(list.size == 60 && list.sorted == fmgws.sorted,
+      s"ListState and GroupState rollers must emit identically:\n$list\nvs\n$fmgws")
+  }
+
+  test("transformWithState MapState accumulates per-(user, type) totals across batches") {
+    // round 16 — the MAP named-state variable driven for real: one
+    // MapState slot per user, sub-keyed by event_type, point-updated per
+    // event without rewriting the user's other types. The LAST Update
+    // emission per (user, type) must equal the exact batch fold.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[UserEvent]
+    val q = StreamOps.runningUserTypeStats(mem.toDS())
+      .writeStream.format("memory").queryName("user_type_stats")
+      .outputMode("update").start()
+    try {
+      fixture.grouped(2).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val last = ss.table("user_type_stats").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .groupBy(_._1)
+      // n is monotone across a pair's emissions: max(n) = final state
+      .map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    val want = fixture.groupBy(e => (e.user_id, e.event_type)).map { case (k, es) =>
+      k -> ((es.size.toLong, es.map(e =>
+        BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(1000000)).toLongExact).sum))
+    }
+    assert(last == want, s"MapState totals must equal the batch fold:\n$last\nvs\n$want")
+  }
+
   test("dropDuplicatesWithinWatermark bounds dedup state and re-admits expired keys") {
     // the bounded-state exact dedup for UNBOUNDED key spaces — the form a
     // 100 TB/day stream actually runs (plain dropDuplicates holds every
