@@ -100,12 +100,16 @@ object Relational3 {
     * ((a div b)·b + a%b = a for any sign), and total_us/10⁶ has exactly
     * 6 decimal digits so the final decimal division is representation,
     * not rounding — the resulting double is bit-identical to the direct
-    * decimal sum's (spec-pinned). StatsAB at 100×: the BigDecimal merge
-    * was most of the query's cost (min 4.97 vs 8.31 s). */
+    * decimal sum's (spec-pinned). StatsAB at 100× for THIS shipped
+    * (guarded) shape: min 5.63 vs 8.58 s — the BigDecimal merge was
+    * most of the query's cost (unguarded read 4.97; the ~0.5 s delta is
+    * the per-row range check's price). */
   private def splitDsumUs(c: Column, name: String): Column = {
     val d = c.cast(DecimalType(38, 6))
-    when(abs(d) > lit(BigDecimal("9223372036854.775807")),
-        raise_error(concat(lit(s"splitDsum($name): addend exceeds 2^63 micros: "),
+    // asymmetric long-range bound: −2⁶³ µ is itself representable
+    when(d > lit(BigDecimal("9223372036854.775807")) ||
+        d < lit(BigDecimal("-9223372036854.775808")),
+        raise_error(concat(lit(s"splitDsum($name): addend exceeds long micros: "),
           d.cast("string"))).cast("long"))
       .otherwise((d * lit(1000000)).cast("long"))
       .as(s"${name}_us")

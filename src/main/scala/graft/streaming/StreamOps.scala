@@ -145,20 +145,11 @@ class RollingRingProcessor extends org.apache.spark.sql.streaming.StatefulProces
       org.apache.spark.sql.Encoders.product[(Long, Long, Double)], TTLConfig.NONE)
   override def handleInputRows(key: String, rows: Iterator[StreamOps.RollEvent],
       timerValues: TimerValues): Iterator[StreamOps.RollQuantiles] = {
-    val rollRows = graft.operators.EventOps.RollRows
-    def sel(sorted: IndexedSeq[Double], p: Double): Double =
-      sorted(math.ceil(p * sorted.length.toDouble).toInt - 1)
     // ListState preserves insertion order — the ring comes back oldest-first
-    var r = if (ring.exists()) ring.get().toVector else Vector.empty
-    val out = Vector.newBuilder[StreamOps.RollQuantiles]
-    rows.toVector.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
-      r = (r :+ ((e.ts.getTime, e.event_id, e.value))).takeRight(rollRows)
-      val sorted = r.map(_._3).sorted
-      out += StreamOps.RollQuantiles(e.event_id, key, r.length,
-        sel(sorted, 0.5), sel(sorted, 0.9))
-    }
-    ring.put(r.takeRight(rollRows - 1).toArray)
-    out.result().iterator
+    val prev = if (ring.exists()) ring.get().toVector else Vector.empty
+    val (next, out) = StreamOps.rollFold(key, prev, rows.toVector)
+    ring.put(next.toArray)
+    out.iterator
   }
 }
 
@@ -182,22 +173,26 @@ class UserTypeStatsProcessor extends org.apache.spark.sql.streaming.StatefulProc
       org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
   override def handleInputRows(uid: Long, rows: Iterator[StreamOps.UserEvent],
       timerValues: TimerValues): Iterator[StreamOps.TypedStat] = {
-    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    // local running copy per touched type (round-16 review: containsKey +
+    // getValue per event was two RocksDB point-reads where the first
+    // touch's one suffices — getValue returns null for an absent key) —
+    // the per-event updateValue POINT-WRITES stay, they are the MapState
+    // capability this processor demonstrates
+    val local = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     rows.foreach { e =>
       // exact micros (the HALF_UP 6-decimal convention) — the equality
       // with the spec's fold is integer, not float-order-dependent
       val us = BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP)
         .*(BigDecimal(1000000)).toLongExact
-      val (n, s) =
-        if (stats.containsKey(e.event_type)) stats.getValue(e.event_type)
-        else (0L, 0L)
-      stats.updateValue(e.event_type, (n + 1, s + us))
-      touched += e.event_type
+      val (n, s) = local.getOrElse(e.event_type,
+        Option(stats.getValue(e.event_type)).getOrElse((0L, 0L)))
+      val next = (n + 1, s + us)
+      local(e.event_type) = next
+      stats.updateValue(e.event_type, next)
     }
-    // build eagerly: the returned iterator may be consumed after this
-    // call, when reads of the state handle are no longer valid
-    touched.toVector.map { t =>
-      val (n, s) = stats.getValue(t)
+    // built eagerly from the local copy: no state re-reads, and the
+    // returned iterator may be consumed after this call returns
+    local.toVector.map { case (t, (n, s)) =>
       StreamOps.TypedStat(uid, t, n, s)
     }.iterator
   }
@@ -414,31 +409,43 @@ object StreamOps {
     * identical to the batch twin and its oracle, no interpolation. */
   def rollingQuantileStream(events: Dataset[RollEvent]): Dataset[RollQuantiles] = {
     import events.sparkSession.implicits._
-    val rollRows = graft.operators.EventOps.RollRows
-    // Type-1 discrete selection, the same explicit ceil(p*n) as the batch
-    // twin and its oracle (see qRollingQuantile's scaladoc)
-    def sel(sorted: IndexedSeq[Double], p: Double): Double =
-      sorted(math.ceil(p * sorted.length.toDouble).toInt - 1)
     events
       .groupByKey(_.event_type)
       .flatMapGroupsWithState[Vector[(Long, Long, Double)], RollQuantiles](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (key: String, batch: Iterator[RollEvent], state: GroupState[Vector[(Long, Long, Double)]]) =>
-          var ring = state.getOption.getOrElse(Vector.empty)
-          val out = Vector.newBuilder[RollQuantiles]
-          // (millis, sub-second nanos, id): equal millis implies equal
-          // second, so the nanos field finishes the µs-precision ts order
-          // the batch twin's ORDER BY ts uses — getTime alone would let
-          // µs-apart events in one millisecond tie and fall to id order
-          batch.toVector.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
-            ring = (ring :+ ((e.ts.getTime, e.event_id, e.value))).takeRight(rollRows)
-            val sorted = ring.map(_._3).sorted
-            out += RollQuantiles(e.event_id, key, ring.length,
-              sel(sorted, 0.5), sel(sorted, 0.9))
-          }
-          state.update(ring.takeRight(rollRows - 1))
-          out.result().iterator
+          val (next, out) = rollFold(key,
+            state.getOption.getOrElse(Vector.empty), batch.toVector)
+          state.update(next)
+          out.iterator
       }
+  }
+
+  /** ONE ring-fold shared by the GroupState roller above and the
+    * ListState [[RollingRingProcessor]] (round-16 review: two
+    * hand-maintained copies of the fold could silently diverge between
+    * spec runs — the BucketizeGrid one-shared-impl convention): sorts
+    * the batch on (millis, sub-second nanos, id) — equal millis implies
+    * equal second, so the nanos field finishes the µs-precision ts order
+    * the batch twin's ORDER BY uses — folds each event through the
+    * bounded `RollRows` ring, emits the Type-1 ceil(p·n) selections
+    * (identical to the batch twin and its oracle, no interpolation), and
+    * returns the trimmed last-(RollRows−1) carry to persist. */
+  private[streaming] def rollFold(key: String,
+      ring: Vector[(Long, Long, Double)], batch: Seq[RollEvent])
+      : (Vector[(Long, Long, Double)], Vector[RollQuantiles]) = {
+    val rollRows = graft.operators.EventOps.RollRows
+    def sel(sorted: IndexedSeq[Double], p: Double): Double =
+      sorted(math.ceil(p * sorted.length.toDouble).toInt - 1)
+    var r = ring
+    val out = Vector.newBuilder[RollQuantiles]
+    batch.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
+      r = (r :+ ((e.ts.getTime, e.event_id, e.value))).takeRight(rollRows)
+      val sorted = r.map(_._3).sorted
+      out += RollQuantiles(e.event_id, key, r.length,
+        sel(sorted, 0.5), sel(sorted, 0.9))
+    }
+    (r.takeRight(rollRows - 1), out.result())
   }
 
   /** [[rollingQuantileStream]] on the LIST state variable
