@@ -43,6 +43,7 @@ object SparkEntry {
       (graft.sources.SchemaInfer.queries, graft.sources.SchemaInfer.oracleSql),
       (graft.sources.OrcSource.queries, graft.sources.OrcSource.oracleSql),
       (graft.sources.CsvSource.queries, graft.sources.CsvSource.oracleSql),
+      (graft.sources.JsonSource.queries, graft.sources.JsonSource.oracleSql),
       (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracleSql)
     )
 

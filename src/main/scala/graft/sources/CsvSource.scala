@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * types the engine computes with are DISCOVERED from the text, not
   * declared, and the DuckDB oracle reads the SOURCE parquet — the hash
   * meeting proves write → infer → read round-trips every value AND every
-  * type choice bit-exactly (reference: `auto_schema_pipeline.py:20-32`
-  * infers dtypes from raw CSV-ish input the same way).
+  * type choice bit-exactly (reference: schema inference is the repo's
+  * title capability, `README.MD:1-3`; pandas' dtype discovery over the
+  * loaded frame at `etl_benchmark.py:18-19` is the flat analog).
   *
   * Cross-engine traps, handled by CONSTRUCTION here and documented for
   * the general case:

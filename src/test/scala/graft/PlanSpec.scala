@@ -62,6 +62,35 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("p_retailprice:double"), readSchema)
   }
 
+  test("q_json_scan pushes the top-level filter, keeps the nested one, prunes, and infers types") {
+    // JSONL-format parity (round 17, the format axis' last member): the
+    // top-level equality reaches the JSON parser (SPARK-32346:
+    // JsonFilters aborts row materialization on the first failing
+    // pushed predicate), unreferenced top-level fields are never
+    // converted (user_id absent from ReadSchema), and the INFERRED
+    // types are visible in-plan — bigint/double/timestamp and the
+    // NESTED struct<k:bigint> that CSV cannot express. The honest
+    // limit, pinned as such: a predicate on a nested field
+    // (props.k > 50) is NOT pushable into the JSON scan — it stays in
+    // the Filter node — and like CSV there is no row-group statistics
+    // skipping; pushed filters save row CONSTRUCTION, not I/O.
+    val plan = formatted(sources.JsonSource.qJsonScan(spark, sf))
+    assert(plan.contains("Scan json"), s"must read JSONL, not parquet:\n$plan")
+    assert(plan.contains("EqualTo(event_type,purchase)"), plan)
+    assert(!plan.contains("GreaterThan(props"),
+      s"nested predicates must not claim pushdown:\n$plan")
+    val filterLine = plan.linesIterator.find(_.trim.startsWith("Condition")).get
+    assert(filterLine.contains("props") && filterLine.contains("> 50"),
+      s"the nested predicate must survive in the Filter node: $filterLine")
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema:")).get
+    assert(!readSchema.contains("user_id"),
+      s"unreferenced column must be pruned: $readSchema")
+    assert(readSchema.contains("event_id:bigint") &&
+      readSchema.contains("props:struct<k:bigint>"), readSchema)
+    assert(readSchema.contains("ts:timestamp") && readSchema.contains("value:double"),
+      readSchema)
+  }
+
   test("AQE posture pinned: assertions run adaptive, and the bucketed join survives finalization") {
     // The DRIVER's contract session runs Spark defaults, where
     // spark.sql.adaptive.enabled is TRUE — so every plan this suite

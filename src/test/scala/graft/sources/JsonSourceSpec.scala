@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class JsonSourceSpec extends SparkSpec {
+
+  test("q_json_scan infers bigint/timestamp/double and a NESTED struct, matching parquet row-for-row") {
+    import org.apache.spark.sql.functions._
+    val fromJson = JsonSource.qJsonScan(spark, sf)
+    // the inferred/landed types are part of the contract (the oracle
+    // compares against the parquet source's native types)
+    assert(fromJson.schema("event_id").dataType == LongType, fromJson.schema.treeString)
+    assert(fromJson.schema("ts").dataType == TimestampNTZType,
+      s"ts must land as the star schema's NTZ convention, got ${fromJson.schema("ts").dataType}")
+    assert(fromJson.schema("value").dataType == DoubleType)
+    assert(fromJson.schema("prop_k").dataType == LongType,
+      "the nested props.k must infer as bigint and project out of the struct")
+    val fromParquet = graft.Tables.events(spark, sf)
+      .withColumn("prop_k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("event_type") === "purchase" && col("prop_k") > 50)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"),
+        col("prop_k"))
+      .orderBy("event_id")
+      .collect().map(_.toSeq).toSeq
+    val got = fromJson.collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == fromParquet,
+      "JSONL write -> infer -> read must round-trip values (micros included) and types exactly")
+  }
+
+  test("the nested props object is DISCOVERED as a struct, not read as a string") {
+    // the shape CSV cannot exercise: spark.read.json must type props as
+    // struct<k: bigint> from the text alone — nothing on the lane
+    // declares it (the write side infers the sub-schema from the source
+    // strings with spark.read.json too)
+    val path = JsonSource.jsonEvents(spark, sf) // same registry entry the contract query uses
+    val inferred = spark.read.json(path).schema
+    inferred("props").dataType match {
+      case s: StructType =>
+        assert(s.fieldNames.sameElements(Array("k")) && s("k").dataType == LongType,
+          s"expected struct<k: bigint>, got ${s.treeString}")
+      case other => fail(s"props must infer as a nested struct, got $other")
+    }
+  }
+
+  test("default JSON formats LOSE microseconds, and the pin must name the column's TYPE (NTZ)") {
+    // The documented cross-engine trap (JsonSource scaladoc): Spark's
+    // default JSON formats carry at most millis, AND the pinning option
+    // is per timestamp type — for an NTZ column (events.ts),
+    // `timestampFormat` is silently ignored; only `timestampNTZFormat`
+    // takes effect. Both failure shapes are proven here.
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("ts", TimestampNTZType)))
+    val micros = LocalDateTime.parse("2024-03-01T12:34:56.123456")
+    val mk = () => spark.createDataFrame(
+      java.util.Arrays.asList(Row(1, micros)), schema)
+    val root = graft.ScratchDirs.freshRoot("jsonts", "spec")
+    def readBack(path: String, opts: Map[String, String]): LocalDateTime =
+      opts.foldLeft(spark.read)((r, kv) => r.option(kv._1, kv._2))
+        .schema(schema).json(path)
+        .collect().head.getAs[LocalDateTime](1)
+    try {
+      // default options: micros truncate to millis — lossy
+      val dPath = s"$root/default"
+      mk().write.json(dPath)
+      val defaultBack = readBack(dPath, Map.empty)
+      assert(defaultBack != micros && defaultBack.getNano == 123000000,
+        s"default JSON round-trip must truncate micros to millis, got $defaultBack")
+      // the WRONG pin: timestampFormat on an NTZ column is ignored
+      val wPath = s"$root/wrongpin"
+      mk().write.option("timestampFormat", JsonSource.TsFormat).json(wPath)
+      val wrongBack = readBack(wPath, Map("timestampFormat" -> JsonSource.TsFormat))
+      assert(wrongBack != micros && wrongBack.getNano == 123000000,
+        s"timestampFormat must NOT apply to an NTZ column (still lossy), got $wrongBack")
+      // the RIGHT pin: 6-digit timestampNTZFormat round-trips exactly
+      val pPath = s"$root/pinned"
+      mk().write.option("timestampNTZFormat", JsonSource.TsFormat).json(pPath)
+      val pinnedBack = readBack(pPath, Map("timestampNTZFormat" -> JsonSource.TsFormat))
+      assert(pinnedBack == micros,
+        s"pinned 6-digit NTZ format must round-trip micros exactly, got $pinnedBack")
+    } finally graft.ScratchDirs.deleteRecursively(root)
+  }
+}
