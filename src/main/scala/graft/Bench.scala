@@ -57,6 +57,29 @@ object Bench {
     val samples = scala.collection.mutable.HashMap.empty[String, List[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var passesDone = 0
+    // Window-quality telemetry (round-16 verdict item 2): the r16 driver
+    // artifact read 98 s vs the 77 s clean re-run and NOTHING in the file
+    // let a reader classify the window — the load/steal HostMeter already
+    // measures went to stderr only, so proving "contention, not
+    // regression" cost a bisect. Now every pass's window (load at end,
+    // steal% across it) and every query's sample SPREAD (max/min over its
+    // round-robin samples) land in BENCH_DETAIL.json: a contended artifact
+    // self-documents as one (steal% up, spreads wide on long queries)
+    // instead of masquerading as a code regression.
+    val passWindows = scala.collection.mutable.LinkedHashMap.empty[Int, (Double, Double)]
+    var curPass = 1
+    var curPassUsed = false
+    var passStart = HostMeter.sample()
+    def windowOf(b: HostMeter.Sample, a: HostMeter.Sample): (Double, Double) = {
+      val dTot = math.max(a.totalTicks - b.totalTicks, 1L)
+      (a.load, 100.0 * (a.stealTicks - b.stealTicks) / dTot)
+    }
+    def closePass(): Unit = {
+      if (curPassUsed) passWindows(curPass) = windowOf(passStart, HostMeter.sample())
+      curPass += 1
+      curPassUsed = false
+      passStart = HostMeter.sample()
+    }
 
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
@@ -99,7 +122,22 @@ object Bench {
       // Regression/record claims must only compare same-convention
       // artifacts — the field makes a cross-convention diff detectable
       // instead of silently biased toward the newer runs.
-      val detail = s"""{"metric":"detail","value":$total,"unit":"sec","q1_norm":$q1n,"gcConvention":"untimed-presample-gc-shrinkpinned","queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}"""
+      // windows: finalized passes + the IN-PROGRESS pass measured start→now,
+      // so a mid-pass kill still leaves the current window classifiable
+      val winEntries = (passWindows.toSeq ++
+        (if (curPassUsed) Seq(curPass -> windowOf(passStart, HostMeter.sample()))
+         else Nil))
+        .map { case (p, (load, steal)) =>
+          s""""p$p":{"load":${r3(load)},"steal_pct":${r3(steal)}}""" }
+        .mkString("{", ",", "}")
+      // per-query spread: max/min over this query's samples (>= 2 needed).
+      // Read it WITH the pass windows: pass 1 is JIT/disk-cold, so every
+      // query carries some spread — contention reads as wide spreads on
+      // queries whose MIN landed in a high-steal pass, not as spread alone
+      val spreads = samples.toSeq.sortBy(_._1).collect {
+        case (n, ss) if ss.size >= 2 => s"${jsonStr(n)}:${r3(ss.max / ss.min)}"
+      }.mkString("{", ",", "}")
+      val detail = s"""{"metric":"detail","value":$total,"unit":"sec","q1_norm":$q1n,"gcConvention":"untimed-presample-gc-shrinkpinned","passWindows":$winEntries,"sampleSpread":$spreads,"queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}"""
       println(detail)
       // Round-13 verdict item 5: the driver's BENCH_r{N}.json carries only a
       // 2000-char stdout tail, which cuts the ~3 KB detail line mid-dict
@@ -152,6 +190,8 @@ object Bench {
       // re-commit to the next query's timed wall (the r13->r14 driver-
       // artifact regressions on q_stats_agg/q_unpivot; GcAB-measured).
       HostMeter.untimedGc()
+      curPassUsed = true
+      val hb = HostMeter.sample()
       val s0 = System.nanoTime()
       val res =
         try {
@@ -169,7 +209,8 @@ object Bench {
       res.foreach { sec =>
         best(name) = best.get(name).fold(sec)(math.min(_, sec))
         samples(name) = sec :: samples.getOrElse(name, Nil)
-        System.err.println(f"[bench] done pass=$pass q=$name sec=$sec%.3f elapsed=$elapsed%.1f")
+        val host = HostMeter.describe(hb, HostMeter.sample())
+        System.err.println(f"[bench] done pass=$pass q=$name sec=$sec%.3f elapsed=$elapsed%.1f $host")
       }
       Console.err.flush()
       emit()
@@ -189,6 +230,7 @@ object Bench {
       }
     }
     passesDone = 1
+    closePass()
     emit()
 
     // Pass 2: decorrelated second samples, budget permitting per query.
@@ -205,6 +247,7 @@ object Bench {
     HostMeter.untimedGc() // untimed: let ContextCleaner reap pass-1 broadcast/shuffle blocks
     for (n <- pass2Order if elapsed < budgetS) once(2, n)
     passesDone = 2
+    closePass()
     emit()
 
     // Pass 3: a FULL third pass (round-8 verdict item 5 — the driver
@@ -220,6 +263,7 @@ object Bench {
     HostMeter.untimedGc() // untimed: reap pass-2 blocks
     for (n <- pass3Order if elapsed < budgetS) once(3, n)
     passesDone = 3
+    closePass()
     emit()
 
     // Pass 4: only queries whose samples STILL disagree badly (several
@@ -235,6 +279,7 @@ object Bench {
     HostMeter.untimedGc() // untimed: reap pass-3 blocks before the retry samples
     for (n <- noisy if elapsed < budgetS) once(4, n)
     passesDone = 4
+    closePass()
     emit()
     spark.stop()
   }

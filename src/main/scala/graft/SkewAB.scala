@@ -101,29 +101,30 @@ object SkewAB {
       "salted8" -> (() => salted(8)),
       "salted32" -> (() => salted(Sessions.cpus.toInt)))
 
+    // build each variant's frame ONCE (round-16 advisor item: the sanity
+    // loop built its own frames via mk() and `built` rebuilt them all —
+    // doubling session creation and file-index listing), outside the
+    // timed region (round-16 review: routing mk() through the abLoop
+    // thunk charged session creation + file-index listing + plan
+    // analysis to the measured wall — and put it AFTER timed()'s untimed
+    // GC, the exact boundary the convention exists to keep clean)
+    val built = variants.map { case (name, mk) => name -> mk() }
+
     // sanity: identical answers before any timing is trusted — and, for
     // the AQE variants, whether the split actually fired: detection must
     // drive the df's OWN QueryExecution to completion (a noop write runs
     // through the command's separate execution and never finalizes it)
     var ref: Seq[Seq[Any]] = null
-    variants.foreach { case (name, mk) =>
-      val probe = mk()
+    built.foreach { case (name, probe) =>
       val got = probe.collect().map(_.toSeq).toSeq
       if (ref == null) ref = got
-      else require(got == ref, s"[skewab] $name disagrees with ${variants.head._1}")
+      else require(got == ref, s"[skewab] $name disagrees with ${built.head._1}")
       if (name.startsWith("aqe")) {
         val split = probe.queryExecution.executedPlan.toString.contains("skew=true")
         println(f"[skewab] $name final-plan skew-split-applied=$split")
       }
     }
-    println(s"[skewab] sanity: all ${variants.size} variants agree (${ref.size} nations)")
-
-    // build each variant's frame ONCE, outside the timed region (round-16
-    // review: routing mk() through the abLoop thunk charged session
-    // creation + file-index listing + plan analysis to the measured wall
-    // — and put it AFTER timed()'s untimed GC, the exact boundary the
-    // convention exists to keep clean)
-    val built = variants.map { case (name, mk) => name -> mk() }
+    println(s"[skewab] sanity: all ${built.size} variants agree (${ref.size} nations)")
     HostMeter.abLoop("skewab", passes, built.map { case (name, df) =>
       name -> (() => df.write.format("noop").mode("overwrite").save())
     })

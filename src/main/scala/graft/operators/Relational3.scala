@@ -85,16 +85,21 @@ object Relational3 {
     * the session drain's long-micros trick, generalized to addends whose
     * SUM overflows one long): the addend is the SAME per-value HALF_UP
     * 6-decimal rounding as [[dsum]] (cast to Decimal(38,6) FIRST, scale
-    * ×10⁶ exactly in decimal space, to long — exact while each addend's
-    * micros fit 2⁶³; for this fixture's power sums p² ≤ 1e10 → 1e16 µ,
-    * three orders under the bound, and the bound itself is ENFORCED:
-    * an addend past it raises instead of riding the non-ANSI
-    * decimal→long cast's silent null/wrap into a wrong-but-plausible
-    * hash mismatch far from the cause). [[splitDsum]] then splits per
-    * row into (div 1e9, mod 1e9): each lane's group sum is a PRIMITIVE
-    * long aggregation — no BigDecimal merge on the hot path — and
-    * cannot overflow (|hi_i| ≤ 1e7, |lo_i| < 1e9 ⟹ |Σ| < rows × 1e9,
-    * safe beyond 10⁹ rows). [[splitDsumOut]] reassembles the EXACT
+    * ×10⁶ exactly in decimal space, to long — and the per-addend bound
+    * the LANE-SUM analysis assumes is the bound ENFORCED: addends are
+    * capped at |a| ≤ 10¹¹ units = 10¹⁷ µ (round-16 advisor item: the
+    * original ±2⁶³ µ guard allowed |hi_i| up to ~9.2×10⁹, under which
+    * Σhi could silently wrap near 10⁹ large-valued rows — the "safe
+    * beyond 10⁹ rows" claim rested on fixture-specific magnitudes, not
+    * the guard; the fixture's largest power-sum addend, p² ≈ 1.1×10¹⁰
+    * units, sits an order under the cap). An addend past the cap raises
+    * instead of riding the non-ANSI long sum's silent wrap into a
+    * wrong-but-plausible hash mismatch far from the cause.
+    * [[splitDsum]] then splits per row into (div 1e9, mod 1e9): each
+    * lane's group sum is a PRIMITIVE long aggregation — no BigDecimal
+    * merge on the hot path — and cannot overflow under the enforced cap
+    * (|hi_i| ≤ 10⁸ ⟹ Σhi safe to ~9×10¹⁰ rows; |lo_i| < 10⁹ ⟹ Σlo safe
+    * to ~9×10⁹ rows — the binding term, still an order past 10⁹). [[splitDsumOut]] reassembles the EXACT
     * total with one decimal op per GROUP: Σa = 1e9·Σhi + Σlo holds
     * identically because Spark's `div`/`%` are a truncation pair
     * ((a div b)·b + a%b = a for any sign), and total_us/10⁶ has exactly
@@ -104,12 +109,11 @@ object Relational3 {
     * (guarded) shape: min 5.63 vs 8.58 s — the BigDecimal merge was
     * most of the query's cost (unguarded read 4.97; the ~0.5 s delta is
     * the per-row range check's price). */
-  private def splitDsumUs(c: Column, name: String): Column = {
+  private[graft] def splitDsumUs(c: Column, name: String): Column = {
     val d = c.cast(DecimalType(38, 6))
-    // asymmetric long-range bound: −2⁶³ µ is itself representable
-    when(d > lit(BigDecimal("9223372036854.775807")) ||
-        d < lit(BigDecimal("-9223372036854.775808")),
-        raise_error(concat(lit(s"splitDsum($name): addend exceeds long micros: "),
+    // the cap the lane-sum overflow analysis assumes — see the scaladoc
+    when(abs(d) > lit(BigDecimal("100000000000")),
+        raise_error(concat(lit(s"splitDsum($name): addend exceeds 1e11-unit lane bound: "),
           d.cast("string"))).cast("long"))
       .otherwise((d * lit(1000000)).cast("long"))
       .as(s"${name}_us")

@@ -379,9 +379,15 @@ object StreamOps {
                         n_events: Long, sum_us: Long)
 
   /** Exact event time in µs from a (µs-precision) SQL timestamp: getTime's
-    * ms carries the seconds, getNanos the full sub-second part. */
+    * ms carries the seconds, getNanos the full sub-second part. The
+    * seconds term must FLOOR (round-16 advisor item): getNanos is always
+    * the non-negative sub-second part, so for a PRE-EPOCH fractional
+    * instant getTime/1000 truncating toward zero lands one second high
+    * (1969-12-31 23:59:59.5 → +500000 µs instead of −500000). Harmless
+    * for the 2024 fixture, but the helper is general-purpose and
+    * spec-pinned. */
   private[streaming] def tsUs(ts: java.sql.Timestamp): Long =
-    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   /** Event-time timer arm point for a session whose last event is at
     * `lastUs`: the first whole millisecond STRICTLY past the session end

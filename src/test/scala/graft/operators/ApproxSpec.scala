@@ -54,4 +54,28 @@ class ApproxSpec extends SparkSpec {
         s"split-long and decimal stats must match bitwise:\n$split\nvs\n$dec")
     } finally Relational3.StatsSumSplitLong = prev
   }
+
+  test("split-lane addend cap is ENFORCED: 1e11 units raises, just under passes") {
+    // round-16 advisor item: the lane-sum overflow analysis (Σhi safe to
+    // ~9e10 rows, Σlo to ~9e9) assumes |addend| ≤ 1e11 units — the guard
+    // must enforce exactly that bound, not the old ±2^63 µ cast-range
+    // bound under which the analysis was fixture-luck
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ok = Seq(math.pow(10, 11) - 1, -(math.pow(10, 11) - 1)).toDF("a")
+      .select(Relational3.splitDsumUs(col("a"), "a")).collect()
+    assert(ok.map(_.getLong(0)).forall(v => math.abs(v) > 0))
+    val boom = intercept[Exception] {
+      Seq(math.pow(10, 11) + 1e6).toDF("a")
+        .select(Relational3.splitDsumUs(col("a"), "a")).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && !Option(c.getMessage).exists(_.contains("lane bound")))
+        c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(boom).contains("lane bound"),
+      s"over-cap addend must raise the named guard, got: $boom")
+  }
 }

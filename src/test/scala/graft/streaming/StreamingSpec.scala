@@ -864,6 +864,12 @@ class StreamingSpec extends SparkSpec {
     // tsUs: getTime carries seconds+ms, getNanos the full sub-second part
     val fine = Timestamp.valueOf("2024-01-01 00:00:01.234567")
     assert(StreamOps.tsUs(fine) % 1000000L == 234567L)
+    // pre-epoch (round-16 advisor item): getNanos is always non-negative,
+    // so the seconds term must FLOOR — truncation toward zero read
+    // 1969-12-31T23:59:59.5Z as +500000 µs instead of −500000
+    val preEpoch = Timestamp.from(java.time.Instant.parse("1969-12-31T23:59:59.5Z"))
+    assert(StreamOps.tsUs(preEpoch) == -500000L,
+      s"pre-epoch fractional instants must floor, got ${StreamOps.tsUs(preEpoch)}")
   }
 
   test("timer processor: cross-batch extension, inline close, and timer-driven close") {
