@@ -778,6 +778,33 @@ class StreamingSpec extends SparkSpec {
       s"ListState and GroupState rollers must emit identically:\n$list\nvs\n$fmgws")
   }
 
+  test("the staged replay copy is built ONCE per dir and shared across drains") {
+    // round-17 verdict item 5: N drains on one fixture must cost ONE
+    // staging job — the (dir, pace) ModelState registry entry is the
+    // shared fixture. Two different scaffold drains back-to-back may add
+    // at most one build (zero if an earlier test already staged this dir).
+    val before = StreamOps.stagedBuildCount.get()
+    StreamOps.qRollingTwsLive(spark, sf).collect()
+    StreamOps.qSessionWindowLive(spark, sf).collect()
+    val delta = StreamOps.stagedBuildCount.get() - before
+    assert(delta <= 1,
+      s"staging must be shared across drains on one dir: $delta builds for 2 drains")
+  }
+
+  test("q_rolling_tws_live drains the ListState ring to exactly the batch window") {
+    // round 17 — the ring promoted to the contract surface: the full
+    // paced staged replay (RocksDB, multi-batch at this fixture's pacing
+    // only if the corpus exceeds one pace file — either way the REAL
+    // drain path) must reproduce the batch trailing-20 window
+    // row-for-row, the same equality the DuckDB oracle hashes
+    val live = StreamOps.qRollingTwsLive(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.EventOps.qRollingQuantile(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(live.nonEmpty && live == batch,
+      s"live ListState drain must equal the batch window (got ${live.size} vs ${batch.size} rows)")
+  }
+
   test("transformWithState MapState accumulates per-(user, type) totals across batches") {
     // round 16 — the MAP named-state variable driven for real: one
     // MapState slot per user, sub-keyed by event_type, point-updated per
