@@ -54,25 +54,29 @@ object Sessions {
     // deterministic multi-query probe pass (~60 s/pass), charging one
     // query a constant ~5 s on every pass — see SURVEY's family-slot note
     "spark.cleaner.periodicGC.interval" -> env("SPARK_GRAFT_PERIODIC_GC", "60s")) ++
-    // Skew-join posture (round-16 SkewAB, measured at 100× on a
-    // 14×-median hot key): DEFAULT AQE does NOT split the straggler —
-    // its gate is partition BYTES (256 MB) while a compressed-columnar
-    // straggler is a ROW-COUNT problem (16.8 s ≈ the 16.4 s no-skew
-    // baseline, skew=false in the finalized plan); a TUNED gate
-    // (threshold 32 MB / factor 2 / 16 MB advisory) split it and won
-    // (5.2 s) over salt=8 (8.7 s) and salt=32 (7.7 s). Where conf is
-    // controllable, tune the AQE gate BEFORE reaching for salting —
-    // salting stays the in-plan technique for environments whose conf
-    // is fixed (q_skew_join, oracle-proven). Opt-in knob so the
-    // measurement standard keeps driver-default comparability:
-    // SPARK_GRAFT_SKEW_GATE=tuned applies the A/B's winning trio.
-    (env("SPARK_GRAFT_SKEW_GATE", "") match {
+    skewGateConfs(env("SPARK_GRAFT_SKEW_GATE", ""))
+
+  /** Skew-join posture (round-16 SkewAB, measured at 100× on a
+    * 14×-median hot key): DEFAULT AQE does NOT split the straggler —
+    * its gate is partition BYTES (256 MB) while a compressed-columnar
+    * straggler is a ROW-COUNT problem (16.8 s ≈ the 16.4 s no-skew
+    * baseline, skew=false in the finalized plan); a TUNED gate
+    * (threshold 32 MB / factor 2 / 16 MB advisory) split it and won
+    * (5.2 s) over salt=8 (8.7 s) and salt=32 (7.7 s). Where conf is
+    * controllable, tune the AQE gate BEFORE reaching for salting —
+    * salting stays the in-plan technique for environments whose conf
+    * is fixed (q_skew_join, oracle-proven). Opt-in knob
+    * (SPARK_GRAFT_SKEW_GATE=tuned applies the A/B's winning trio;
+    * default empty adds nothing) so the measurement standard keeps
+    * driver-default comparability. Pure core, spec-pinned. */
+  private[graft] def skewGateConfs(mode: String): Seq[(String, String)] =
+    mode match {
       case "tuned" => Seq(
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32m",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m")
       case _ => Nil
-    })
+    }
 
   /** Env lookup that treats an EMPTY value as unset (round-14 advisor
     * item: `SPARK_GRAFT_PERIODIC_GC=""` passed "" straight into Spark's

@@ -49,10 +49,12 @@ class EntrySpec extends SparkSpec {
     // in SparkEntry.modules, and it can't see an accidental removal. This
     // literal can — update it CONSCIOUSLY when the contract surface
     // changes, and check the module is in SparkEntry.modules when you do.
-    assert(SparkEntry.queries.size == 126,
+    // round 17: +q_json_scan (JsonSource module, registered) and
+    // +q_rolling_tws_live (StreamOps) — both on the oracle lane
+    assert(SparkEntry.queries.size == 128,
       s"contract surface changed (${SparkEntry.queries.size} queries): update this " +
         "pin deliberately and confirm the new/removed module is registered in SparkEntry.modules")
-    assert(SparkEntry.oracleSql.size == 124,
+    assert(SparkEntry.oracleSql.size == 126,
       s"oracle surface changed (${SparkEntry.oracleSql.size} keys): update this pin deliberately")
   }
 }

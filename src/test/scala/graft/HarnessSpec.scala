@@ -84,4 +84,20 @@ class HarnessSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$probe/$xn/lineitem.parquet"))
     assert(ScaleProbe.derivationCurrent(probe))
   }
+
+  test("skewGateConfs: default adds nothing; tuned applies the SkewAB-winning trio") {
+    // round-17 verdict item 6: the measured skew adjudication lives as a
+    // session-convention knob — OFF by default so every harness keeps
+    // driver-default comparability, and the tuned trio is exactly the
+    // A/B's winner (32 MB threshold / factor 2 / 16 MB advisory)
+    assert(Sessions.skewGateConfs("") == Nil)
+    assert(Sessions.skewGateConfs("anything-else") == Nil)
+    val tuned = Sessions.skewGateConfs("tuned").toMap
+    assert(tuned ==  Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32m",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m"))
+    // and the default session standard carries none of the skew keys
+    assert(!Sessions.Standard.exists(_._1.contains("skewJoin")))
+  }
 }
