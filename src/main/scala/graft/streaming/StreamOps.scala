@@ -1528,12 +1528,13 @@ object StreamOps {
       provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") { evs =>
       val ss = evs.sparkSession
       import ss.implicits._
-      evs
-        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-        .as[RollEvent]
-        .groupByKey(_.event_type)
-        .transformWithState(new RollingRingProcessor,
-          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      // ONE wiring shared with the spec-proved form (round-17 review:
+      // re-declaring the groupByKey + transformWithState chain here made
+      // the oracle-gated drain and the multiset-equality spec's subject
+      // two hand-maintained copies — the rollFold consolidation hazard)
+      rollingQuantileStreamTws(
+        evs.select(col("event_id"), col("ts"), col("event_type"), col("value"))
+          .as[RollEvent])
         .toDF()
     } { outDf =>
       outDf.orderBy("event_id")
