@@ -47,6 +47,42 @@ class JsonSourceSpec extends SparkSpec {
     }
   }
 
+  test("null fields are OMITTED on write: value round-trip safe, inference blind to always-null") {
+    // The remaining scaladoc trap, proven: ignoreNullFields=true (the
+    // default) drops null fields from each written line — reading back
+    // yields null (round-trip SAFE per value), but a column that is null
+    // on EVERY row leaves no trace in the text, so a schema inferred
+    // from such data simply does not contain it. events is null-free, so
+    // the contract hash is immune; a production JSONL lake pins the
+    // inferred schema after first discovery for exactly this reason.
+    import org.apache.spark.sql.functions._
+    val root = graft.ScratchDirs.freshRoot("jsonnull", "spec")
+    try {
+      val path = s"$root/mixed"
+      val df = spark.range(4).select(col("id"),
+        when(col("id") === 2, lit(null).cast("string"))
+          .otherwise(concat(lit("v"), col("id"))).as("sometimes"),
+        lit(null).cast("string").as("always"))
+      df.write.json(path)
+      // the null row's line carries NO "sometimes" key (omitted, not "null")
+      val lines = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".json"))
+        .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+      assert(lines.exists(l => !l.contains("sometimes")),
+        s"a null field must be omitted from its line, got:\n${lines.mkString("\n")}")
+      // value round-trip is safe under the DECLARED schema...
+      val back = spark.read.schema(df.schema).json(path)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(back(2) == null && back(1) == "v1",
+        s"omitted field must read back as null: $back")
+      // ...but INFERENCE cannot see the always-null column at all
+      val inferred = spark.read.json(path).schema
+      assert(inferred.fieldNames.contains("sometimes"))
+      assert(!inferred.fieldNames.contains("always"),
+        s"an always-null column must be absent from the inferred schema: $inferred")
+    } finally graft.ScratchDirs.deleteRecursively(root)
+  }
+
   test("default JSON formats LOSE microseconds, and the pin must name the column's TYPE (NTZ)") {
     // The documented cross-engine trap (JsonSource scaladoc): Spark's
     // default JSON formats carry at most millis, AND the pinning option
