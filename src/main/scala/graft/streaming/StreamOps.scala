@@ -1268,10 +1268,15 @@ object StreamOps {
     })
     lastDrainProgress.put(tag, q.recentProgress.toSeq.map { p =>
       val so = p.stateOperators.headOption
+      // the full per-batch durationMs split (addBatch / queryPlanning /
+      // walCommit / commitOffsets / getBatch / latestOffset) — the
+      // bottom of the drain fixed-cost decomposition (round 17):
+      // DrainProbe reads these lines to attribute the in-trigger term
+      val split = p.durationMs.entrySet().toArray.map(_.toString).sorted.mkString(" ")
       System.err.println(s"[$tag] batch=${p.batchId} in=${p.numInputRows}" +
         s" ms=${p.durationMs.get("triggerExecution")}" +
         s" stateRows=${so.map(_.numRowsTotal).getOrElse(-1L)}" +
-        s" removed=${so.map(_.numRowsRemoved).getOrElse(-1L)}")
+        s" removed=${so.map(_.numRowsRemoved).getOrElse(-1L)} [$split]")
       (p.batchId, p.numInputRows,
         so.map(_.numRowsTotal).getOrElse(-1L), so.map(_.numRowsRemoved).getOrElse(-1L))
     })
