@@ -441,17 +441,51 @@ object StreamOps {
       ring: Vector[(Long, Long, Double)], batch: Seq[RollEvent])
       : (Vector[(Long, Long, Double)], Vector[RollQuantiles]) = {
     val rollRows = graft.operators.EventOps.RollRows
-    def sel(sorted: IndexedSeq[Double], p: Double): Double =
-      sorted(math.ceil(p * sorted.length.toDouble).toInt - 1)
-    var r = ring
+    // Per-event work is an incrementally-maintained SORTED window —
+    // O(rollRows) arraycopy shift per event, zero allocation — instead
+    // of the first cut's fresh `.map(_._3).sorted` (two collections +
+    // an O(n log n) sort per event): the ListState drain folds 10 M
+    // events SERIALLY per key at the 100× probe, so this loop is a
+    // contract hot path (round 17). Ordering semantics are pinned
+    // identical: java.lang.Double.compare is the same IEEE total order
+    // (NaN greatest, -0.0 < 0.0) as Scala's default Double ordering,
+    // and eviction removes ONE instance equal to the evicted value —
+    // multiset semantics, so the Type-1 ceil(p·n) selections cannot
+    // differ from the sort-per-event form (property-pinned in
+    // StreamingSpec against the naive reference fold).
+    val buf = new scala.collection.mutable.ArrayDeque[(Long, Long, Double)](rollRows + 1)
+    buf ++= ring
+    val win = new Array[Double](rollRows)
+    var n = 0
+    buf.foreach { e => win(n) = e._3; n += 1 }
+    java.util.Arrays.sort(win, 0, n)
+    // insertion point in win[0,n): first index whose value is >= v under
+    // the IEEE total order (stable enough — equal values are fungible)
+    def lowerBound(v: Double): Int = {
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (java.lang.Double.compare(win(mid), v) < 0) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
     val out = Vector.newBuilder[RollQuantiles]
     batch.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
-      r = (r :+ ((e.ts.getTime, e.event_id, e.value))).takeRight(rollRows)
-      val sorted = r.map(_._3).sorted
-      out += RollQuantiles(e.event_id, key, r.length,
-        sel(sorted, 0.5), sel(sorted, 0.9))
+      if (buf.length == rollRows) { // evict the oldest from ring AND window
+        val old = buf.removeHead()
+        val i = lowerBound(old._3) // an equal instance (multiset removal)
+        System.arraycopy(win, i + 1, win, i, n - i - 1)
+        n -= 1
+      }
+      buf.append((e.ts.getTime, e.event_id, e.value))
+      val j = lowerBound(e.value)
+      System.arraycopy(win, j, win, j + 1, n - j)
+      win(j) = e.value
+      n += 1
+      out += RollQuantiles(e.event_id, key, n,
+        win(math.ceil(0.5 * n).toInt - 1), win(math.ceil(0.9 * n).toInt - 1))
     }
-    (r.takeRight(rollRows - 1), out.result())
+    (buf.takeRight(rollRows - 1).toVector, out.result())
   }
 
   /** [[rollingQuantileStream]] on the LIST state variable

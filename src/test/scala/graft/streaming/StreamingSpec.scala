@@ -778,6 +778,50 @@ class StreamingSpec extends SparkSpec {
       s"ListState and GroupState rollers must emit identically:\n$list\nvs\n$fmgws")
   }
 
+  test("rollFold's incremental sorted window equals the naive sort-per-event fold") {
+    // round 17 (hot-path rewrite): the fold maintains one sorted array
+    // with O(rollRows) shifts instead of sorting a fresh copy per event —
+    // this property pins the rewrite to the NAIVE reference (the original
+    // implementation, inlined here) over inputs chosen to stress it:
+    // duplicate values (multiset eviction must remove exactly one equal
+    // instance), ties on ts, carries across many batches, and the
+    // growing (< rollRows) phase. Same RNG seed → deterministic.
+    import StreamOps.{RollEvent, RollQuantiles}
+    val rollRows = graft.operators.EventOps.RollRows
+    def naive(key: String, ring: Vector[(Long, Long, Double)], batch: Seq[RollEvent])
+        : (Vector[(Long, Long, Double)], Vector[RollQuantiles]) = {
+      def sel(sorted: IndexedSeq[Double], p: Double): Double =
+        sorted(math.ceil(p * sorted.length.toDouble).toInt - 1)
+      var r = ring
+      val out = Vector.newBuilder[RollQuantiles]
+      batch.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
+        r = (r :+ ((e.ts.getTime, e.event_id, e.value))).takeRight(rollRows)
+        val sorted = r.map(_._3).sorted
+        out += RollQuantiles(e.event_id, key, r.length, sel(sorted, 0.5), sel(sorted, 0.9))
+      }
+      (r.takeRight(rollRows - 1), out.result())
+    }
+    val rnd = new scala.util.Random(4217)
+    var id = 0L
+    def mkBatch(sz: Int): Seq[RollEvent] = (1 to sz).map { _ =>
+      id += 1
+      // coarse ts grid forces ties; values from a 7-element pool force
+      // duplicates inside every full window
+      RollEvent(id, new java.sql.Timestamp(1700000000000L + rnd.nextInt(50) * 250L),
+        "k", Array(1.5, -0.0, 0.0, 2.5, 2.5, -3.25, 7.0)(rnd.nextInt(7)))
+    }
+    var ringA = Vector.empty[(Long, Long, Double)]
+    var ringB = Vector.empty[(Long, Long, Double)]
+    (1 to 12).foreach { i =>
+      val batch = mkBatch(if (i % 3 == 0) 3 else 37) // growing + full phases
+      val (na, outA) = StreamOps.rollFold("k", ringA, batch)
+      val (nb, outB) = naive("k", ringB, batch)
+      assert(outA == outB, s"batch $i emissions diverge:\n$outA\nvs\n$outB")
+      assert(na == nb, s"batch $i carry diverges:\n$na\nvs\n$nb")
+      ringA = na; ringB = nb
+    }
+  }
+
   test("the staged replay copy is built ONCE per dir and shared across drains") {
     // round-17 verdict item 5: N drains on one fixture must cost ONE
     // staging job — the (dir, pace) ModelState registry entry is the
