@@ -134,8 +134,13 @@ object Bench {
       // Read it WITH the pass windows: pass 1 is JIT/disk-cold, so every
       // query carries some spread — contention reads as wide spreads on
       // queries whose MIN landed in a high-steal pass, not as spread alone
+      // ss.min > 0 guard (round-17 advice): a sub-resolution 0.0 sample
+      // would print unquoted Infinity/NaN and break every JSON reader of
+      // the detail artifact; such a query reports null instead.
       val spreads = samples.toSeq.sortBy(_._1).collect {
-        case (n, ss) if ss.size >= 2 => s"${jsonStr(n)}:${r3(ss.max / ss.min)}"
+        case (n, ss) if ss.size >= 2 =>
+          val v = if (ss.min > 0) r3(ss.max / ss.min).toString else "null"
+          s"${jsonStr(n)}:$v"
       }.mkString("{", ",", "}")
       val detail = s"""{"metric":"detail","value":$total,"unit":"sec","q1_norm":$q1n,"gcConvention":"untimed-presample-gc-shrinkpinned","passWindows":$winEntries,"sampleSpread":$spreads,"queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}"""
       println(detail)

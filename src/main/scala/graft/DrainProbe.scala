@@ -91,8 +91,17 @@ object DrainProbe {
     println("[drainprobe] ==== minima (wall | trig | outside; floor in parens) ====")
     for ((tag, _) <- Scaffold ++ WallOnly) {
       val (w, f) = (minWall(s"sf/$tag"), minWall(s"floor/$tag"))
+      // both lookups guarded (round-17 advice): an anomalous drain that
+      // yields trigger telemetry on one side only must not kill the
+      // report after every pass completed. Caveat on the trig sums
+      // themselves: they come from recentProgress, which caps at 100
+      // entries — for a drain exceeding 100 micro-batches the sum
+      // understates trig and "outside = wall - trig" overstates; K is
+      // printed per-pass so the cap is visible when K approaches it.
       val trigStr = minTrig.get(s"sf/$tag").map { t =>
-        f"trig=$t%5.2f outside=${w - t}%5.2f (floor trig=${minTrig(s"floor/$tag")}%5.2f)"
+        val fl = minTrig.get(s"floor/$tag")
+          .map(ft => f"$ft%5.2f").getOrElse("n/a")
+        f"trig=$t%5.2f outside=${w - t}%5.2f (floor trig=$fl)"
       }.getOrElse("trig=n/a")
       println(f"[drainprobe] min $tag%-9s wall=$w%6.2f floor=$f%6.2f rows-part=${w - f}%6.2f  $trigStr")
     }

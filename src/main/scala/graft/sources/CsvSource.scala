@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * types the engine computes with are DISCOVERED from the text, not
   * declared, and the DuckDB oracle reads the SOURCE parquet — the hash
   * meeting proves write → infer → read round-trips every value AND every
-  * type choice bit-exactly (reference: schema inference is the repo's
-  * title capability, `README.MD:1-3`; pandas' dtype discovery over the
-  * loaded frame at `etl_benchmark.py:18-19` is the flat analog).
+  * type choice bit-exactly. The reference's inference-adjacent behavior
+  * is schema-on-read only (`pd.read_parquet`, `etl_benchmark.py:27` —
+  * parquet is self-describing); inference from schemaless TEXT is this
+  * engine's extension beyond it.
   *
   * Cross-engine traps, handled by CONSTRUCTION here and documented for
   * the general case:

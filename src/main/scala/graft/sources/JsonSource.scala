@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * STRUCTS. The contract query reads a derived JSONL copy of `events`
   * whose `props` field is a real JSON object (not a quoted string), so
   * `spark.read.json` must discover `props: struct<k: bigint>` from the
-  * text — schema inference over nested data is the reference repo's title
-  * capability (`README.MD:1-3`; pandas dtype inference
-  * `etl_benchmark.py:18-19` is the flat analog). The DuckDB oracle reads
+  * text. The reference's only inference-adjacent behavior is
+  * schema-on-read (`pd.read_parquet`, `etl_benchmark.py:27` — parquet
+  * carries its types); inference over schemaless NESTED text is this
+  * engine's extension beyond it. The DuckDB oracle reads
   * the SOURCE parquet, so the hash meeting proves write → infer → read
   * round-trips every value AND every inferred type, including the nested
   * field and microsecond timestamps.

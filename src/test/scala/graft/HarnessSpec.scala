@@ -103,7 +103,10 @@ class HarnessSpec extends AnyFunSuite {
     // SPARK_GRAFT_SKEW_GATE=tuned knob would fail green code)
     val expected = Sessions.skewGateConfs(
       sys.env.getOrElse("SPARK_GRAFT_SKEW_GATE", ""))
-    assert(Sessions.Standard.filter(_._1.contains("skewJoin")) ==
-      expected.filter(_._1.contains("skewJoin")))
+    // filter on the FULL tuned key set (round-17 advice: a "skewJoin"
+    // substring filter silently dropped the advisoryPartitionSize conf
+    // from the comparison, verifying only 2 of the 3 knob confs)
+    val knobKeys = Sessions.skewGateConfs("tuned").map(_._1).toSet
+    assert(Sessions.Standard.filter(kv => knobKeys(kv._1)) == expected)
   }
 }
