@@ -26,6 +26,7 @@ object SparkEntry {
       (Relational.queries, Relational.oracleSql),
       (RelationalExt.queries, RelationalExt.oracleSql),
       (Relational3.queries, Relational3.oracleSql),
+      (TpcH.queries, TpcH.oracleSql),
       (TypedOps.queries, TypedOps.oracleSql),
       (EventOps.queries, EventOps.oracleSql),
       (TextOps.queries, TextOps.oracleSql),
@@ -55,4 +56,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.map(_._2).reduce(_ ++ _)
+
+  /** The static map plus per-dir DYNAMIC entries whose SQL embeds model
+    * state trained from `dir`'s data (q_ann_pq's codebook literals —
+    * round-18 verdict item 1). `Verify` dumps this, not `oracleSql`,
+    * because it knows the dir being verified; the static map remains the
+    * dir-independent contract surface. */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    oracleSql ++ Similarity.dynamicOracleSql(spark, dir)
 }

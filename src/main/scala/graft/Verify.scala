@@ -26,11 +26,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Write the oracle json BEFORE running anything: it needs no Spark work,
+    // Write the oracle json BEFORE running the queries: the dump costs one
+    // tiny Spark job (q_ann_pq's codebook training collects <=512 vectors)
     // and an external kill mid-dump (host degradation phases run single
     // queries 100x over) must still leave every already-written result
-    // comparable instead of zeroing the round.
-    val json = SparkEntry.oracleSql
+    // comparable instead of zeroing the round. If the dynamic entry dies
+    // (e.g. a dir without embeddings) fall back to the static map — same
+    // artifact shape as rounds <= 17, never a zeroed round.
+    val oracle =
+      try SparkEntry.oracleSqlFor(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle failed, static fallback: ${e.getMessage}")
+        SparkEntry.oracleSql
+      }
+    val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val t0 = System.nanoTime()

@@ -774,4 +774,92 @@ object Similarity {
       }
     )
   }
+
+  // ------------------------------------------------- dynamic oracle (r18)
+
+  /** Per-dir oracle entries that embed MODEL-STATE LITERALS trained from
+    * the target dir's data (round-18 verdict item 1). The static
+    * `oracleSql` map cannot carry `q_ann_pq`: its codebooks are K-means
+    * state trained on the first [[PqTrainN]] vectors OF THE DIR BEING
+    * VERIFIED, so the literals differ per scale factor. `Verify` (which
+    * writes oracle_sql.json and knows the dir) merges this map in at dump
+    * time. Division of trust: the Lloyd TRAINING loop stays engine-side
+    * (bounded driver arithmetic, spec-pinned in DedupSimilaritySpec) —
+    * what DuckDB independently reproduces from the literals is everything
+    * downstream: the nearest-centroid ENCODING of every corpus vector,
+    * the ADC scoring, the top-k ranking, and the exact-L2 recall gate —
+    * exactly the convention the boundary-literal tokenize oracles set. */
+  def dynamicOracleSql(spark: SparkSession, dir: String): Map[String, String] =
+    Map("q_ann_pq" -> pqOracleSql(spark, dir))
+
+  /** DuckDB SQL reproducing [[qAnnPq]] bit-for-bit from codebook literals.
+    *
+    * FP-exactness argument, hunk by hunk (every sum is written in the
+    * SAME association order as the Scala, so IEEE-754 double arithmetic
+    * is bitwise deterministic across engines):
+    *  - literals: `Double.toString` emits the shortest decimal that
+    *    round-trips, and DuckDB's parser is correctly rounded, so each
+    *    centroid re-materializes as the identical double;
+    *  - encode: per-subspace distance lists via `list_transform`, each a
+    *    left-assoc 4-term `(e-c)*(e-c)` sum matching
+    *    [[graft.functions.PqEncodeExpr.encode]]'s `d2 += t*t` loop;
+    *    `list_position(l, list_min(l)) - 1` is first-index-of-min =
+    *    the Scala strict-`<` ties-to-lower-j argmin;
+    *  - ADC: [[pqAdcTop]] precomputes LUT doubles driver-side and sums 16
+    *    lookups left-assoc; the SQL recomputes each LUT cell inline with
+    *    the same 4-term order and sums the 16 PARENTHESIZED subspace
+    *    terms left-assoc — same doubles, same final sum;
+    *  - gate: the exact-L2 side is the `q_pq_gate_exact` oracle's l2
+    *    expression; recall_avg divides a double sum by a double count. */
+  private[graft] def pqOracleSql(spark: SparkSession, dir: String): String = {
+    val cb = pqCodebooks(Tables.embeddings(spark, dir))
+    val cbLit = cb.map(_.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    // per-subspace distance list + argmin code (encode)
+    val dlExprs = (0 until PqM).map { m =>
+      val terms = (0 until PqSub).map { d =>
+        val e = s"CAST(e.embedding[${m * PqSub + d + 1}] AS DOUBLE)"
+        s"($e - ct[${d + 1}]) * ($e - ct[${d + 1}])"
+      }.mkString(" + ")
+      s"list_transform(c.cb[${m + 1}], ct -> $terms) AS dl$m"
+    }.mkString(", ")
+    val codeExprs = (0 until PqM)
+      .map(m => s"list_position(dl$m, list_min(dl$m)) - 1 AS c$m")
+      .mkString(", ")
+    // ADC: each subspace term parenthesized, then left-assoc over m —
+    // the reduce(_ + _) association of the Column sum in pqAdcTop
+    val adc = (0 until PqM).map { m =>
+      val cent = s"c.cb[${m + 1}][k.c$m + 1]"
+      (0 until PqSub).map { d =>
+        val q = s"CAST(q.q_emb[${m * PqSub + d + 1}] AS DOUBLE)"
+        s"($q - $cent[${d + 1}]) * ($q - $cent[${d + 1}])"
+      }.mkString("(", " + ", ")")
+    }.mkString(" + ")
+    val l2Sql =
+      s"round((${dotSql("e.embedding", "e.embedding")} + ${dotSql("q.q_emb", "q.q_emb")}) - 2.0 * ${dotSql("q.q_emb", "e.embedding")}, 6)"
+    s"""WITH cbt AS (SELECT $cbLit AS cb),
+       |codes AS (
+       |  SELECT vec_id, $codeExprs
+       |  FROM (SELECT e.vec_id, $dlExprs FROM embeddings e CROSS JOIN cbt c)),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |      WHERE vec_id >= $PqQueryLo AND vec_id < ${PqQueryLo + NQueries}),
+       |s AS (SELECT q.query_id, k.vec_id, round($adc, 6) AS adc_dist
+       |      FROM codes k CROSS JOIN q CROSS JOIN cbt c
+       |      WHERE k.vec_id <> q.query_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC NULLS FIRST, vec_id) AS rn FROM s),
+       |pq AS (SELECT query_id, vec_id, adc_dist, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= $TopK),
+       |bs AS (SELECT q.query_id, e.vec_id, $l2Sql AS l2
+       |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |bb AS (SELECT query_id, vec_id FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2 ASC NULLS FIRST, vec_id) AS brn FROM bs)
+       |       WHERE brn <= $TopK),
+       |j AS (SELECT p.query_id, p.vec_id, p.adc_dist, p.rn,
+       |        (b.vec_id IS NOT NULL) AS in_exact_topk
+       |      FROM pq p LEFT JOIN bb b ON p.query_id = b.query_id AND p.vec_id = b.vec_id),
+       |g AS (SELECT round(SUM(CASE WHEN in_exact_topk THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+       |               / CAST(COUNT(*) AS DOUBLE), 6) AS recall_avg FROM j)
+       |SELECT j.query_id, j.vec_id, j.adc_dist, j.rn, j.in_exact_topk,
+       |  g.recall_avg, (g.recall_avg >= CAST($PqRecallFloor AS DOUBLE)) AS within_bound
+       |FROM j CROSS JOIN g ORDER BY j.query_id, j.rn""".stripMargin
+  }
 }

@@ -11,13 +11,18 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
     val rowsOnly = q.diff(o)
-    // q_ann_pq: the Lloyd codebook loop is not SQL-expressible; the result
-    // carries its own exact-L2 recall within_bound gate and encoding
-    // invariants are spec-pinned (DedupSimilaritySpec).
-    // q_approx_sketches: engine-specific sketches, but the result now
-    // carries its own exact-vs-approx within_bound gates (ApproxSpec).
+    // q_ann_pq: STATICALLY rows-only (codebooks are per-dir model state)
+    // but covered by the dynamic lane below — Verify dumps oracleSqlFor.
+    // q_approx_sketches: the one PERMANENT rows-only row — HLL/GK sketch
+    // bytes are engine-specific by definition; its exact core is the
+    // hash-checked q_sketch_gate_exact and the result carries its own
+    // exact-vs-approx within_bound gates (ApproxSpec).
     assert(rowsOnly == Set("q_approx_sketches", "q_ann_pq"),
       s"unexpected rows-only: $rowsOnly")
+    val dyn = SparkEntry.oracleSqlFor(spark, "/root/testdata/sf0.001").keySet
+    assert(dyn.subsetOf(q), s"dynamic oracle without query: ${dyn.diff(q)}")
+    assert(q.diff(dyn) == Set("q_approx_sketches"),
+      "q_ann_pq must ride the dynamic oracle lane; only the sketch row stays rows-only")
   }
 
   test("model-state registries rebuild on regenerated parquet (round-14 verdict item 2, end-to-end)") {
@@ -51,10 +56,14 @@ class EntrySpec extends SparkSpec {
     // changes, and check the module is in SparkEntry.modules when you do.
     // round 17: +q_json_scan (JsonSource module, registered) and
     // +q_rolling_tws_live (StreamOps) — both on the oracle lane
-    assert(SparkEntry.queries.size == 128,
+    // round 18: +16 TPC-H gauntlet queries (TpcH module, registered),
+    // all on the static oracle lane (128+16=144 / 126+16=142); q_ann_pq
+    // additionally rides the DYNAMIC oracle lane (oracleSqlFor), which
+    // the static count deliberately excludes
+    assert(SparkEntry.queries.size == 144,
       s"contract surface changed (${SparkEntry.queries.size} queries): update this " +
         "pin deliberately and confirm the new/removed module is registered in SparkEntry.modules")
-    assert(SparkEntry.oracleSql.size == 126,
+    assert(SparkEntry.oracleSql.size == 142,
       s"oracle surface changed (${SparkEntry.oracleSql.size} keys): update this pin deliberately")
   }
 }
