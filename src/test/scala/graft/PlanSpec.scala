@@ -595,4 +595,40 @@ class PlanSpec extends SparkSpec {
       scan.partitionFilters, scan.dataFilters).length
     assert(selected == 7, s"expected 7 of ~30 date partitions selected, got $selected")
   }
+
+  // ---- TPC-H gauntlet: plan shape on the 3 biggest plans (round 18) ----
+
+  test("q_tpch_q5: all four dims broadcast, one fact shuffle pair, filters pushed, no cartesian") {
+    val plan = formatted(operators.TpcH.q5(spark, sf))
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 4, s"customer/supplier/nation/region must broadcast, got $broadcasts:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the 6-table join order must never fall back to a product:\n$plan")
+    // the date window reaches the orders parquet scan, the region name its scan
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+    assert(plan.contains("EqualTo(r_name,ASIA)"), plan)
+  }
+
+  test("q_tpch_q18: HAVING subquery decorrelates to an aggregate-then-semi-join, no cartesian") {
+    val plan = formatted(operators.TpcH.q18(spark, sf))
+    assert(plan.contains("LeftSemi"),
+      s"the IN (GROUP BY ... HAVING) side must join as a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the big-order side aggregates lineitem BEFORE joining: a partial
+    // (merge-side) sum under the semi join's build side
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"expected partial+final aggregates on both the filter side and the output:\n$plan")
+  }
+
+  test("q_tpch_q21: EXISTS/NOT EXISTS run as semi+anti joins, dims broadcast, no cartesian") {
+    val plan = formatted(operators.TpcH.q21(spark, sf))
+    assert(plan.contains("LeftSemi"), s"EXISTS must be a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$plan")
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2, s"supplier and nation must broadcast, got $broadcasts:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the non-equi suppkey<>suppkey legs must ride the orderkey equi-join:\n$plan")
+    // the order-status filter reaches the orders scan
+    assert(plan.contains("EqualTo(o_orderstatus,F)"), plan)
+  }
 }
