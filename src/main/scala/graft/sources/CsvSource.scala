@@ -46,7 +46,7 @@ import org.apache.spark.sql.functions._
   */
 object CsvSource {
 
-  private def csvPart(spark: SparkSession, dir: String): String =
+  private[sources] def csvPart(spark: SparkSession, dir: String): String =
     DerivedCopy(spark, dir, "csv", "part", "CsvSource.csvPart") { path =>
       graft.Tables.part(spark, dir)
         .write.mode(SaveMode.Overwrite)

@@ -60,4 +60,51 @@ class CsvSourceSpec extends SparkSpec {
         s"nullValue/emptyValue must keep null and \"\" distinct: $pinned")
     } finally graft.ScratchDirs.deleteRecursively(root)
   }
+
+  test("sampled inference + declared-schema read == full-inference read (the 100 TB path)") {
+    // Both text-lane scaladocs name the production path — infer on a
+    // SAMPLE, pin the result as a declared schema, read everything with
+    // it — but nothing drove it (round-18 verdict item 6). This proves
+    // the three-step equivalence on the fixture copy: sampled inference
+    // lands the full-scan schema, and the declared-schema read (zero
+    // inference scans) is value-identical to the full-inference read.
+    val path = CsvSource.csvPart(spark, sf)
+    def read(extra: (String, String)*) = {
+      val r = spark.read.option("header", "true")
+      extra.foldLeft(r)((acc, kv) => acc.option(kv._1, kv._2)).csv(path)
+    }
+    val full = read("inferSchema" -> "true")
+    val sampled = read("inferSchema" -> "true", "samplingRatio" -> "0.2")
+    assert(sampled.schema == full.schema,
+      s"20% sampled inference must land the full-scan schema on a type-homogeneous " +
+        s"table:\n${sampled.schema}\nvs\n${full.schema}")
+    val declared = spark.read.option("header", "true").schema(sampled.schema).csv(path)
+    val key = Seq("p_partkey")
+    val a = full.orderBy((key ++ full.columns.toSeq).distinct.map(full(_)): _*).collect()
+    val b = declared.orderBy((key ++ declared.columns.toSeq).distinct.map(declared(_)): _*).collect()
+    assert(a.sameElements(b), "declared-schema read must be value-identical to full inference")
+  }
+
+  test("the sampling trap, pinned: a schema that missed a wider tail row NULLs it silently") {
+    // The documented risk of sample-pinned schemas: a rare wider-typed
+    // tail row the sample missed. The consequence is NOT an error — under
+    // the default PERMISSIVE mode the unparseable cell lands NULL, i.e.
+    // silent data loss. Deterministic form: read a file whose last row
+    // holds "1.5" under the integer schema a tail-blind sample would pin.
+    val rootP = java.nio.file.Files.createTempDirectory("graft_csv_trap")
+    val root = rootP.toString
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/t.csv"), "v\n1\n2\n1.5\n")
+      val full = spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(s"$root/t.csv")
+      assert(full.schema.head.dataType.typeName == "double",
+        s"full inference must widen to double: ${full.schema}")
+      val narrow = StructType(Seq(StructField("v", IntegerType)))
+      val pinned = spark.read.option("header", "true").schema(narrow)
+        .csv(s"$root/t.csv").collect().map(_.get(0)).toSeq
+      assert(pinned == Seq(1, 2, null),
+        s"PERMISSIVE mode must land the unparseable tail as NULL (silently): $pinned")
+    } finally graft.ScratchDirs.deleteRecursively(rootP)
+  }
 }

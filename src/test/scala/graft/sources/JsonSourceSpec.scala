@@ -120,4 +120,57 @@ class JsonSourceSpec extends SparkSpec {
         s"pinned 6-digit NTZ format must round-trip micros exactly, got $pinnedBack")
     } finally graft.ScratchDirs.deleteRecursively(root)
   }
+
+  test("sampled inference + declared-schema read == full-inference read (the 100 TB path)") {
+    // Round-18 verdict item 6, JSON side — and the harder one: the schema
+    // carries a NESTED struct and opt-in timestamp inference, both of
+    // which the sampled pass must land identically before pinning.
+    val path = JsonSource.jsonEvents(spark, sf)
+    def read(extra: (String, String)*) = {
+      val r = spark.read
+        .option("inferTimestamp", "true")
+        .option("timestampFormat", JsonSource.TsFormat)
+        .option("timestampNTZFormat", JsonSource.TsFormat)
+      extra.foldLeft(r)((acc, kv) => acc.option(kv._1, kv._2)).json(path)
+    }
+    val full = read()
+    val sampled = read("samplingRatio" -> "0.2")
+    assert(sampled.schema == full.schema,
+      s"20% sampled inference must land the full schema (nested struct + timestamp " +
+        s"included):\n${sampled.schema}\nvs\n${full.schema}")
+    val declared = spark.read
+      .option("timestampFormat", JsonSource.TsFormat)
+      .option("timestampNTZFormat", JsonSource.TsFormat)
+      .schema(sampled.schema).json(path)
+    val a = full.orderBy(full("event_id")).collect()
+    val b = declared.orderBy(declared("event_id")).collect()
+    assert(a.sameElements(b), "declared-schema read must be value-identical to full inference")
+  }
+
+  test("the sampling trap, pinned: a field the sample never saw VANISHES silently") {
+    // JSON's version of the tail-row trap is worse than CSV's NULL: a
+    // rare field absent from every sampled record is absent from the
+    // pinned schema, and every later occurrence is silently DROPPED on
+    // read — no null placeholder, no error. Deterministic form: read
+    // with the schema a tail-blind sample would pin.
+    val rootP = java.nio.file.Files.createTempDirectory("graft_json_trap")
+    val root = rootP.toString
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/t.json"),
+        """{"a":1}
+          |{"a":2}
+          |{"a":3,"b":"rare"}
+          |""".stripMargin)
+      val full = spark.read.json(s"$root/t.json")
+      assert(full.schema.fieldNames.toSeq == Seq("a", "b"),
+        s"full inference must see the tail field: ${full.schema}")
+      val pinned = spark.read.schema(StructType(Seq(StructField("a", LongType))))
+        .json(s"$root/t.json")
+      assert(pinned.schema.fieldNames.toSeq == Seq("a"),
+        "the sample-pinned schema silently drops the unseen field")
+      assert(pinned.count() == 3,
+        "every row still reads cleanly — the loss is invisible without a schema diff")
+    } finally graft.ScratchDirs.deleteRecursively(rootP)
+  }
 }
