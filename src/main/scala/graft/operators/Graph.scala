@@ -186,10 +186,22 @@ object Graph {
     * entirely (at 100× that exchange carried ~32 tasks × up-to-|V|
     * combiner rows ≈ half the edge count per round). Broadcast is only
     * sound while every executor can hold a |V|-row hashed relation:
-    * ~64 B/entry (dense long-key slot + 2-long UnsafeRow + headers),
-    * capped at 1/8 of the unified pool so the relation never crowds the
-    * join/aggregation working set, and at 64 M rows absolute (well under
-    * Spark's 512 M-row / 8 GB broadcast hard limits). Above that the
+    * ~64 B/entry (dense long-key slot + 2-long UnsafeRow + headers) — and
+    * not one relation but [[PrRounds]] + 1 of them AT ONCE: the final
+    * action executes all rounds in a single plan, so every round's
+    * contribution broadcast plus the degree broadcast are live in the
+    * block manager simultaneously (ReuseExchange collapses the degree
+    * copies but each round's contribution frame is distinct). The
+    * round-18 1000× probe measured exactly this: 16 M vertices under a
+    * 19 GiB pool — the old single-relation estimate (1.0 GiB ≤ pool/8 =
+    * 2.4 GiB) said broadcast, and the BroadcastExchange build died with
+    * "Not enough memory to build and broadcast" because 4 relations plus
+    * the collect/build transient had to coexist with the serialized edge
+    * checkpoint saturating storage. The (PrRounds+1)-relation working set
+    * is capped at 1/8 of the unified pool so it never crowds the
+    * join/aggregation memory or the checkpoint's storage residency, and
+    * at 64 M rows absolute (well under Spark's 512 M-row / 8 GB broadcast
+    * hard limits). Above that the
     * src-partitioned shuffle-hash shape takes over — it scales to any |V|.
     * vUpper is the customer+supplier footer row-count sum: every node is
     * one customer or one supplier, so it bounds |V| with no job. Pure
@@ -216,10 +228,12 @@ object Graph {
     vertexBroadcastablePool(vUpper, unifiedPoolOf(maxHeapBytes))
 
   /** Pool-based core: `minJvmPoolBytes` is the SMALLEST unified pool the
-    * hashed relation must fit (every executor, plus the driver that
-    * collects the rows before rebroadcast). */
+    * hashed relations must fit (every executor, plus the driver that
+    * collects the rows before rebroadcast). Budgets the full working set —
+    * [[PrRounds]] + 1 simultaneously-live relations — not one (round-18
+    * 1000× probe: see [[vertexBroadcastable]]). */
   private[graft] def vertexBroadcastablePool(vUpper: Long, minJvmPoolBytes: Long): Boolean = {
-    val estBytes = vUpper * 64L
+    val estBytes = vUpper * 64L * (PrRounds + 1)
     vUpper <= (64L << 20) && estBytes <= minJvmPoolBytes / 8
   }
 

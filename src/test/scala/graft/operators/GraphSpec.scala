@@ -59,17 +59,24 @@ class GraphSpec extends SparkSpec {
   }
 
   test("iteration strategy derives from the vertex-set footprint (round 12)") {
-    // Broadcast iff the |V|-row hashed relation (~64 B/entry) fits in 1/8
-    // of the unified pool AND under a 64 M-row absolute cap — the same
-    // pure-function convention as edgeSerializedFor, so re-invocations
-    // agree by construction.
+    // Broadcast iff the FULL working set — (PrRounds + 1) simultaneously
+    // live |V|-row hashed relations at ~64 B/entry (the final action
+    // executes every round's contribution broadcast plus the degree
+    // broadcast in one plan) — fits in 1/8 of the unified pool AND under
+    // a 64 M-row absolute cap; same pure-function convention as
+    // edgeSerializedFor, so re-invocations agree by construction.
     val heap32g = 32L << 30
     val unified = ((heap32g - (300L << 20)) * 0.6).toLong
+    val perRow = 64L * (Graph.PrRounds + 1)
     assert(Graph.vertexBroadcastable(1600000L, heap32g), "100x |V|=1.6M at 32g")
     assert(Graph.vertexBroadcastable(16000L, 8L << 30), "fixture |V| at dev 8g")
     assert(!Graph.vertexBroadcastable(100000000L, heap32g), "100M rows > 64M cap")
-    assert(!Graph.vertexBroadcastable(unified / 8 / 64 + 1, heap32g),
+    // round-18 1000x probe: 16M vertices under the 32g (19GiB) pool DIED
+    // in the BroadcastExchange build — the heuristic must say shuffle-hash
+    assert(!Graph.vertexBroadcastable(16000000L, heap32g),
+      "1000x |V|=16M at 32g must flip to shuffle-hash (r18 probe failure)")
+    assert(!Graph.vertexBroadcastable(unified / 8 / perRow + 1, heap32g),
       "bytes estimate crossing pool/8 must flip to shuffle-hash")
-    assert(Graph.vertexBroadcastable(unified / 8 / 64, heap32g))
+    assert(Graph.vertexBroadcastable(unified / 8 / perRow, heap32g))
   }
 }
