@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -321,6 +322,43 @@ object Fuzz {
     }
   }
 
+  /** Window column over a low-cardinality partition, ordered by EVERY
+    * visible column (total modulo fully-identical rows — see the sort
+    * rationale in the projection branch). row_number among identical rows
+    * is arbitrary but lands on indistinguishable rows; rank/dense_rank tie
+    * them identically; running sums use RANGE ... CURRENT ROW (both
+    * engines' default with ORDER BY), so tied rows share one frame and
+    * money stays decimal-exact; lag crosses identical neighbors with
+    * identical values. Returns (spark column, sql expr, name). */
+  private def genWin(rng: Rng, cols: Seq[Col]): Option[(Column, String, String)] = {
+    val lowCard = cols.filter(c => c.kind == Str ||
+      c.name.endsWith("nationkey") || c.name.endsWith("regionkey"))
+    if (lowCard.isEmpty) return None
+    val p = rng.pick(lowCard)
+    val ord = cols.map(_.name)
+    val w = Window.partitionBy(col(p.name)).orderBy(ord.map(col(_).asc): _*)
+    val over =
+      s"OVER (PARTITION BY ${p.name} ORDER BY ${ord.map(c => s"$c ASC NULLS FIRST").mkString(", ")})"
+    val nums = cols.filter(c => c.kind == Money || c.kind == NumD || c.kind == IntK)
+    rng.int(5) match {
+      case 0 => Some((row_number().over(w), s"CAST(ROW_NUMBER() $over AS INTEGER)", "w0"))
+      case 1 => Some((rank().over(w), s"CAST(RANK() $over AS INTEGER)", "w0"))
+      case 2 => Some((dense_rank().over(w), s"CAST(DENSE_RANK() $over AS INTEGER)", "w0"))
+      case 3 if nums.nonEmpty =>
+        val c = rng.pick(nums)
+        c.kind match {
+          case Money => Some((sum(col(c.name).cast(DecimalType(38, 6))).over(w).cast("double"),
+            s"CAST(SUM(CAST(${c.name} AS DECIMAL(38,6))) $over AS DOUBLE)", "w0"))
+          case IntK => Some((sum(col(c.name)).over(w),
+            s"CAST(SUM(${c.name}) $over AS BIGINT)", "w0"))
+          case _ => Some((sum(col(c.name)).over(w), s"SUM(${c.name}) $over", "w0"))
+        }
+      case _ =>
+        val c = rng.pick(cols)
+        Some((lag(col(c.name), 1).over(w), s"LAG(${c.name}, 1) $over", "w0"))
+    }
+  }
+
   /** Generate query #i for `seed`: the pair (DataFrame, oracle SQL). */
   def gen(spark: SparkSession, dir: String, seed: Long, i: Int): Gen = {
     val rng = new Rng(seed * 1000003L + i)
@@ -353,31 +391,39 @@ object Fuzz {
            |ORDER BY ${keys.map(k => s"$k ASC NULLS FIRST").mkString(", ")}""".stripMargin
       Gen(out, sql)
     } else {
-      // ---- projection (raw + computed), total-order sort
+      // ---- projection (raw + computed + optional window), total-order sort
       val raw = rng.shuffle(cols).take(2 + rng.int(3)).map(_.name).distinct
       val computed = (0 until rng.int(3)).flatMap(j => genComputed(rng, cols, j))
+      val win = if (rng.bool(0.4)) genWin(rng, cols) else None
       val sel: Seq[Column] = raw.map(col) ++
-        computed.map { case (ex, nm) => ex.spark.as(nm) }
+        computed.map { case (ex, nm) => ex.spark.as(nm) } ++
+        win.map { case (c, _, nm) => c.as(nm) }
       // sort on EVERY visible column: the fixture's lineitem key
       // (l_orderkey, l_linenumber) is NOT unique (~23% duplicated pairs
       // at sf0.001 — the first sweep's fz_0054 found this), so only the
       // full row gives a total order; rows identical across all visible
       // columns are identical in the projection too (computed columns
-      // are functions of them), hence interchangeable in the compare
+      // are functions of them), hence interchangeable in the compare —
+      // EXCEPT a row_number-style window value, which is assigned
+      // arbitrarily among identical rows: the window column therefore
+      // joins the output sort (the values {k, k+1} land on
+      // indistinguishable rows, so sorting by them restores determinism)
       val sortCols = (raw ++ cols.map(_.name)).distinct
       val out = df1
         .select((sel ++ sortCols.filterNot(raw.contains).map(col)): _*)
-        .orderBy(sortCols.map(k => col(k).asc): _*)
-        .select(raw.map(col) ++ computed.map(c => col(c._2)): _*)
-      val selSql = (raw ++ computed.map { case (ex, nm) => s"${ex.sql} AS $nm" })
-        .mkString(", ")
+        .orderBy(sortCols.map(k => col(k).asc) ++ win.map(w => col(w._3).asc): _*)
+        .select(raw.map(col) ++ computed.map(c => col(c._2)) ++ win.map(w => col(w._3)): _*)
+      val selSql = (raw ++ computed.map { case (ex, nm) => s"${ex.sql} AS $nm" } ++
+        win.map { case (_, sq, nm) => s"$sq AS $nm" }).mkString(", ")
       // ORDER BY must sit in the OUTER query (ANSI lets it reference
       // non-projected FROM columns): a subquery's ORDER BY is not
       // guaranteed to survive the outer projection — DuckDB really does
       // reorder it (first sweep's fz_0054 caught exactly this)
+      val orderSql = sortCols.map(k => s"$k ASC NULLS FIRST") ++
+        win.map(w => s"${w._3} ASC NULLS FIRST")
       val sql =
         s"""SELECT $selSql FROM $fromSql${whereSql.map(w => whereJoin + w).getOrElse("")}
-           |ORDER BY ${sortCols.map(k => s"$k ASC NULLS FIRST").mkString(", ")}""".stripMargin
+           |ORDER BY ${orderSql.mkString(", ")}""".stripMargin
       Gen(out, sql)
     }
   }
