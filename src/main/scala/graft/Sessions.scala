@@ -28,6 +28,22 @@ import org.apache.spark.sql.SparkSession
   *    vs 41.9/61.2 s (lz4); CodecAB measured the small-shuffle sf0.1
   *    regime neutral within the host band, so the tighter codec is
   *    free where it doesn't win.
+  *  - `rdd.compress = true` — serialized-at-rest RDD blocks (the
+  *    memory-tight-regime edge checkpoint in Graph, the serialized melt
+  *    frame in Tokenize — the ONLY serialized persists in the engine;
+  *    deserialized MEMORY_AND_DISK blocks are untouched by this flag)
+  *    compress through the session codec (zstd). Round 18: the 1000×
+  *    pagerank checkpoint is ~29 GB raw serialized (1.2 B two-long edge
+  *    rows) — mostly EVICTED to disk past the 19 GiB pool — vs ~4×
+  *    smaller compressed; at that scale the per-read decompress is paid
+  *    back by the disk-I/O cut on every one of the 3+1 checkpoint scans,
+  *    and in the fits-in-memory regime (100×: 4.2 GB raw) it converts
+  *    pool-crowding storage into execution headroom. 100× A/B
+  *    (back-to-back min-of-3 ScaleProbe runs, clean passes): compressed
+  *    9.32 s vs raw 8.57 s — ~8% per-read decompress cost where the raw
+  *    form still fits; accepted for the capacity win one decade up. The
+  *    deserialized fast path (sf0.1 regime) is unaffected by
+  *    construction.
   *  - `session.timeZone = UTC` — deterministic cross-engine timestamp
   *    hashing vs the DuckDB oracle.
   *  - `legacy.parquet.nanosAsLong = true` — the testdata's INT64(nanos)
@@ -47,6 +63,9 @@ object Sessions {
     "spark.ui.enabled" -> "false",
     "spark.sql.codegen.cache.maxEntries" -> "5000",
     "spark.io.compression.codec" -> "zstd",
+    // env-overridable (SPARK_GRAFT_RDD_COMPRESS) for A/Bs of the
+    // serialized-checkpoint regime
+    "spark.rdd.compress" -> env("SPARK_GRAFT_RDD_COMPRESS", "true"),
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     // env-overridable (SPARK_GRAFT_PERIODIC_GC) so probe A/Bs can move or
