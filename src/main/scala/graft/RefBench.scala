@@ -19,10 +19,16 @@ object RefBench {
       case "sample25" => "sample25"
       case _ => "select"
     }
+    // optional scale override (round-18 verdict item 5: the reference
+    // workload one decade up — 100 M x 20 ≈ 16 GB — proves the
+    // selection-boundary two-scan term and the tokenize throughput stay
+    // linear): `RefBench <mode> [rows] [cols]`
+    val rows = if (args.length > 1) args(1).toLong else 10000000L
+    val cols = if (args.length > 2) args(2).toInt else 20
     var res: (Long, Map[String, Double]) = null
     val (_, host) = HostMeter.timed {
-      res = Pipeline.run(spark, "/tmp/refbench", rows = 10000000L, cols = 20,
-        mode = mode, sink = sink)
+      res = Pipeline.run(spark, s"/tmp/refbench_${rows}x$cols", rows = rows,
+        cols = cols, mode = mode, sink = sink)
     }
     val (n, t) = res
     // ref_comparable = the stages the reference's 8.55 s CPU total spans
