@@ -373,22 +373,56 @@ object Fuzz {
     val whereJoin = if (fromSql.contains(" WHERE ")) " AND " else " WHERE "
 
     if (rng.bool(0.45)) {
-      // ---- grouped aggregation
+      // ---- grouped aggregation (optionally HAVING-filtered)
       val lowCard = cols.filter(c => c.kind == Str ||
         c.name.endsWith("nationkey") || c.name.endsWith("regionkey") ||
         c.name == "l_linenumber" || c.name == "p_size")
       val keys = rng.shuffle(if (lowCard.nonEmpty) lowCard else cols.take(1))
         .take(1 + rng.int(2)).map(_.name).distinct
       val nAgg = 1 + rng.int(3)
-      val aggs = (0 until nAgg).map(j => genAgg(rng, cols, j))
-      val out = df1.groupBy(keys.map(col): _*)
+      val aggs0 = (0 until nAgg).map(j => genAgg(rng, cols, j))
+      // HAVING on a PROJECTED COUNT(*): integer-exact on both engines (no
+      // double knife edge), and keeping h0 in the output means the compare
+      // also checks the value the predicate gated on
+      val havingK = if (rng.bool(0.3)) Some(1 + rng.int(5)) else None
+      val aggs = aggs0 ++ havingK.map(_ =>
+        (count(lit(1)).as("h0"), "CAST(COUNT(*) AS BIGINT)", "h0"))
+      val grouped = df1.groupBy(keys.map(col): _*)
         .agg(aggs.head._1, aggs.tail.map(_._1): _*)
+      val out = havingK.fold(grouped)(k => grouped.where(col("h0") > k))
         .orderBy(keys.map(k => col(k).asc): _*)
       val selSql = (keys ++ aggs.map(a => s"${a._2} AS ${a._3}")).mkString(", ")
       val sql =
         s"""SELECT $selSql FROM $fromSql${whereSql.map(w => whereJoin + w).getOrElse("")}
-           |GROUP BY ${keys.mkString(", ")}
+           |GROUP BY ${keys.mkString(", ")}${havingK.map(k => s"\nHAVING COUNT(*) > $k").getOrElse("")}
            |ORDER BY ${keys.map(k => s"$k ASC NULLS FIRST").mkString(", ")}""".stripMargin
+      Gen(out, sql)
+    } else if (rng.bool(0.22)) {
+      // ---- set operation: two predicates over the SAME source, all
+      // columns projected (ANSI: after a set op, ORDER BY may reference
+      // only OUTPUT columns — so the projection must carry every sort
+      // column). UNION ALL keeps duplicates (full-row sort makes
+      // survivors interchangeable); EXCEPT/INTERSECT are DISTINCT
+      // semantics on both engines (NULLs compare equal there, and the
+      // distinct output makes the full-row sort a true total order).
+      // df1/whereSql are intentionally unused here: each side draws its
+      // own predicate over the raw source.
+      val (p1, s1) = genPred(rng, cols, 2)
+      val (p2, s2) = genPred(rng, cols, 2)
+      val all = cols.map(_.name)
+      val side1 = src0.filter(p1).select(all.map(col): _*)
+      val side2 = src0.filter(p2).select(all.map(col): _*)
+      val (combined, opSql) = rng.int(3) match {
+        case 0 => (side1.union(side2), "UNION ALL")
+        case 1 => (side1.except(side2), "EXCEPT")
+        case _ => (side1.intersect(side2), "INTERSECT")
+      }
+      val out = combined.orderBy(all.map(k => col(k).asc): _*)
+      val sideSql = (p: String) =>
+        s"SELECT ${all.mkString(", ")} FROM $fromSql$whereJoin$p"
+      val sql =
+        s"""${sideSql(s1)} $opSql ${sideSql(s2)}
+           |ORDER BY ${all.map(k => s"$k ASC NULLS FIRST").mkString(", ")}""".stripMargin
       Gen(out, sql)
     } else {
       // ---- projection (raw + computed + optional window), total-order sort
