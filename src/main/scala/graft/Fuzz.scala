@@ -118,6 +118,14 @@ object Fuzz {
     Col("n_regionkey", IntK, Seq("1", "2", "3"))),
     unique = Seq("n_nationkey"))
 
+  /** 3-table FK compositions: (a, b, k1l, k1r, c, k2l, k2r) — three
+    * chains plus one star (part and supplier both off lineitem). */
+  val chains: Seq[(Tbl, Tbl, String, String, Tbl, String, String)] = Seq(
+    (lineitem, orders, "l_orderkey", "o_orderkey", customer, "o_custkey", "c_custkey"),
+    (lineitem, supplier, "l_suppkey", "s_suppkey", nation, "s_nationkey", "n_nationkey"),
+    (orders, customer, "o_custkey", "c_custkey", nation, "c_nationkey", "n_nationkey"),
+    (lineitem, part, "l_partkey", "p_partkey", supplier, "l_suppkey", "s_suppkey"))
+
   /** FK joins: (left, right, leftKey, rightKey). */
   val joins: Seq[(Tbl, Tbl, String, String)] = Seq(
     (lineitem, orders, "l_orderkey", "o_orderkey"),
@@ -139,9 +147,26 @@ object Fuzz {
 
   // ------------------------------------------------------------ generator
 
+  /** SplitMix64 finalizer: java.util.Random's own seed scramble (one
+    * xor + mask) leaves the FIRST draw almost a function of the seed's
+    * high bits, which a grammar keyed on sequential seeds
+    * (seed*1000003 + i) hits head-on — a branch-distribution audit of
+    * the early sweeps found seed=7 choosing the join source in 500/500
+    * queries and seed=314 the single-table source in 466/500, i.e. each
+    * sweep silently skipped whole grammar regions. Mixing the seed
+    * through SplitMix64 (the avalanche finalizer java.util.SplittableRandom
+    * uses) decorrelates the first draws; per-sweep branch counts now sit
+    * at their nominal probabilities. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Deterministic per (seed, index): each query gets its own PRNG. */
   final class Rng(seed: Long) {
-    private val r = new java.util.Random(seed)
+    private val r = new java.util.Random(mix64(seed))
     def int(n: Int): Int = r.nextInt(n)
     def pick[A](xs: Seq[A]): A = xs(r.nextInt(xs.size))
     def bool(p: Double): Boolean = r.nextDouble() < p
@@ -163,6 +188,17 @@ object Fuzz {
     if (rng.bool(0.35)) {
       val t = rng.pick(Seq(lineitem, orders, customer, part, supplier, nation))
       (load(t), t.name, t.cols, t.unique)
+    } else if (rng.bool(0.25)) {
+      // 3-table FK composition (chain or star off one fact), inner only —
+      // the join-ORDER surface a single join cannot stress; both engines
+      // see the same left-deep ON text, Catalyst is free to reorder
+      val (a, b, k1l, k1r, c3, k2l, k2r) = rng.pick(chains)
+      val df = load(a).join(load(b), col(k1l) === col(k1r))
+        .join(load(c3), col(k2l) === col(k2r))
+      val cols = a.cols ++ b.cols.filterNot(_.name == k1r) ++
+        c3.cols.filterNot(_.name == k2r)
+      (df, s"${a.name} JOIN ${b.name} ON $k1l = $k1r " +
+        s"JOIN ${c3.name} ON $k2l = $k2r", cols, a.unique)
     } else {
       val (lt, rt, lk, rk) = rng.pick(joins)
       val how = rng.pick(Seq("inner", "inner", "left", "left_semi", "left_anti"))
