@@ -120,12 +120,12 @@ object Relational3 {
   }
 
   /** The two primitive-long lane sums over a pre-projected `<name>_us`. */
-  private def splitDsum(name: String): Seq[Column] =
+  private[operators] def splitDsum(name: String): Seq[Column] =
     Seq(sum(expr(s"${name}_us div 1000000000")).as(s"${name}_hi"),
       sum(col(s"${name}_us") % lit(1000000000L)).as(s"${name}_lo"))
 
   /** Reassembled group total as the same double [[dsum]] yields. */
-  private def splitDsumOut(name: String): Column =
+  private[operators] def splitDsumOut(name: String): Column =
     ((col(s"${name}_hi").cast(DecimalType(38, 0)) * lit(1000000000L) +
       col(s"${name}_lo").cast(DecimalType(38, 0))) / lit(1000000))
       .cast("double").as(name)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -223,10 +224,20 @@ object TpcH {
   def q13(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
-    c.join(o, col("c_custkey") === col("o_custkey") &&
-        col("o_orderpriority") =!= "1-URGENT", "left")
+    // Round 19 (optimization round, guide §2.3 "aggregate before you
+    // shuffle"): count orders per custkey FIRST, then left-join the counts
+    // to customer — the join and every exchange now carry a 12-byte
+    // (custkey, count) row instead of the full order row, and at scale the
+    // fact side is pre-reduced by the map-side partial count instead of
+    // being sort-merge-shuffled wholesale. The per-custkey re-aggregation
+    // (sum of the joined counts) keeps the original's semantics exactly
+    // even under duplicate customer keys — count-over-join distributes as
+    // sum-of-counts. Rows/hash identical — oracle SQL unchanged.
+    val perCust = o.filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    c.join(perCust, col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_custkey")
-      .agg(count(col("o_orderkey")).as("c_count"))
+      .agg(sum(coalesce(col("n_orders"), lit(0L))).as("c_count"))
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
@@ -285,10 +296,38 @@ object TpcH {
       .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
   }
 
-  /** Q18 — large volume customers, verbatim shape: the HAVING subquery as
-    * a pre-aggregated semi-join side (sum first, THEN join — Θ(|orders|)
-    * intermediate, never lineitem×lineitem), top-100 by price. */
+  /** Q18 — large volume customers. Round 19 (optimization round, guide
+    * §2.4 "remove shuffles outright"): the HAVING subquery's per-order
+    * quantity sum and the output's sum_qty are THE SAME aggregate — the
+    * output groups the li⋈o⋈c rows by (c_custkey, c_name, o_orderkey,
+    * o_orderdate, o_totalprice), and since o_orderkey is unique in orders
+    * each group holds exactly one order's lineitem rows, i.e. sum_qty = bq.
+    * So aggregate lineitem ONCE, filter > 250 (a Θ(qualifying-orders)
+    * frame), and join it to orders + customer: 2 lineitem scans → 1, the
+    * semi join and the second fact-wide aggregation (the 1000× spill
+    * term — ~150 M-group hash sets at 600 M rows, r18-measured 153 s
+    * SUPER-linear) are gone. The qualifying side is left UNHINTED so AQE
+    * picks broadcast from its actual runtime size (scale-adaptive, not a
+    * local[32] constant). Rows/hash identical — oracle SQL unchanged;
+    * TpcHSpec pins old-form == new-form equality. */
   def q18(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val big = li.groupBy(col("l_orderkey").as("bo_key"))
+      .agg(sum(col("l_quantity")).as("sum_qty")).filter(col("sum_qty") > 250)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(big, col("o_orderkey") === col("bo_key"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** The round-18 verbatim-shape Q18 (aggregate → semi join → re-aggregate),
+    * kept as the equivalence reference for the optimized [[q18]] — TpcHSpec
+    * asserts row-for-row equality between the two forms. */
+  private[graft] def q18SemiJoinForm(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val big = li.groupBy(col("l_orderkey").as("bo_key"))
       .agg(sum(col("l_quantity")).as("bq")).filter(col("bq") > 250)
@@ -334,6 +373,50 @@ object TpcH {
     * broadcast supplier⋈nation hop stays, with n_name in the output
     * carrying the dim column through. */
   def q21(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    // Round 19 (optimization round, guide §2.3/§2.4): both correlated
+    // subqueries are per-ORDER set predicates over the same fact —
+    //   EXISTS(other supplier in the order)        ⟺ the order has ≥ 2
+    //     distinct suppliers                        ⟺ min(skey) ≠ max(skey);
+    //   NOT EXISTS(other LATE supplier in the order)⟺ the order's late lines
+    //     all carry ONE supplier (the outer row is itself late, so that one
+    //     supplier is the outer's)                  ⟺ min/max over the
+    //     late-only lane agree (min/max skip the when()'s nulls).
+    // Both reduce to four min/max window aggregates over ONE pass of the
+    // joined fact partitioned by l_orderkey — replacing the semi + anti
+    // joins whose r18-measured 1000× cost was three fact-wide exchanges
+    // (158.8 s, SUPER-linear spill past the 19 GiB pool). When the planner
+    // shuffles li⋈o (the at-scale shape) the window inherits the join's
+    // hashpartitioning(l_orderkey) and its sort, so the whole derivation
+    // adds ZERO exchanges; under a broadcast li⋈o (small SFs) it costs the
+    // one exchange+sort the semi/anti pair also needed. Rows/hash identical
+    // — oracle SQL unchanged (still the EXISTS/NOT EXISTS formulation);
+    // TpcHSpec pins old-form == new-form equality.
+    val w = Window.partitionBy("l_orderkey")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), late.as("late"))
+      .withColumn("min_skey", min(col("l_suppkey")).over(w))
+      .withColumn("max_skey", max(col("l_suppkey")).over(w))
+      .withColumn("min_late", min(when(col("late"), col("l_suppkey"))).over(w))
+      .withColumn("max_late", max(when(col("late"), col("l_suppkey"))).over(w))
+      .filter(col("late") && col("min_skey") =!= col("max_skey") &&
+        col("min_late") === col("max_late"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name", "n_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** The round-18 verbatim-shape Q21 (stacked semi + anti joins on the
+    * fact), kept as the equivalence reference for the optimized [[q21]] —
+    * TpcHSpec asserts row-for-row equality between the two forms. */
+  private[graft] def q21SemiAntiForm(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
     val s = Tables.supplier(spark, dir)

@@ -609,25 +609,36 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("EqualTo(r_name,ASIA)"), plan)
   }
 
-  test("q_tpch_q18: HAVING subquery decorrelates to an aggregate-then-semi-join, no cartesian") {
+  test("q_tpch_q18: ONE lineitem scan, one aggregate serves HAVING and output, no cartesian") {
+    // round 19 (optimization round): the HAVING subquery's per-order sum IS
+    // the output's sum_qty, so the plan must aggregate lineitem exactly once
+    // — no semi join, no second fact scan (the r18 1000× spill term)
     val plan = formatted(operators.TpcH.q18(spark, sf))
-    assert(plan.contains("LeftSemi"),
-      s"the IN (GROUP BY ... HAVING) side must join as a semi join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      s"lineitem must be scanned exactly once:\n$plan")
+    assert(!plan.contains("LeftSemi"),
+      s"the semi join is gone — the single aggregate serves both roles:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
-    // the big-order side aggregates lineitem BEFORE joining: a partial
-    // (merge-side) sum under the semi join's build side
-    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 4,
-      s"expected partial+final aggregates on both the filter side and the output:\n$plan")
+    // exactly one partial+final aggregate pair (the per-order quantity sum);
+    // count tree nodes only — each operator appears again in the detail list
+    assert(plan.linesIterator.count(_.contains("- HashAggregate")) == 2,
+      s"expected exactly the one partial+final per-order sum:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-100 must never full-sort:\n$plan")
   }
 
-  test("q_tpch_q21: EXISTS/NOT EXISTS run as semi+anti joins, dims broadcast, no cartesian") {
+  test("q_tpch_q21: EXISTS legs fold into per-order window min/max, ONE lineitem scan, no cartesian") {
+    // round 19 (optimization round): the semi+anti pair (three fact-wide
+    // exchanges at 1000×) is replaced by four min/max window aggregates
+    // over one pass of the joined fact — OptimizedFormsSpec holds the two
+    // forms row-for-row equal
     val plan = formatted(operators.TpcH.q21(spark, sf))
-    assert(plan.contains("LeftSemi"), s"EXISTS must be a semi join:\n$plan")
-    assert(plan.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      s"lineitem must be scanned exactly once:\n$plan")
+    assert(plan.contains("Window"), s"the set predicates ride window min/max:\n$plan")
     val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
     assert(broadcasts >= 2, s"supplier and nation must broadcast, got $broadcasts:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"the non-equi suppkey<>suppkey legs must ride the orderkey equi-join:\n$plan")
+      s"no product anywhere:\n$plan")
     // the order-status filter reaches the orders scan
     assert(plan.contains("EqualTo(o_orderstatus,F)"), plan)
   }
