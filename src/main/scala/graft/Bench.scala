@@ -56,6 +56,16 @@ object Bench {
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val samples = scala.collection.mutable.HashMap.empty[String, List[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Round 19 (optimization round, r18 verdict item 6): per-query record of
+    // whether ANY sample ran in a clean host window (steal% across the
+    // sample's own wall below CleanStealPct). The r18 driver artifact read
+    // 98.0 s where the same HEAD's clean window read 80.85 s — every pass
+    // was steal-contended, so every min was inflated and the artifact
+    // masqueraded as a regression. Steal only ever ADDS wall time, so a
+    // min over samples that include one clean-window sample is unbiased;
+    // the adaptive passes below keep sampling queries that never got one.
+    val cleanSample = scala.collection.mutable.HashSet.empty[String]
+    val CleanStealPct = 1.0
     var passesDone = 0
     // Window-quality telemetry (round-16 verdict item 2): the r16 driver
     // artifact read 98 s vs the 77 s clean re-run and NOTHING in the file
@@ -142,7 +152,12 @@ object Bench {
           val v = if (ss.min > 0) r3(ss.max / ss.min).toString else "null"
           s"${jsonStr(n)}:$v"
       }.mkString("{", ",", "}")
-      val detail = s"""{"metric":"detail","value":$total,"unit":"sec","q1_norm":$q1n,"gcConvention":"untimed-presample-gc-shrinkpinned","passWindows":$winEntries,"sampleSpread":$spreads,"queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}"""
+      // measured queries whose samples ALL landed in steal-contended
+      // windows — the residue the adaptive passes could not clear; a
+      // reader should treat their minima as upper bounds (round 19)
+      val noClean = best.keys.filterNot(cleanSample).toSeq.sorted
+        .map(jsonStr).mkString("[", ",", "]")
+      val detail = s"""{"metric":"detail","value":$total,"unit":"sec","q1_norm":$q1n,"gcConvention":"untimed-presample-gc-shrinkpinned","passWindows":$winEntries,"sampleSpread":$spreads,"noCleanSample":$noClean,"queries":$qs,"errors":$es,"passes":$passesDone,"measured":${best.size},"elapsed":${r3(elapsed)},"sf":${jsonStr(sfDir)}}"""
       println(detail)
       // Round-13 verdict item 5: the driver's BENCH_r{N}.json carries only a
       // 2000-char stdout tail, which cuts the ~3 KB detail line mid-dict
@@ -214,7 +229,9 @@ object Bench {
       res.foreach { sec =>
         best(name) = best.get(name).fold(sec)(math.min(_, sec))
         samples(name) = sec :: samples.getOrElse(name, Nil)
-        val host = HostMeter.describe(hb, HostMeter.sample())
+        val after = HostMeter.sample()
+        if (windowOf(hb, after)._2 < CleanStealPct) cleanSample += name
+        val host = HostMeter.describe(hb, after)
         System.err.println(f"[bench] done pass=$pass q=$name sec=$sec%.3f elapsed=$elapsed%.1f $host")
       }
       Console.err.flush()
@@ -286,6 +303,33 @@ object Bench {
     passesDone = 4
     closePass()
     emit()
+
+    // Adaptive clean-window passes (round 19, r18 verdict item 6): queries
+    // whose every sample so far landed in a steal-contended window
+    // (per-sample steal ≥ CleanStealPct) get further rotated passes, up to
+    // 8 passes total, budget permitting. In a clean driver window this adds
+    // ZERO work (every query collects a clean sample in passes 1-3); in a
+    // contended window (the r18 driver artifact: steal 2.4-3.9% on 2/4
+    // passes, +17 s vs the same HEAD's clean record) the affected queries
+    // keep sampling until the burst passes or the caps trip. The
+    // methodology is unchanged — the per-query MIN over round-robin passes
+    // — these are simply more of the same samples, and the artifact
+    // discloses the residue ("noCleanSample" in BENCH_DETAIL.json).
+    var extraPass = 5
+    var remaining = names.filter(n => best.contains(n) && !cleanSample(n))
+    while (remaining.nonEmpty && extraPass <= 8 && elapsed < budgetS) {
+      System.err.println(s"[bench] adaptive pass=$extraPass: ${remaining.size} " +
+        s"queries still lack a steal-clean sample")
+      HostMeter.untimedGc()
+      val rot = extraPass % math.max(remaining.size, 1)
+      val (a, b) = remaining.splitAt(rot)
+      for (n <- b ++ a if elapsed < budgetS) once(extraPass, n)
+      passesDone = extraPass
+      closePass()
+      emit()
+      extraPass += 1
+      remaining = names.filter(n => best.contains(n) && !cleanSample(n))
+    }
     spark.stop()
   }
 }

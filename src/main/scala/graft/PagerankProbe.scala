@@ -22,7 +22,10 @@ import org.apache.spark.sql.SparkSession
 object PagerankProbe {
   def main(args: Array[String]): Unit = {
     val probe = args.headOption.getOrElse("/root/repo/tmp/sfprobe100")
-    val dir = s"$probe/x100"
+    // accept either a probe ROOT (x100 subdir convention) or a corpus dir
+    // directly (the 1000× corpora live at tmp/sfprobe1000/x1000)
+    val dir = if (new java.io.File(s"$probe/lineitem.parquet").exists()) probe
+      else s"$probe/x100"
     val passes = if (args.length > 1) args(1).toInt else 3
     val cpus = Sessions.cpus
     val spark = Sessions.local(cpus)
@@ -32,9 +35,18 @@ object PagerankProbe {
     ScaleProbe.requireCurrentDerivation(dir) // refuse a stale-derivation corpus
     ScaleProbe.warmDir(dir)
 
+    // variants: shj (src-partitioned shuffle-hash), bcast (fused broadcast,
+    // PrRounds+1 live relations), bcmat (round 19 — broadcast with
+    // per-round rank materialization, ≤2 live relations; the tier that
+    // admits |V| the fused budget rejects). Optional arg 3 selects a
+    // subset, e.g. `shj,bcmat` for the 1000× A/B where the fused build
+    // is the known-OOM point.
+    val variants = args.lift(2).map(_.split(",").toSeq)
+      .getOrElse(Seq("shj", "bcast", "bcmat"))
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for (variant <- Seq("shj", "bcast")) {
-      val bcast = variant == "bcast"
+    for (variant <- variants) {
+      val bcast = variant != "shj"
+      val mat = variant == "bcmat"
       var built: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         Long, Seq[org.apache.spark.rdd.RDD[_]]) = null
       // per-pass host-contention telemetry (round-13 verdict item 4)
@@ -46,7 +58,7 @@ object PagerankProbe {
       results(s"${variant}_build") = tBuild
       val iters = (1 to passes).map { p =>
         val (t, host) = HostMeter.timed {
-          operators.Graph.iterate(e, d, n, bcast)
+          operators.Graph.iterate(e, d, n, bcast, mat)
             .write.format("noop").mode("overwrite").save()
         }
         println(f"[pgprobe] $variant%-5s pass=$p  $t%7.2fs  $host")

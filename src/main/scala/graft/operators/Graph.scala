@@ -237,6 +237,28 @@ object Graph {
     vUpper <= (64L << 20) && estBytes <= minJvmPoolBytes / 8
   }
 
+  /** Round-19 MIDDLE tier (the r18 verdict's "decouple the live-broadcast
+    * count from PrRounds"): when each round's rank frame is MATERIALIZED
+    * (localCheckpoint) before the next round plans, every executing job
+    * holds at most TWO live hashed relations — the current round's
+    * contribution frame plus the (reused) degree frame — instead of
+    * [[PrRounds]] + 1, so the broadcast strategy's ×2 budget admits vertex
+    * sets the fused-plan ×(PrRounds+1) budget rejects. The r18 1000× probe
+    * measured exactly that boundary: |V| = 16 M under a 19 GiB pool died in
+    * the fused plan's BroadcastExchange build (4 relations + the
+    * collect/build transient co-resident with the edge checkpoint) but is
+    * admissible at 2 — and the broadcast shape's zero-per-round-exchange
+    * iteration (7.90 vs 11.71 s at 100×) becomes reachable one more decade
+    * up. Same 1/8-of-pool margin and 64 M-row absolute cap as the fused
+    * tier; the per-round materialization the tier pays for is a |V|-row
+    * frame, orders below the 2|E| fan-out it buys back per round. Pure
+    * function of (rows, pool) — spec-pinned. */
+  private[graft] def vertexBroadcastableMaterializedPool(vUpper: Long,
+      minJvmPoolBytes: Long): Boolean = {
+    val estBytes = vUpper * 64L * 2
+    vUpper <= (64L << 20) && estBytes <= minJvmPoolBytes / 8
+  }
+
   /** Whether the edge checkpoint should store SERIALIZED blocks: true iff
     * the estimated deserialized footprint (~100 B per edge row: UnsafeRow
     * object + backing byte[] + array-slot headers around 24 payload bytes)
@@ -284,7 +306,7 @@ object Graph {
     * invalidated by design (serving them would resurrect deleted data);
     * consume prior results before regenerating inputs. */
   private val liveCkpt = scala.collection.concurrent.TrieMap.empty[String,
-    (String, (DataFrame, DataFrame, Long, Boolean, Seq[org.apache.spark.rdd.RDD[_]]))]
+    (String, (DataFrame, DataFrame, Long, Boolean, Boolean, Seq[org.apache.spark.rdd.RDD[_]]))]
 
   /** Source tables the checkpoint derives from — the fingerprint scope of
     * the registry entry ([[graft.ModelState.validated]], round-14 verdict
@@ -309,23 +331,30 @@ object Graph {
     // materializations, Bridge.localCheckpointed preserves the clean
     // partitioning and the per-round joins consume both frames in place.
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val (eCkpt, degD, n, bcast) = liveCkpt.synchronized {
+    val (eCkpt, degD, n, bcast, mat) = liveCkpt.synchronized {
       // drop entries left by a stopped context (round-8 advisor item);
       // the unpersist is best-effort — a dead context's blocks died with
       // its BlockManager
       graft.ModelState.evictStale(liveCkpt, spark)(
-        _._2._5.foreach(_.unpersist(blocking = false)))
-      val (e, d, nn, bc, _) = graft.ModelState.validated(
+        _._2._6.foreach(_.unpersist(blocking = false)))
+      val (e, d, nn, bc, m, _) = graft.ModelState.validated(
           liveCkpt, ckptKey, ckptSources(dir), "Graph.checkpoint")({
         val vUpper = Tables.rowCount(spark, dir, "customer") +
           Tables.rowCount(spark, dir, "supplier") // footer metadata, no job
-        val bc = vertexBroadcastablePool(vUpper, clusterPools(spark)._2)
+        val minPool = clusterPools(spark)._2
+        // three admission tiers (round 19): fused broadcast (one plan,
+        // PrRounds+1 live relations), per-round-MATERIALIZED broadcast
+        // (2 live relations — admits another decade of |V|), shuffle-hash
+        // (any |V|). Both broadcast tiers key the checkpoint by dst.
+        val bcFused = vertexBroadcastablePool(vUpper, minPool)
+        val m = !bcFused && vertexBroadcastableMaterializedPool(vUpper, minPool)
+        val bc = bcFused || m
         val (e, d, nn, rdds) = buildCheckpoint(spark, dir, bc)
-        (e, d, nn, bc, rdds)
-      }, onStale = _._5.foreach(_.unpersist(blocking = false)))
-      (e, d, nn, bc)
+        (e, d, nn, bc, m, rdds)
+      }, onStale = _._6.foreach(_.unpersist(blocking = false)))
+      (e, d, nn, bc, m)
     }
-    iterate(eCkpt, degD, n, bcast)
+    iterate(eCkpt, degD, n, bcast, mat)
   }
 
   /** Materialize the (edge checkpoint, degree frame, |V|) triple for one
@@ -382,12 +411,28 @@ object Graph {
     * decomposition put the combiner exchange at ~32 × |V| rows ≈ half the
     * edge count; the one-time degree-build exchange repays it threefold at
     * [[PrRounds]] = 3). */
+  /** Leftover per-round rank checkpoints from the PREVIOUS materialized
+    * iteration of each context: the last intermediate round's blocks stay
+    * live in the lineage of the frame the caller is still consuming, so
+    * they are reclaimed at the START of the next materialized iterate —
+    * the same deterministic-unpersist convention as the dedup rounds. */
+  private val lastRoundCkpt = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[org.apache.spark.rdd.RDD[_]]]
+
   private[graft] def iterate(eCkpt: DataFrame, degD: DataFrame, n: Long,
-      bcast: Boolean = false): DataFrame = {
+      bcast: Boolean = false, materialize: Boolean = false): DataFrame = {
+    val spark = eCkpt.sparkSession
+    if (materialize) {
+      val key = s"${spark.sparkContext.applicationId}|rounds"
+      graft.ModelState.evictStale(lastRoundCkpt, spark)(
+        _.foreach(_.unpersist(blocking = false)))
+      lastRoundCkpt.remove(key).foreach(_.foreach(_.unpersist(blocking = false)))
+    }
+    var prevRoundRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     val teleport = TeleportNum / n
     val deg = if (bcast) broadcast(degD) else degD.hint("shuffle_hash")
     var ranks = degD.select(col("src").as("node"), round(lit(1.0 / n), 6).as("rank"))
-    for (_ <- 1 to PrRounds) {
+    for (r <- 1 to PrRounds) {
       // Per-NODE contribution: round(rank/deg, 6) is identical for every
       // edge out of src, so divide+round once per node, not per edge. The
       // round-6 double times 1e6 is an integer; round(·, 0) recovers it
@@ -412,6 +457,27 @@ object Graph {
         // same exact sum k/1e6.
         .agg(round(lit(teleport) + lit(Damping) * (sum(col("c")).cast("double") / 1e6), 6)
           .as("rank"))
+      // Round-19 materialized-broadcast tier: checkpoint every
+      // INTERMEDIATE round's |V|-row rank frame so the next round's job
+      // plans against a leaf — at most the CURRENT round's contribution
+      // broadcast plus the degree broadcast are ever live (the ×2 budget
+      // of [[vertexBroadcastableMaterializedPool]]). The final round stays
+      // lazy: the caller's one action holds exactly 2 relations too. The
+      // materialized values are bit-identical (localCheckpoint replays
+      // computed rows), so strategy stays invisible to results —
+      // GraphSpec pins all three tiers equal. Round r−1's blocks are
+      // reclaimed the moment round r is materialized; the last
+      // intermediate round's blocks stay for the caller's action and are
+      // reclaimed on the next materialized iterate (see [[lastRoundCkpt]]).
+      if (materialize && r < PrRounds) {
+        val (ck, rdd) = org.apache.spark.sql.graft.Bridge.localCheckpointed(ranks)
+        ranks = ck
+        prevRoundRdd.foreach(_.unpersist(blocking = false))
+        prevRoundRdd = Some(rdd)
+      }
+    }
+    if (materialize) prevRoundRdd.foreach { last =>
+      lastRoundCkpt(s"${spark.sparkContext.applicationId}|rounds") = Seq(last)
     }
     // |V|-row final projection: packed ids -> user-facing string ids,
     // ordered as the oracle orders them (string sort)

@@ -58,6 +58,47 @@ class GraphSpec extends SparkSpec {
     } finally Seq(eRdd, dRdd).foreach(_.unpersist(blocking = true))
   }
 
+  test("materialized-broadcast tier yields byte-identical pagerank results (round 19)") {
+    // the round-19 middle tier: per-round rank materialization under the
+    // broadcast strategy (≤ 2 live hashed relations instead of PrRounds+1).
+    // Strategy and materialization must be invisible to the values — the
+    // exact micro-unit long sums are associative, and localCheckpoint
+    // replays computed rows bit-for-bit.
+    import org.apache.spark.sql.functions._
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    val (e, d, nn, rdds) =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        Graph.buildCheckpoint(spark, sf, bcast = true)
+      } finally spark.conf.set(coalesceKey, prev)
+    try {
+      val mat = Graph.iterate(e, d, nn, bcast = true, materialize = true)
+        .collect().toSeq
+      val production = Graph.qPagerank(spark, sf).collect().toSeq
+      assert(mat == production,
+        "per-round materialization must produce identical ranks")
+    } finally rdds.foreach(_.unpersist(blocking = true))
+  }
+
+  test("materialized tier admits the fused tier's r18 failure point (round 19)") {
+    // the fused ×(PrRounds+1) budget rejects |V|=16M under the 32g pool
+    // (the r18 1000× BroadcastExchange OOM) — the ×2 materialized budget
+    // must ADMIT it (2.05 GB ≤ pool/8 = 2.38 GB), which is the whole point
+    // of decoupling the live-relation count from PrRounds
+    val heap32g = 32L << 30
+    val unified = ((heap32g - (300L << 20)) * 0.6).toLong
+    assert(!Graph.vertexBroadcastable(16000000L, heap32g),
+      "fused tier still rejects 16M at 32g")
+    assert(Graph.vertexBroadcastableMaterializedPool(16000000L, unified),
+      "materialized tier must admit 16M at 32g")
+    assert(!Graph.vertexBroadcastableMaterializedPool(100000000L, unified),
+      "100M rows > 64M absolute cap")
+    assert(!Graph.vertexBroadcastableMaterializedPool(unified / 8 / 128 + 1, unified),
+      "bytes estimate crossing pool/8 must flip to shuffle-hash")
+    assert(Graph.vertexBroadcastableMaterializedPool(unified / 8 / 128, unified))
+  }
+
   test("iteration strategy derives from the vertex-set footprint (round 12)") {
     // Broadcast iff the FULL working set — (PrRounds + 1) simultaneously
     // live |V|-row hashed relations at ~64 B/entry (the final action
