@@ -399,10 +399,13 @@ object TpcH {
     val w = Window.partitionBy("l_orderkey")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"), late.as("late"))
-      .withColumn("min_skey", min(col("l_suppkey")).over(w))
-      .withColumn("max_skey", max(col("l_suppkey")).over(w))
-      .withColumn("min_late", min(when(col("late"), col("l_suppkey"))).over(w))
-      .withColumn("max_late", max(when(col("late"), col("l_suppkey"))).over(w))
+      // all four aggregates in ONE select so they land in ONE Window node
+      // (chained withColumns left three partition re-traversals in-plan)
+      .select(col("l_orderkey"), col("l_suppkey"), col("late"),
+        min(col("l_suppkey")).over(w).as("min_skey"),
+        max(col("l_suppkey")).over(w).as("max_skey"),
+        min(when(col("late"), col("l_suppkey"))).over(w).as("min_late"),
+        max(when(col("late"), col("l_suppkey"))).over(w).as("max_late"))
       .filter(col("late") && col("min_skey") =!= col("max_skey") &&
         col("min_late") === col("max_late"))
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
