@@ -43,6 +43,13 @@ object PagerankProbe {
     // is the known-OOM point.
     val variants = args.lift(2).map(_.split(",").toSeq)
       .getOrElse(Seq("shj", "bcast", "bcmat"))
+    // fail fast on unknown tokens (round-20 advisor item): a typo like
+    // "bcmt" used to silently run as the FUSED broadcast tier (bcast=true,
+    // mat=false) — at the 1000× probe that is the known-OOM configuration
+    // the variant arg exists to avoid
+    val known = Set("shj", "bcast", "bcmat")
+    require(variants.forall(known), s"unknown variant(s) " +
+      s"${variants.filterNot(known).mkString(",")} — expected a subset of ${known.mkString(",")}")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (variant <- variants) {
       val bcast = variant != "shj"

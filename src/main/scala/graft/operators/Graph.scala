@@ -415,7 +415,18 @@ object Graph {
     * iteration of each context: the last intermediate round's blocks stay
     * live in the lineage of the frame the caller is still consuming, so
     * they are reclaimed at the START of the next materialized iterate —
-    * the same deterministic-unpersist convention as the dedup rounds. */
+    * the same deterministic-unpersist convention as the dedup rounds.
+    * CONSUMPTION CONTRACT (round-20 advisor item): because the key is
+    * per-context (not per-invocation — a per-invocation key would leak the
+    * prior call's blocks forever), a second materialize=true iterate()
+    * reclaims the previous call's final-round localCheckpoint blocks, and
+    * localCheckpoint TRUNCATES lineage — a still-unconsumed frame from the
+    * prior call then fails irrecoverably instead of recomputing. Same
+    * consume-before-reinvoke contract as [[liveCkpt]] (whose scaladoc
+    * states it for the edge checkpoint): fully consume a materialized
+    * iterate's result before starting the next one on the same context.
+    * Every in-repo caller (qPagerank via the bench/oracle single-action
+    * paths, GraphSpec's sequential tier pins) already does. */
   private val lastRoundCkpt = scala.collection.concurrent.TrieMap
     .empty[String, Seq[org.apache.spark.rdd.RDD[_]]]
 

@@ -57,8 +57,28 @@ object RelationalExt {
         col("n"), col("sum_qty"))
       .orderBy("returnflag", "linestatus")
 
-  /** CUBE grouping sets over orders. */
+  /** CUBE grouping sets over orders. Round 20: the money sum rides the
+    * [[Relational3.splitDsumUs]] split primitive-long lanes (the
+    * q_stats_agg/q_unpivot/q1 convention) — the 4× Expand then carries an
+    * 8-byte long instead of a 16-byte Decimal buffer and the per-row
+    * accumulate is a primitive add. o_totalprice ≤ ~6e5, six orders under
+    * the 1e11-unit lane bound; bit-identical totals (OptimizedFormsSpec
+    * pins row-for-row equality against [[qCubeDecimalForm]]). */
   def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        Relational3.splitDsumUs(col("o_totalprice"), "sp"))
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), Relational3.splitDsum("sp"): _*)
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n"), Relational3.splitDsumOut("sp").as("sum_price"))
+      .orderBy("orderstatus", "orderpriority")
+
+  /** The rounds-1..19 direct Decimal(38,6) form of q_cube — the
+    * OptimizedFormsSpec equivalence reference. */
+  private[graft] def qCubeDecimalForm(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))

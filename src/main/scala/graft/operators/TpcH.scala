@@ -26,9 +26,11 @@ import graft.Tables
   * and LIMIT-over-sort where a full sort would be a disaster (Q3/Q10/Q18
   * → TakeOrderedAndProject).
   *
-  * Spark-first notes: dimension sides (region/nation/supplier/part/
-  * customer — bounded at any fact scale in this star schema) are
-  * `broadcast()`-hinted; fact⋈fact (lineitem⋈orders) shuffles on the join
+  * Spark-first notes: fixed-size dimension sides (region/nation) are
+  * `broadcast()`-hinted unconditionally; SF-proportional dims (supplier/
+  * part/customer) go through the size-gated [[dim]] hint (round 20 — the
+  * hint only while the relation fits the broadcast budget, unhinted for
+  * AQE above it); fact⋈fact (lineitem⋈orders) shuffles on the join
   * key once; correlated EXISTS/NOT EXISTS are expressed as left_semi /
   * left_anti joins DIRECTLY (the decorrelated form Catalyst would have to
   * derive from SQL — the DataFrame API lets us declare it); scalar
@@ -47,6 +49,40 @@ object TpcH {
   /** Exact money sum: decimal-accumulate then one deterministic double cast. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
 
+  /** Broadcast admission for the SF-PROPORTIONAL dimensions (round 20,
+    * guide §3.1 "pick the strategy deliberately — from data"; r19 verdict
+    * item 2): customer/supplier/part grow linearly with SF (~15 B customer
+    * rows at the 100 TB target), so the unconditional `broadcast()` hint
+    * that wins at sf0.1 becomes a guaranteed driver/executor OOM at scale —
+    * a hint overrides BOTH the size estimate and AQE. The gate admits the
+    * hint only while the relation's optimizer-estimated scan bytes fit a
+    * budget derived from the smallest JVM unified pool (the pagerank
+    * admission pattern, [[Graph.clusterPools]]): ×8 for the scan-bytes →
+    * hashed-relation expansion (UnsafeRow + BytesToBytesMap around packed
+    * parquet bytes), the expanded relation capped at pool/8 (same margin as
+    * [[Graph.vertexBroadcastablePool]]) and at 2 GiB absolute (well under
+    * Spark's 8 GB / 512 M-row broadcast hard limits). Below the budget the
+    * EXPLICIT hint stays — post-filter size estimates are unreliable
+    * (guide §3.1) and these dims are known small relative to the fact at
+    * every admitted SF; above it the join is left unhinted so AQE picks
+    * the strategy from runtime sizes. nation (25 rows) / region (5) and
+    * the single-row scalar frames stay unconditionally hinted — they do
+    * not grow with SF. Pure gate — at the fixture SFs every dim passes,
+    * so plans are unchanged (PlanSpec pins the broadcasts); rows/hash
+    * identical at any SF because only the join STRATEGY is affected. */
+  private[graft] def dimBroadcastable(estScanBytes: BigInt, minJvmPoolBytes: Long): Boolean = {
+    val estRelation = estScanBytes * 8
+    estRelation <= BigInt(minJvmPoolBytes / 8) && estRelation <= BigInt(2L << 30)
+  }
+
+  /** Size-gated dimension hint: `broadcast(df)` iff [[dimBroadcastable]].
+    * private[operators]: [[Relational.qJoinStar]]'s customer dim rides the
+    * same gate. */
+  private[operators] def dim(df: DataFrame): DataFrame =
+    if (dimBroadcastable(df.queryExecution.optimizedPlan.stats.sizeInBytes,
+        Graph.clusterPools(df.sparkSession)._2)) broadcast(df)
+    else df
+
   private def ts(s: String): Column = to_timestamp(lit(s))
 
   private def rev: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
@@ -60,7 +96,7 @@ object TpcH {
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < ts("1998-03-15 00:00:00"))
     val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > ts("1998-03-15 00:00:00"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(dim(c), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(dsum(rev).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
@@ -101,8 +137,8 @@ object TpcH {
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+      .join(dim(c), col("o_custkey") === col("c_custkey"))
+      .join(dim(s), col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -136,8 +172,8 @@ object TpcH {
     val n2 = Tables.nation(spark, dir).select(
       col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(dim(s), col("l_suppkey") === col("s_suppkey"))
+      .join(dim(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
       .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
@@ -166,9 +202,9 @@ object TpcH {
     val r = Tables.region(spark, dir).filter(col("r_name") === "AMERICA")
     val vol = rev.as("volume")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(dim(p), col("l_partkey") === col("p_partkey"))
+      .join(dim(s), col("l_suppkey") === col("s_suppkey"))
+      .join(dim(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
       .join(broadcast(r), col("cn_rkey") === col("r_regionkey"))
       .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
@@ -190,7 +226,7 @@ object TpcH {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(dim(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
       .agg(dsum(rev).as("revenue"))
@@ -251,7 +287,7 @@ object TpcH {
       .filter(col("l_shipdate") >= ts("1997-03-01 00:00:00") &&
         col("l_shipdate") < ts("1997-04-01 00:00:00"))
     val p = Tables.part(spark, dir)
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(dim(p), col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0) *
         dsum(when(col("p_type").startsWith("PROMO"), rev).otherwise(0.0)) /
         dsum(rev)).as("promo_revenue"))
@@ -290,7 +326,7 @@ object TpcH {
       .filter(col("p_brand") === "Brand#3" && col("p_size").between(20, 30))
     val perPart = li.groupBy(col("l_partkey").as("ap_key"))
       .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(dim(p), col("l_partkey") === col("p_partkey"))
       .join(perPart, col("p_partkey") === col("ap_key"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
@@ -317,7 +353,7 @@ object TpcH {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     o.join(big, col("o_orderkey") === col("bo_key"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(dim(c), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
@@ -356,7 +392,7 @@ object TpcH {
       col("l_quantity").between(10, 20)
     val leg3 = col("p_brand") === "Brand#5" && col("p_size").between(1, 35) &&
       col("l_quantity").between(20, 30)
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(dim(p), col("l_partkey") === col("p_partkey"))
       .filter(leg1 || leg2 || leg3)
       .agg(dsum(rev).as("revenue"))
   }
@@ -408,7 +444,7 @@ object TpcH {
         max(when(col("late"), col("l_suppkey"))).over(w).as("max_late"))
       .filter(col("late") && col("min_skey") =!= col("max_skey") &&
         col("min_late") === col("max_late"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(dim(s), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy("s_name", "n_name")
       .agg(count(lit(1)).as("numwait"))

@@ -62,6 +62,54 @@ class OptimizedFormsSpec extends SparkSpec {
       s"q13 dtype drift: ${opt.schema} vs ${ref.schema}")
   }
 
+  test("q1: split-lane form == direct Decimal(38,6) form, bitwise (sf0.001 + sf0.01)") {
+    // round 20: q1's three money sums moved to the split primitive-long
+    // lanes; totals (and the avg_price division) must be BIT-identical to
+    // the decimal form's. dataTypes compared (nullability-blind, the q13
+    // convention — lane reassembly arithmetic differs in nullability).
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val opt = Relational.q1PricingSummary(spark, dir)
+      val ref = Relational.q1DecimalForm(spark, dir)
+      val (o, r) = (rows(opt), rows(ref))
+      assert(o.nonEmpty && o == r, s"q1@$dir diverges:\n$o\nvs\n$r")
+      assert(opt.schema.map(f => (f.name, f.dataType)) ==
+        ref.schema.map(f => (f.name, f.dataType)),
+        s"q1@$dir dtype drift: ${opt.schema} vs ${ref.schema}")
+    }
+  }
+
+  test("q_cube: split-lane sum == direct Decimal(38,6) form, bitwise") {
+    val dir = "/root/testdata/sf0.01"
+    val opt = RelationalExt.qCube(spark, dir)
+    val ref = RelationalExt.qCubeDecimalForm(spark, dir)
+    val (o, r) = (rows(opt), rows(ref))
+    assert(o.nonEmpty && o == r, s"q_cube diverges:\n$o\nvs\n$r")
+    assert(opt.schema.map(f => (f.name, f.dataType)) ==
+      ref.schema.map(f => (f.name, f.dataType)),
+      s"q_cube dtype drift: ${opt.schema} vs ${ref.schema}")
+  }
+
+  test("dim broadcast gate: admits fixture-scale dims, rejects at-scale dims") {
+    // round 20 (r19 verdict item 2): the SF-proportional dimension hints
+    // are size-gated. Pure-function pins of the admission boundary:
+    val pool32g = Graph.unifiedPoolOf(32L << 30) // the probe standard's pool
+    // sf0.1 customer ≈ 1 MB of scan bytes — admitted (plan unchanged)
+    assert(TpcH.dimBroadcastable(BigInt(1L << 20), pool32g))
+    // 100× customer ≈ 100 MB — still admitted (r18/r19 measured broadcast
+    // as the win there; ×8 expansion = 800 MB ≤ pool/8 ≈ 2.4 GB)
+    assert(TpcH.dimBroadcastable(BigInt(100L << 20), pool32g))
+    // 1000×+ customer ≥ 1 GB scan bytes — REJECTED (×8 ≥ the 2 GiB absolute
+    // cap and past pool/8): the join is left to AQE instead of a forced OOM
+    assert(!TpcH.dimBroadcastable(BigInt(1L << 30), pool32g))
+    // any estimate is rejected under a tiny pool (strategy follows memory)
+    assert(!TpcH.dimBroadcastable(BigInt(100L << 20), Graph.unifiedPoolOf(1L << 30)))
+    // and the fixture plans still broadcast through the gate: customer at
+    // sf0.001 arrives hinted (the q18 join keeps its BroadcastHashJoin)
+    val plan = TpcH.q18(spark, sf).queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"q18@sf0.001 lost its broadcast through the size gate:\n$plan")
+  }
+
   test("q_unpivot: split-lane sum == direct Decimal(38,6) sum, bitwise") {
     val dir = "/root/testdata/sf0.01"
     val ref = Tables.lineitem(spark, dir)
