@@ -67,16 +67,25 @@ object Bench {
     // pass, same convention as the queries.
     val calibCores = cpus.toIntOption.getOrElse(Runtime.getRuntime.availableProcessors)
     var calibBest = Double.MaxValue
-    def calibSample(): Unit = {
-      HostMeter.untimedGc()
-      val s0 = System.nanoTime()
-      spark.range(0L, 1L << 28, 1L, calibCores)
-        .selectExpr("sum(id * 2654435761) as s")
-        .write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - s0) / 1e9
-      calibBest = math.min(calibBest, sec)
-      System.err.println(f"[bench] calib sample=$sec%.3f best=$calibBest%.3f")
-    }
+    def calibSample(): Unit =
+      // a calib failure must never take the bench down with it — the
+      // normalizer is telemetry, the queries are the contract
+      try {
+        HostMeter.untimedGc()
+        val s0 = System.nanoTime()
+        // per-row product ≤ 2^28 × 2.65e9 ≈ 7e17 (fits a long under ANSI);
+        // the modulus bounds each addend < 1e9+7 so the 2^28-row sum tops
+        // out near 2.7e17 — no overflow at any cardinality we'd ever use
+        spark.range(0L, 1L << 28, 1L, calibCores)
+          .selectExpr("sum((id * 2654435761) % 1000000007) as s")
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - s0) / 1e9
+        calibBest = math.min(calibBest, sec)
+        System.err.println(f"[bench] calib sample=$sec%.3f best=$calibBest%.3f")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] WARN calib sample failed: " +
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+      }
     val samples = scala.collection.mutable.HashMap.empty[String, List[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Round 19 (optimization round, r18 verdict item 6): per-query record of

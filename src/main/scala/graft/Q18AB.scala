@@ -20,10 +20,26 @@ object Q18AB {
     spark.sparkContext.setLogLevel("ERROR")
     ScaleProbe.requireCurrentDerivation(dir)
     ScaleProbe.warmDir(dir)
+    // the r18 join-then-aggregate Q13 (the OptimizedFormsSpec reference
+    // form, inlined): full order rows cross the join, counted after
+    import org.apache.spark.sql.functions._
+    val q13JoinForm = (sp: org.apache.spark.sql.SparkSession, d: String) => {
+      val c = Tables.customer(sp, d)
+      val o = Tables.orders(sp, d)
+      c.join(o, col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }
     val forms: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame)] =
-      Seq("singleagg" -> operators.TpcH.q18 _,
-          "semijoin" -> (operators.TpcH.q18SemiJoinForm _))
+      Seq("q18_singleagg" -> operators.TpcH.q18 _,
+          "q18_semijoin" -> (operators.TpcH.q18SemiJoinForm _),
+          "q13_preagg" -> operators.TpcH.q13 _,
+          "q13_joinform" -> q13JoinForm)
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (p <- 1 to passes; (tag, f) <- forms) {
       HostMeter.untimedGc()
