@@ -89,6 +89,33 @@ class OptimizedFormsSpec extends SparkSpec {
       s"q_cube dtype drift: ${opt.schema} vs ${ref.schema}")
   }
 
+  test("q3: split-lane form == direct Decimal(38,6) form, bitwise (sf0.001 + sf0.01)") {
+    // round 20 second half: Q3's revenue sum on the split primitive-long
+    // lanes, with the micros-long projected on the lineitem side BEFORE
+    // the fact join. Must be bit-identical to the decimal form.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val opt = TpcH.q3SplitForm(spark, dir)
+      val ref = TpcH.q3(spark, dir)
+      val (o, r) = (rows(opt), rows(ref))
+      assert(o.nonEmpty && o == r, s"q3@$dir diverges:\n$o\nvs\n$r")
+      assert(opt.schema.map(f => (f.name, f.dataType)) ==
+        ref.schema.map(f => (f.name, f.dataType)),
+        s"q3@$dir dtype drift: ${opt.schema} vs ${ref.schema}")
+    }
+  }
+
+  test("q15: split-lane form == direct Decimal(38,6) form, bitwise (sf0.001 + sf0.01)") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val opt = TpcH.q15SplitForm(spark, dir)
+      val ref = TpcH.q15(spark, dir)
+      val (o, r) = (rows(opt), rows(ref))
+      assert(o.nonEmpty && o == r, s"q15@$dir diverges:\n$o\nvs\n$r")
+      assert(opt.schema.map(f => (f.name, f.dataType)) ==
+        ref.schema.map(f => (f.name, f.dataType)),
+        s"q15@$dir dtype drift: ${opt.schema} vs ${ref.schema}")
+    }
+  }
+
   test("dim broadcast gate: admits fixture-scale dims, rejects at-scale dims") {
     // round 20 (r19 verdict item 2): the SF-proportional dimension hints
     // are size-gated. Pure-function pins of the admission boundary:
