@@ -12,7 +12,13 @@ object PlanSweep {
     // q_gap_fill's min/max hour bounds, q_tfidf's n_docs denominator,
     // q_scalar_subquery's scalar aggregates. Audited 2026-08 round 3 — the
     // single partition sees ~|partitions| rows, never the fact table.
-    val auditedScalarAgg = Set("q_gap_fill", "q_scalar_subquery", "q_tfidf")
+    // Extended round 20 with the TPC-H gauntlet's global scalar aggregates
+    // (q6/q14/q17/q19 one-row revenue totals, q15's max-revenue scalar,
+    // q22's avg-balance scalar) and q_ann_pq's scalar gate — each single
+    // partition carries one partial-agg row per upstream partition.
+    val auditedScalarAgg = Set("q_gap_fill", "q_scalar_subquery", "q_tfidf",
+      "q_tpch_q6", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q19",
+      "q_tpch_q22", "q_ann_pq")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
